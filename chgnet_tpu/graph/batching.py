@@ -1,0 +1,189 @@
+"""Static-shape padded graph batching.
+
+The reference batches graphs by ragged concatenation at forward time
+(``/root/reference/chgnet/model/model.py:792-913``), which implies dynamic
+shapes — hostile to XLA. Here a batch is a fixed-size ``GraphBatch`` of
+flat arrays padded to bucketed capacities:
+
+* padding *gather* indices point at row 0 (always in range; results are
+  masked), with padded edges given image (1, 0, 0) so their bond length is
+  one lattice vector — strictly positive, keeping norms/acos and their
+  gradients finite (no NaN can leak through masked lanes),
+* padding *scatter* indices point one-past-the-end, so XLA's drop-out-of-
+  bounds scatter semantics discard them with no mask multiply, and the
+  scatter stays sorted (edges are canonically ordered by center atom,
+  angles by undirected bond) — letting segment sums use
+  ``indices_are_sorted=True``.
+
+Bucketing rounds capacities to a geometric grid so repeated conversions
+reuse compiled programs instead of recompiling per shape.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Sequence
+
+import numpy as np
+
+from chgnet_tpu.graph.crystalgraph import CrystalGraph
+
+
+class GraphBatch(NamedTuple):
+    """A batch of crystal graphs as padded flat arrays (a JAX pytree).
+
+    Shapes: B graphs, N padded atoms, E padded directed edges, U = E // 2
+    padded undirected edges, A padded angles.
+    """
+
+    atomic_numbers: np.ndarray  # i32 [N] (0 = padding)
+    frac_coords: np.ndarray  # f32 [N, 3]
+    lattices: np.ndarray  # f32 [B, 3, 3]
+    atom_owner: np.ndarray  # i32 [N] graph index (0 for padding; masked)
+    atom_mask: np.ndarray  # f32 [N]
+    atom_graph: np.ndarray  # i32 [E, 2] gather indices (center, neighbor)
+    edge_scatter: np.ndarray  # i32 [E] center or N (drop) for scatter
+    edge_owner: np.ndarray  # i32 [E] graph index per edge
+    images: np.ndarray  # f32 [E, 3] periodic image (padding: (1,0,0))
+    directed2undirected: np.ndarray  # i32 [E] gather index
+    edge_mask: np.ndarray  # f32 [E]
+    undirected2directed: np.ndarray  # i32 [U] gather index
+    und_mask: np.ndarray  # f32 [U]
+    bond_graph: np.ndarray  # i32 [A, 5] gather indices
+    angle_scatter: np.ndarray  # i32 [A] undirected bond i or U (drop)
+    angle_mask: np.ndarray  # f32 [A]
+
+    @property
+    def n_graphs(self) -> int:
+        return self.lattices.shape[0]
+
+    @property
+    def n_atoms_padded(self) -> int:
+        return self.atomic_numbers.shape[0]
+
+
+def round_up(n: int, *, base: int = 32, growth: float = 1.25) -> int:
+    """Round ``n`` up onto a geometric bucket grid (multiples of ``base``)."""
+    n = max(n, 1)
+    bucket = base
+    while bucket < n:
+        bucket = int(math.ceil(bucket * growth / base) * base)
+    return bucket
+
+
+def batch_graphs(
+    graphs: Sequence[CrystalGraph],
+    *,
+    bucket: bool = True,
+    capacities: tuple[int, int, int] | None = None,
+) -> GraphBatch:
+    """Assemble CrystalGraphs into one padded GraphBatch.
+
+    Args:
+        graphs: the graphs to batch.
+        bucket: round padded capacities up to a geometric grid (recommended
+            under jit to bound recompiles).
+        capacities: optional explicit (n_atoms, n_directed, n_angles)
+            capacities; wins over ``bucket``.
+    """
+    n_graphs = len(graphs)
+    if n_graphs == 0:
+        raise ValueError("cannot batch zero graphs")
+
+    tot_atoms = sum(g.n_atoms for g in graphs)
+    tot_edges = sum(g.n_directed for g in graphs)
+    tot_angles = sum(g.n_angles for g in graphs)
+
+    if capacities is not None:
+        cap_n, cap_e, cap_a = capacities
+    elif bucket:
+        cap_n = round_up(tot_atoms)
+        cap_e = round_up(tot_edges)
+        cap_a = round_up(max(tot_angles, 1))
+    else:
+        cap_n, cap_e, cap_a = tot_atoms, tot_edges, max(tot_angles, 1)
+    cap_e += cap_e % 2  # keep U = E / 2 exact
+    cap_u = cap_e // 2
+    if cap_n < tot_atoms or cap_e < tot_edges or cap_a < tot_angles:
+        raise ValueError(
+            f"capacities {(cap_n, cap_e, cap_a)} < actual "
+            f"{(tot_atoms, tot_edges, tot_angles)}"
+        )
+
+    atomic_numbers = np.zeros(cap_n, dtype=np.int32)
+    frac_coords = np.zeros((cap_n, 3), dtype=np.float32)
+    atom_owner = np.zeros(cap_n, dtype=np.int32)
+    atom_mask = np.zeros(cap_n, dtype=np.float32)
+    lattices = np.zeros((n_graphs, 3, 3), dtype=np.float32)
+
+    atom_graph = np.zeros((cap_e, 2), dtype=np.int32)
+    edge_scatter = np.full(cap_e, cap_n, dtype=np.int32)  # default: drop
+    edge_owner = np.zeros(cap_e, dtype=np.int32)
+    images = np.zeros((cap_e, 3), dtype=np.float32)
+    images[:, 0] = 1.0  # padded bond = one lattice vector, length > 0
+    directed2undirected = np.zeros(cap_e, dtype=np.int32)
+    edge_mask = np.zeros(cap_e, dtype=np.float32)
+
+    undirected2directed = np.zeros(cap_u, dtype=np.int32)
+    und_mask = np.zeros(cap_u, dtype=np.float32)
+
+    bond_graph = np.zeros((cap_a, 5), dtype=np.int32)
+    angle_scatter = np.full(cap_a, cap_u, dtype=np.int32)  # default: drop
+    angle_mask = np.zeros(cap_a, dtype=np.float32)
+
+    a_off = e_off = u_off = an_off = 0
+    for gi, g in enumerate(graphs):
+        n, e, u, a = g.n_atoms, g.n_directed, g.n_undirected, g.n_angles
+        sl_a = slice(a_off, a_off + n)
+        atomic_numbers[sl_a] = g.atomic_number
+        frac_coords[sl_a] = g.atom_frac_coord
+        atom_owner[sl_a] = gi
+        atom_mask[sl_a] = 1.0
+        lattices[gi] = g.lattice
+
+        sl_e = slice(e_off, e_off + e)
+        atom_graph[sl_e] = g.atom_graph + a_off
+        edge_scatter[sl_e] = g.atom_graph[:, 0] + a_off
+        edge_owner[sl_e] = gi
+        images[sl_e] = g.neighbor_image
+        directed2undirected[sl_e] = g.directed2undirected + u_off
+        edge_mask[sl_e] = 1.0
+
+        sl_u = slice(u_off, u_off + u)
+        undirected2directed[sl_u] = g.undirected2directed + e_off
+        und_mask[sl_u] = 1.0
+
+        if a:
+            sl_an = slice(an_off, an_off + a)
+            bg = g.bond_graph.astype(np.int64)
+            bond_graph[sl_an, 0] = bg[:, 0] + a_off
+            bond_graph[sl_an, 1] = bg[:, 1] + u_off
+            bond_graph[sl_an, 2] = bg[:, 2] + e_off
+            bond_graph[sl_an, 3] = bg[:, 3] + u_off
+            bond_graph[sl_an, 4] = bg[:, 4] + e_off
+            angle_scatter[sl_an] = bg[:, 1] + u_off
+            angle_mask[sl_an] = 1.0
+
+        a_off += n
+        e_off += e
+        u_off += u
+        an_off += a
+
+    return GraphBatch(
+        atomic_numbers=atomic_numbers,
+        frac_coords=frac_coords,
+        lattices=lattices,
+        atom_owner=atom_owner,
+        atom_mask=atom_mask,
+        atom_graph=atom_graph,
+        edge_scatter=edge_scatter,
+        edge_owner=edge_owner,
+        images=images,
+        directed2undirected=directed2undirected,
+        edge_mask=edge_mask,
+        undirected2directed=undirected2directed,
+        und_mask=und_mask,
+        bond_graph=bond_graph,
+        angle_scatter=angle_scatter,
+        angle_mask=angle_mask,
+    )

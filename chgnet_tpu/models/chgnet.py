@@ -1,0 +1,707 @@
+"""CHGNet-TPU: the charge-informed crystal GNN as a pure JAX function.
+
+Functional re-design of the reference model
+(``/root/reference/chgnet/model/model.py:35-746``):
+
+* the whole forward pass is one jitted pure function of (params, batch)
+  over static padded shapes (see ``chgnet_tpu.graph.batching``),
+* forces and stress come from ONE ``jax.value_and_grad`` over cartesian
+  coordinates and a per-graph symmetric strain variable — the reference
+  needs two ``torch.autograd.grad`` calls with retained graphs
+  (``model.py:517-535``). Energy is evaluated at positions
+  ``cart @ (I + strain)`` and lattice ``L @ (I + strain)`` so
+  d/d(cart) at strain=0 gives exactly -forces and d/d(strain) gives the
+  virial for stress (x 160.21766208 / V -> GPa),
+* magmoms are |site_wise(atom features)| read out before the last conv
+  block, like ``model.py:477-487``.
+
+Hyperparameter names, defaults and architecture (4 AtomConv / 3 BondConv /
+3 AngleUpdate at 64-dim features, 31 radial / 31 angular bases) match the
+reference so torch checkpoints convert 1:1 (412,525 params for v0.3.0).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+import os
+import warnings
+from collections.abc import Sequence
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from chgnet_tpu import PredTask
+from chgnet_tpu.core.structure import Structure
+from chgnet_tpu.graph.batching import GraphBatch, batch_graphs
+from chgnet_tpu.graph.converter import CrystalGraphConverter
+from chgnet_tpu.graph.crystalgraph import CrystalGraph
+from chgnet_tpu.models import basis
+from chgnet_tpu.models.composition import AtomRef
+from chgnet_tpu.models.functions import (
+    Params,
+    layer_norm_apply,
+    linear_apply,
+    linear_init,
+    mlp_apply,
+    mlp_init,
+    norm_init,
+    segment_sum,
+)
+from chgnet_tpu.models.layers import (
+    angle_update_apply,
+    angle_update_init,
+    atom_conv_apply,
+    atom_conv_init,
+    attention_readout_apply,
+    attention_readout_init,
+    bond_conv_apply,
+    bond_conv_init,
+    graph_pool,
+)
+from chgnet_tpu.utils.common import count_params, load_params, save_params
+
+module_dir = os.path.dirname(os.path.abspath(__file__))
+
+EV_A3_TO_GPA = 160.21766208  # eV/A^3 -> GPa (model.py:532)
+
+
+@dataclasses.dataclass(frozen=True)
+class CHGNetConfig:
+    """Hashable model hyperparameters (static under jit).
+
+    Field names/defaults mirror the reference constructor
+    (``model.py:40-71``) for checkpoint and API compatibility.
+    """
+
+    atom_fea_dim: int = 64
+    bond_fea_dim: int = 64
+    angle_fea_dim: int = 64
+    composition_model: str = "MPtrj"
+    num_radial: int = 31
+    num_angular: int = 31
+    n_conv: int = 4
+    atom_conv_hidden_dim: int | tuple[int, ...] = 64
+    update_bond: bool = True
+    bond_conv_hidden_dim: int | tuple[int, ...] = 64
+    update_angle: bool = True
+    angle_layer_hidden_dim: int | tuple[int, ...] = 0
+    conv_dropout: float = 0.0
+    read_out: str = "ave"
+    mlp_hidden_dims: int | tuple[int, ...] = (64, 64, 64)
+    mlp_dropout: float = 0.0
+    mlp_first: bool = True
+    is_intensive: bool = True
+    non_linearity: Literal["silu", "relu", "tanh", "gelu"] = "silu"
+    atom_graph_cutoff: float = 6.0
+    bond_graph_cutoff: float = 3.0
+    graph_converter_algorithm: str = "fast"
+    cutoff_coeff: float = 8.0
+    learnable_rbf: bool = True
+    gMLP_norm: str | None = "layer"
+    readout_norm: str | None = "layer"
+    conv_norm: str | None = None
+    mlp_out_bias: bool = False
+    final_mlp: str = "MLP"
+    num_heads: int = 3
+    version: str | None = None
+    atom_ref_is_intensive: bool = True
+    matmul_precision: str = "highest"
+    max_num_elements: int = 94
+
+    def __post_init__(self) -> None:
+        if self.num_angular % 2 != 1:
+            raise ValueError(f"num_angular={self.num_angular} must be odd")
+        if self.conv_dropout or self.mlp_dropout:
+            raise NotImplementedError("dropout > 0 is not implemented yet")
+        for name in ("atom_conv_hidden_dim", "bond_conv_hidden_dim",
+                     "angle_layer_hidden_dim", "mlp_hidden_dims"):
+            val = getattr(self, name)
+            if isinstance(val, list):
+                object.__setattr__(self, name, tuple(val))
+
+    def as_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+def init_params(config: CHGNetConfig, seed: int = 0) -> Params:
+    """Initialize the full parameter pytree (torch-default distributions)."""
+    rng = np.random.default_rng(seed)
+    cfg = config
+    params: Params = {
+        "atom_embedding": {
+            "weight": rng.normal(
+                size=(cfg.max_num_elements, cfg.atom_fea_dim)
+            ).astype(np.float32)
+        },
+        "bond_basis": {
+            "freq_ag": basis.bessel_frequencies(cfg.num_radial),
+            "freq_bg": basis.bessel_frequencies(cfg.num_radial),
+        },
+        "angle_basis": {
+            "freq": basis.fourier_frequencies((cfg.num_angular - 1) // 2)
+        },
+        "bond_embedding": linear_init(
+            rng, cfg.num_radial, cfg.bond_fea_dim, bias=False
+        ),
+        "bond_weights_ag": linear_init(
+            rng, cfg.num_radial, cfg.atom_fea_dim, bias=False
+        ),
+        "bond_weights_bg": linear_init(
+            rng, cfg.num_radial, cfg.bond_fea_dim, bias=False
+        ),
+        "angle_embedding": linear_init(
+            rng, cfg.num_angular, cfg.angle_fea_dim, bias=False
+        ),
+        "atom_convs": [
+            atom_conv_init(
+                rng,
+                atom_fea_dim=cfg.atom_fea_dim,
+                bond_fea_dim=cfg.bond_fea_dim,
+                hidden_dim=cfg.atom_conv_hidden_dim,
+                norm=cfg.conv_norm,
+                gmlp_norm=cfg.gMLP_norm,
+                mlp_out_bias=cfg.mlp_out_bias,
+            )
+            for _ in range(cfg.n_conv)
+        ],
+        "site_wise": linear_init(rng, cfg.atom_fea_dim, 1),
+    }
+    if cfg.update_bond:
+        params["bond_convs"] = [
+            bond_conv_init(
+                rng,
+                atom_fea_dim=cfg.atom_fea_dim,
+                bond_fea_dim=cfg.bond_fea_dim,
+                angle_fea_dim=cfg.angle_fea_dim,
+                hidden_dim=cfg.bond_conv_hidden_dim,
+                norm=cfg.conv_norm,
+                gmlp_norm=cfg.gMLP_norm,
+                mlp_out_bias=cfg.mlp_out_bias,
+            )
+            for _ in range(cfg.n_conv - 1)
+        ]
+    if cfg.update_angle:
+        params["angle_updates"] = [
+            angle_update_init(
+                rng,
+                atom_fea_dim=cfg.atom_fea_dim,
+                bond_fea_dim=cfg.bond_fea_dim,
+                angle_fea_dim=cfg.angle_fea_dim,
+                hidden_dim=cfg.angle_layer_hidden_dim,
+                norm=cfg.conv_norm,
+                gmlp_norm=cfg.gMLP_norm,
+            )
+            for _ in range(cfg.n_conv - 1)
+        ]
+    ln = norm_init(cfg.readout_norm, cfg.atom_fea_dim)
+    if ln is not None:
+        params["readout_norm"] = ln
+
+    if cfg.mlp_first:
+        readout_in = cfg.atom_fea_dim
+    elif cfg.read_out in {"attn", "weighted"}:
+        params["attn_readout"] = attention_readout_init(
+            rng, cfg.atom_fea_dim, num_heads=cfg.num_heads
+        )
+        readout_in = cfg.atom_fea_dim * cfg.num_heads
+    else:
+        readout_in = cfg.atom_fea_dim
+    params["mlp"] = mlp_init(
+        rng, readout_in, output_dim=1, hidden_dim=cfg.mlp_hidden_dims
+    )
+
+    if cfg.composition_model:
+        atom_ref = AtomRef(is_intensive=cfg.is_intensive)
+        atom_ref.initialize_from(cfg.composition_model)
+        params["composition"] = {"weight": atom_ref.weight.copy()}
+    return params
+
+
+# ===================================================================== core
+def _energy_core(
+    params: Params,
+    cfg: CHGNetConfig,
+    batch: GraphBatch,
+    cart: jnp.ndarray,  # [N, 3] unstrained cartesian coords
+    strains: jnp.ndarray,  # [B, 3, 3]
+) -> tuple[jnp.ndarray, dict]:
+    """Extensive GNN energy per graph [B] plus auxiliary features.
+
+    Differentiable in (cart, strains); all padded lanes contribute exactly
+    zero and stay NaN-free (see batching module docstring).
+    """
+    n_graphs = batch.lattices.shape[0]
+    n_atoms_padded = batch.atomic_numbers.shape[0]
+    eye = jnp.eye(3, dtype=cart.dtype)
+    deform = eye[None] + strains  # [B, 3, 3]
+    lat = jnp.einsum("bij,bjk->bik", batch.lattices, deform)
+    pos = jnp.einsum("ni,nij->nj", cart, deform[batch.atom_owner])
+
+    # bond vectors: center - (neighbor + image @ lattice)   (encoders.py:98-102)
+    center_pos = pos[batch.atom_graph[:, 0]]
+    nbr_pos = pos[batch.atom_graph[:, 1]] + jnp.einsum(
+        "ei,eij->ej", batch.images, lat[batch.edge_owner]
+    )
+    vec = center_pos - nbr_pos
+    dist = jnp.linalg.norm(vec, axis=1)  # padded edges: |a| > 0, finite grads
+    unit = vec / dist[:, None]
+
+    # undirected bond bases (both expansions on atom-graph bond lengths)
+    und_dist = dist[batch.undirected2directed]
+    rbf_ag = basis.radial_bessel(
+        und_dist,
+        params["bond_basis"]["freq_ag"],
+        cfg.atom_graph_cutoff,
+        cfg.cutoff_coeff,
+    )
+    rbf_bg = basis.radial_bessel(
+        und_dist,
+        params["bond_basis"]["freq_bg"],
+        cfg.bond_graph_cutoff,
+        cfg.cutoff_coeff,
+    )
+
+    # angle basis from directed unit bond vectors (encoders.py:133-146)
+    vec_i = unit[batch.bond_graph[:, 2]]
+    vec_j = unit[batch.bond_graph[:, 4]]
+    cos_ij = jnp.sum(vec_i * vec_j, axis=1) * (1 - 1e-6)
+    angles = jnp.arccos(cos_ij)
+    angle_bases = basis.fourier(angles, params["angle_basis"]["freq"])
+
+    # embeddings (model.py:431-439); Z=1 (H) is embedding row 0
+    z_index = jnp.clip(batch.atomic_numbers - 1, 0, cfg.max_num_elements - 1)
+    atom_feas = params["atom_embedding"]["weight"][z_index]
+    bond_feas = linear_apply(params["bond_embedding"], rbf_ag)
+    bond_weights_ag = linear_apply(params["bond_weights_ag"], rbf_ag)
+    bond_weights_bg = linear_apply(params["bond_weights_bg"], rbf_bg)
+    angle_feas = linear_apply(params["angle_embedding"], angle_bases)
+
+    act = cfg.non_linearity
+    atom_feas_mid = atom_feas  # overwritten at block n_conv - 2
+    for idx in range(cfg.n_conv - 1):
+        atom_feas = atom_conv_apply(
+            params["atom_convs"][idx],
+            atom_feas,
+            bond_feas,
+            bond_weights_ag,
+            batch.atom_graph,
+            batch.edge_scatter,
+            batch.directed2undirected,
+            batch.edge_mask,
+            activation=act,
+        )
+        if cfg.update_bond:
+            bond_feas = bond_conv_apply(
+                params["bond_convs"][idx],
+                atom_feas,
+                bond_feas,
+                bond_weights_bg,
+                angle_feas,
+                batch.bond_graph,
+                batch.angle_scatter,
+                batch.angle_mask,
+                activation=act,
+            )
+        if cfg.update_angle:
+            angle_feas = angle_update_apply(
+                params["angle_updates"][idx],
+                atom_feas,
+                bond_feas,
+                angle_feas,
+                batch.bond_graph,
+                activation=act,
+            )
+        if idx == cfg.n_conv - 2:
+            atom_feas_mid = atom_feas
+
+    atom_feas = atom_conv_apply(
+        params["atom_convs"][cfg.n_conv - 1],
+        atom_feas,
+        bond_feas,
+        bond_weights_ag,
+        batch.atom_graph,
+        batch.edge_scatter,
+        batch.directed2undirected,
+        batch.edge_mask,
+        activation=act,
+    )
+    if "readout_norm" in params:
+        atom_feas = layer_norm_apply(params["readout_norm"], atom_feas)
+
+    # pooling + readout (model.py:501-514)
+    atom_scatter = jnp.where(
+        batch.atom_mask > 0, batch.atom_owner, n_graphs
+    ).astype(jnp.int32)
+    atoms_per_graph = segment_sum(
+        batch.atom_mask[:, None], atom_scatter, n_graphs, indices_are_sorted=True
+    ).reshape(-1)
+
+    aux: dict = {
+        "atom_feas_mid": atom_feas_mid,
+        "atom_feas": atom_feas,
+        "atoms_per_graph": atoms_per_graph,
+    }
+    if cfg.mlp_first:
+        site_energies = mlp_apply(params["mlp"], atom_feas, activation=act)
+        site_energies = site_energies * batch.atom_mask[:, None]
+        energy_ext = segment_sum(
+            site_energies, atom_scatter, n_graphs, indices_are_sorted=True
+        ).reshape(-1)
+        aux["site_energies"] = site_energies.reshape(-1)
+        aux["crystal_fea"] = graph_pool(
+            atom_feas * batch.atom_mask[:, None], atom_scatter, n_graphs
+        )
+    else:
+        if cfg.read_out in {"attn", "weighted"}:
+            crystal_feas = attention_readout_apply(
+                params["attn_readout"],
+                atom_feas,
+                atom_scatter,
+                batch.atom_mask,
+                n_graphs,
+                average=True,
+                activation=act,
+            )
+        else:
+            crystal_feas = graph_pool(
+                atom_feas * batch.atom_mask[:, None],
+                atom_scatter,
+                n_graphs,
+                average=True,
+            )
+        energy_ext = (
+            mlp_apply(params["mlp"], crystal_feas, activation=act).reshape(-1)
+            * atoms_per_graph
+        )
+        aux["crystal_fea"] = crystal_feas
+
+    return energy_ext, aux
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "config",
+        "compute_force",
+        "compute_stress",
+        "compute_magmom",
+    ),
+)
+def compute_batch(
+    params: Params,
+    batch: GraphBatch,
+    *,
+    config: CHGNetConfig,
+    compute_force: bool = False,
+    compute_stress: bool = False,
+    compute_magmom: bool = False,
+) -> dict[str, jnp.ndarray]:
+    """Jitted batched prediction over padded arrays.
+
+    Returns padded device arrays: e [B] (eV/atom if intensive), f [N, 3],
+    s [B, 3, 3] (GPa), m [N], site_energies [N], crystal_fea [B, d],
+    atoms_per_graph [B].
+    """
+    cfg = config
+    with jax.default_matmul_precision(cfg.matmul_precision):
+        n_graphs = batch.lattices.shape[0]
+        frac = batch.frac_coords.astype(jnp.float32)
+        cart0 = jnp.einsum("ni,nij->nj", frac, batch.lattices[batch.atom_owner])
+        strains0 = jnp.zeros((n_graphs, 3, 3), dtype=cart0.dtype)
+
+        def energy_of(cart, strains):
+            energy_ext, aux = _energy_core(params, cfg, batch, cart, strains)
+            return energy_ext.sum(), (energy_ext, aux)
+
+        prediction: dict[str, jnp.ndarray] = {}
+        if compute_force or compute_stress:
+            argnums = (0, 1) if compute_stress else (0,)
+            (_, (energy_ext, aux)), grads = jax.value_and_grad(
+                energy_of, argnums=argnums, has_aux=True
+            )(cart0, strains0)
+            if compute_force:
+                prediction["f"] = -grads[0]
+            if compute_stress:
+                volumes = jnp.abs(jnp.linalg.det(batch.lattices))
+                prediction["s"] = (
+                    grads[-1] * EV_A3_TO_GPA / volumes[:, None, None]
+                )
+        else:
+            energy_ext, aux = _energy_core(params, cfg, batch, cart0, strains0)
+
+        atoms_per_graph = aux["atoms_per_graph"]
+        safe_counts = jnp.maximum(atoms_per_graph, 1.0)
+        energy = energy_ext / safe_counts if cfg.is_intensive else energy_ext
+
+        # frozen AtomRef composition energy (model.py:356-358, 378)
+        if "composition" in params:
+            site_ref = params["composition"]["weight"][
+                jnp.clip(batch.atomic_numbers - 1, 0, cfg.max_num_elements - 1)
+            ] * batch.atom_mask
+            atom_scatter = jnp.where(
+                batch.atom_mask > 0, batch.atom_owner, n_graphs
+            ).astype(jnp.int32)
+            comp_ext = segment_sum(
+                site_ref[:, None], atom_scatter, n_graphs, indices_are_sorted=True
+            ).reshape(-1)
+            comp_e = (
+                comp_ext / safe_counts if cfg.atom_ref_is_intensive else comp_ext
+            )
+            energy = energy + comp_e
+            prediction["site_energies"] = aux.get(
+                "site_energies", jnp.zeros_like(site_ref)
+            ) + site_ref
+        elif "site_energies" in aux:
+            prediction["site_energies"] = aux["site_energies"]
+
+        prediction["e"] = energy
+        prediction["atoms_per_graph"] = atoms_per_graph
+        prediction["crystal_fea"] = aux["crystal_fea"]
+        prediction["atom_fea"] = aux["atom_feas_mid"]
+        if compute_magmom:
+            magmom = jnp.abs(
+                linear_apply(params["site_wise"], aux["atom_feas_mid"])
+            ).reshape(-1)
+            prediction["m"] = magmom * batch.atom_mask
+        return prediction
+
+
+# ==================================================================== model
+class CHGNet:
+    """Host-facing model wrapper: config + param pytree + converter.
+
+    Mirrors the reference public API (``forward`` / ``predict_structure`` /
+    ``predict_graph`` / ``as_dict`` / ``from_dict`` / ``from_file`` /
+    ``load``) with jit-cached padded batching underneath.
+    """
+
+    def __init__(
+        self,
+        *,
+        params: Params | None = None,
+        seed: int = 0,
+        verbose: bool = False,
+        **kwargs,
+    ) -> None:
+        converter_verbose = kwargs.pop("converter_verbose", False)
+        field_names = {f.name for f in dataclasses.fields(CHGNetConfig)}
+        unknown = set(kwargs) - field_names
+        if unknown:
+            warnings.warn(f"ignoring unknown model args {sorted(unknown)}")
+        cfg_kwargs = {k: v for k, v in kwargs.items() if k in field_names}
+        if "atom_ref_is_intensive" not in cfg_kwargs:
+            comp = cfg_kwargs.get("composition_model", "MPtrj")
+            is_int = cfg_kwargs.get("is_intensive", True)
+            cfg_kwargs["atom_ref_is_intensive"] = (
+                False if comp == "MPF" else is_int
+            )
+        self.config = CHGNetConfig(**cfg_kwargs)
+        self.params = (
+            params if params is not None else init_params(self.config, seed)
+        )
+        self.graph_converter = CrystalGraphConverter(
+            atom_graph_cutoff=self.config.atom_graph_cutoff,
+            bond_graph_cutoff=self.config.bond_graph_cutoff,
+            algorithm=self.config.graph_converter_algorithm,
+            verbose=converter_verbose,
+        )
+        if verbose:
+            print(
+                f"CHGNet-TPU initialized with {self.n_params:,} parameters"
+            )
+
+    # ------------------------------------------------------------ properties
+    @property
+    def version(self) -> str | None:
+        return self.config.version
+
+    @property
+    def n_params(self) -> int:
+        return count_params(self.params)
+
+    @property
+    def is_intensive(self) -> bool:
+        return self.config.is_intensive
+
+    # -------------------------------------------------------------- forward
+    def forward(
+        self,
+        graphs: Sequence[CrystalGraph],
+        *,
+        task: PredTask = "e",
+        bucket: bool = True,
+    ) -> dict[str, np.ndarray | list[np.ndarray]]:
+        """Batched prediction keeping reference semantics: returns a dict
+        with 'e' [B] plus per-graph lists for f/s/m when requested."""
+        batch = batch_graphs(graphs, bucket=bucket)
+        out = compute_batch(
+            self.params,
+            batch,
+            config=self.config,
+            compute_force="f" in task,
+            compute_stress="s" in task,
+            compute_magmom="m" in task,
+        )
+        return self._unpad(out, graphs, task)
+
+    def __call__(self, graphs: Sequence[CrystalGraph], **kwargs):
+        return self.forward(graphs, **kwargs)
+
+    @staticmethod
+    def _unpad(
+        out: dict[str, jnp.ndarray],
+        graphs: Sequence[CrystalGraph],
+        task: str,
+    ) -> dict:
+        n_graphs = len(graphs)
+        sizes = [g.n_atoms for g in graphs]
+        offsets = np.concatenate([[0], np.cumsum(sizes)])
+        result: dict = {
+            "e": np.asarray(out["e"])[:n_graphs],
+            "atoms_per_graph": np.asarray(out["atoms_per_graph"])[:n_graphs],
+        }
+        if "f" in task:
+            forces = np.asarray(out["f"])
+            result["f"] = [
+                forces[offsets[i]: offsets[i + 1]] for i in range(n_graphs)
+            ]
+        if "s" in task:
+            result["s"] = [np.asarray(out["s"])[i] for i in range(n_graphs)]
+        if "m" in task:
+            mag = np.asarray(out["m"])
+            result["m"] = [
+                mag[offsets[i]: offsets[i + 1]] for i in range(n_graphs)
+            ]
+        for key, per_atom in (("site_energies", True), ("atom_fea", True)):
+            if key in out:
+                arr = np.asarray(out[key])
+                result[key] = [
+                    arr[offsets[i]: offsets[i + 1]] for i in range(n_graphs)
+                ]
+        if "crystal_fea" in out:
+            result["crystal_fea"] = [
+                np.asarray(out["crystal_fea"])[i] for i in range(n_graphs)
+            ]
+        return result
+
+    # ------------------------------------------------------------ prediction
+    def predict_structure(
+        self,
+        structure: Structure | Sequence[Structure],
+        *,
+        task: PredTask = "efsm",
+        batch_size: int = 16,
+        return_site_energies: bool = False,
+        return_atom_feas: bool = False,
+        return_crystal_feas: bool = False,
+    ):
+        """Predict E (eV/atom), F (eV/A), S (GPa), M (mu_B) from structures."""
+        structures = (
+            [structure] if isinstance(structure, Structure) else list(structure)
+        )
+        graphs = [self.graph_converter(s) for s in structures]
+        return self.predict_graph(
+            graphs,
+            task=task,
+            batch_size=batch_size,
+            return_site_energies=return_site_energies,
+            return_atom_feas=return_atom_feas,
+            return_crystal_feas=return_crystal_feas,
+        )
+
+    def predict_graph(
+        self,
+        graph: CrystalGraph | Sequence[CrystalGraph],
+        *,
+        task: PredTask = "efsm",
+        batch_size: int = 16,
+        return_site_energies: bool = False,
+        return_atom_feas: bool = False,
+        return_crystal_feas: bool = False,
+    ):
+        """Predict from graphs; returns one dict per graph (or a single
+        dict for a single input), numpy-valued, matching reference keys."""
+        graphs = [graph] if isinstance(graph, CrystalGraph) else list(graph)
+        predictions: list[dict] = [{} for _ in graphs]
+        n_steps = math.ceil(len(graphs) / batch_size)
+        for step in range(n_steps):
+            chunk = graphs[batch_size * step: batch_size * (step + 1)]
+            out = self.forward(chunk, task=task)
+            for idx in range(len(chunk)):
+                pred = predictions[step * batch_size + idx]
+                pred["e"] = float(out["e"][idx])
+                if "f" in task:
+                    pred["f"] = out["f"][idx]
+                if "s" in task:
+                    pred["s"] = out["s"][idx]
+                if "m" in task:
+                    pred["m"] = out["m"][idx]
+                if return_site_energies:
+                    pred["site_energies"] = out["site_energies"][idx]
+                if return_atom_feas:
+                    pred["atom_fea"] = out["atom_fea"][idx]
+                if return_crystal_feas:
+                    pred["crystal_fea"] = out["crystal_fea"][idx]
+        return predictions[0] if len(graphs) == 1 else predictions
+
+    # ---------------------------------------------------------- persistence
+    def as_dict(self) -> dict:
+        return {"params": self.params, "model_args": self.config.as_dict()}
+
+    def save(self, path: str) -> None:
+        """Save params + config to one .npz checkpoint."""
+        save_params(self.params, self.config.as_dict(), path)
+
+    @classmethod
+    def from_dict(cls, dct: dict, **kwargs) -> CHGNet:
+        return cls(params=dct["params"], **{**dct["model_args"], **kwargs})
+
+    @classmethod
+    def from_file(cls, path: str, **kwargs) -> CHGNet:
+        """Load from a native .npz checkpoint, or convert a torch
+        ``.pth.tar`` reference checkpoint on the fly."""
+        if path.endswith((".pth.tar", ".pt", ".tar")):
+            from chgnet_tpu.models.checkpoint import load_torch_checkpoint
+
+            params, model_args = load_torch_checkpoint(path)
+        else:
+            params, model_args = load_params(path)
+        model_args.update(kwargs)
+        return cls(params=params, **model_args)
+
+    @classmethod
+    def load(
+        cls,
+        *,
+        model_name: str = "0.3.0",
+        use_device: str | None = None,
+        verbose: bool = True,
+    ) -> CHGNet:
+        """Load a pretrained checkpoint by name.
+
+        Looks for ``chgnet_tpu/pretrained/<name>.npz`` (converted weights)
+        and falls back to converting the reference ``.pth.tar`` if present.
+        """
+        known = {"0.3.0", "0.2.0", "r2scan"}
+        if model_name not in known:
+            raise ValueError(f"Unknown {model_name=}, choose from {known}")
+        native = os.path.join(module_dir, "..", "pretrained", f"{model_name}.npz")
+        if os.path.isfile(native):
+            model = cls.from_file(native, version=model_name)
+        else:
+            raise FileNotFoundError(
+                f"No pretrained weights for {model_name!r} at {native}. "
+                "Pretrained checkpoint blobs are not shipped in this "
+                "environment; convert a reference checkpoint with "
+                "chgnet_tpu.models.checkpoint.convert_torch_checkpoint()."
+            )
+        if verbose:
+            print(f"CHGNet-TPU {model_name} loaded ({model.n_params:,} params)")
+        return model
+
+    def todict(self) -> dict:
+        return {"model_name": type(self).__name__, "model_args": self.config.as_dict()}

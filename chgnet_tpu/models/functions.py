@@ -1,0 +1,200 @@
+"""Pure-function neural-net primitives over param pytrees.
+
+The reference composes torch ``nn.Module`` objects
+(``/root/reference/chgnet/model/functions.py``); here every block is an
+``init`` (returns a param pytree) + ``apply`` (pure function) pair, so the
+whole model is a jit/grad/vmap/pjit-transformable function of its params.
+Architectural semantics (layer layouts, gating, norm placement) match the
+reference so torch checkpoints can be converted 1:1.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = dict
+
+
+# ----------------------------------------------------------------- segment
+def segment_sum(
+    data: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    *,
+    indices_are_sorted: bool = False,
+) -> jnp.ndarray:
+    """Masked scatter-sum primitive (the reference's ``aggregate`` with
+    average=False, ``functions.py:10-40``). Out-of-range ids are dropped —
+    padding rows use id == num_segments and vanish with no mask multiply.
+    """
+    return jax.ops.segment_sum(
+        data,
+        segment_ids,
+        num_segments=num_segments,
+        indices_are_sorted=indices_are_sorted,
+    )
+
+
+def segment_mean(
+    data: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    *,
+    indices_are_sorted: bool = False,
+) -> jnp.ndarray:
+    """Segment mean with zero-safe denominators (absent owners -> 0 row)."""
+    total = segment_sum(
+        data, segment_ids, num_segments, indices_are_sorted=indices_are_sorted
+    )
+    count = segment_sum(
+        jnp.ones((data.shape[0], 1), data.dtype),
+        segment_ids,
+        num_segments,
+        indices_are_sorted=indices_are_sorted,
+    )
+    return total / jnp.maximum(count, 1.0)
+
+
+# -------------------------------------------------------------- activations
+def scaled_silu(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.silu(x) * (1.0 / 0.6)
+
+
+ACTIVATIONS = {
+    "relu": jax.nn.relu,
+    "silu": jax.nn.silu,
+    "scaledsilu": scaled_silu,
+    "gelu": jax.nn.gelu,
+    "softplus": jax.nn.softplus,
+    "sigmoid": jax.nn.sigmoid,
+    "tanh": jnp.tanh,
+}
+
+
+def find_activation(name: str):
+    try:
+        return ACTIVATIONS[name.lower()]
+    except KeyError as exc:
+        raise NotImplementedError(f"activation {name!r}") from exc
+
+
+# ------------------------------------------------------------------ linear
+def linear_init(
+    rng: np.random.Generator, in_dim: int, out_dim: int, *, bias: bool = True
+) -> Params:
+    """Torch-default Linear init: U(-1/sqrt(in), 1/sqrt(in)) for w and b.
+    Weights stored [in, out] (x @ w convention)."""
+    bound = 1.0 / np.sqrt(in_dim)
+    params = {"w": rng.uniform(-bound, bound, (in_dim, out_dim)).astype(np.float32)}
+    if bias:
+        params["b"] = rng.uniform(-bound, bound, (out_dim,)).astype(np.float32)
+    return params
+
+
+def linear_apply(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    out = jnp.dot(x, params["w"])
+    if "b" in params:
+        out = out + params["b"]
+    return out
+
+
+# --------------------------------------------------------------- layer norm
+def layer_norm_init(dim: int) -> Params:
+    return {
+        "scale": np.ones(dim, dtype=np.float32),
+        "bias": np.zeros(dim, dtype=np.float32),
+    }
+
+
+def layer_norm_apply(params: Params, x: jnp.ndarray, *, eps: float = 1e-5):
+    mean = x.mean(axis=-1, keepdims=True)
+    var = ((x - mean) ** 2).mean(axis=-1, keepdims=True)
+    out = (x - mean) * jax.lax.rsqrt(var + eps)
+    return out * params["scale"] + params["bias"]
+
+
+def norm_init(name: str | None, dim: int) -> Params | None:
+    if name is None:
+        return None
+    if name.lower() == "layer":
+        return layer_norm_init(dim)
+    raise NotImplementedError(
+        f"normalization {name!r} (only 'layer'/None are supported; the "
+        "reference's 'batch' option is unused by all released models)"
+    )
+
+
+# -------------------------------------------------------------------- MLP
+def mlp_init(
+    rng: np.random.Generator,
+    input_dim: int,
+    *,
+    output_dim: int = 1,
+    hidden_dim: int | Sequence[int] | None = (64, 64),
+    bias: bool = True,
+) -> Params:
+    """MLP matching the reference layer layout (``functions.py:43-107``):
+    hidden None/0 -> single Linear; int -> one hidden layer; sequence ->
+    stacked hidden layers. Activation applied between all Linears.
+    """
+    if hidden_dim is None or hidden_dim == 0:
+        dims = [input_dim, output_dim]
+    elif isinstance(hidden_dim, int):
+        dims = [input_dim, hidden_dim, output_dim]
+    else:
+        dims = [input_dim, *hidden_dim, output_dim]
+    return {
+        "layers": [
+            linear_init(rng, dims[i], dims[i + 1], bias=bias)
+            for i in range(len(dims) - 1)
+        ]
+    }
+
+
+def mlp_apply(params: Params, x: jnp.ndarray, *, activation: str = "silu"):
+    act = find_activation(activation)
+    layers = params["layers"]
+    for layer in layers[:-1]:
+        x = act(linear_apply(layer, x))
+    return linear_apply(layers[-1], x)
+
+
+# ---------------------------------------------------------------- GatedMLP
+def gated_mlp_init(
+    rng: np.random.Generator,
+    input_dim: int,
+    output_dim: int,
+    *,
+    hidden_dim: int | Sequence[int] | None = None,
+    norm: str | None = "layer",
+    bias: bool = True,
+) -> Params:
+    params = {
+        "core": mlp_init(
+            rng, input_dim, output_dim=output_dim, hidden_dim=hidden_dim, bias=bias
+        ),
+        "gate": mlp_init(
+            rng, input_dim, output_dim=output_dim, hidden_dim=hidden_dim, bias=bias
+        ),
+    }
+    ln_core = norm_init(norm, output_dim)
+    if ln_core is not None:
+        params["norm_core"] = ln_core
+        params["norm_gate"] = norm_init(norm, output_dim)
+    return params
+
+
+def gated_mlp_apply(params: Params, x: jnp.ndarray, *, activation: str = "silu"):
+    """core * gate with optional norms before the nonlinearities
+    (``functions.py:168-183``)."""
+    act = find_activation(activation)
+    core = mlp_apply(params["core"], x, activation=activation)
+    gate = mlp_apply(params["gate"], x, activation=activation)
+    if "norm_core" in params:
+        core = layer_norm_apply(params["norm_core"], core)
+        gate = layer_norm_apply(params["norm_gate"], gate)
+    return act(core) * jax.nn.sigmoid(gate)

@@ -1,0 +1,294 @@
+"""Message-passing layers: AtomConv / BondConv / AngleUpdate / pooling.
+
+Semantics match the reference (``/root/reference/chgnet/model/layers.py``)
+but operate on the padded static-shape ``GraphBatch`` arrays:
+
+* gathers use in-range padded indices; messages of padded lanes are masked,
+* scatters use one-past-the-end indices for padding (dropped by XLA) and
+  are sorted by construction (``indices_are_sorted=True``).
+
+Layers are (init, apply) pure-function pairs over param pytrees.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from chgnet_tpu.models.functions import (
+    Params,
+    gated_mlp_apply,
+    gated_mlp_init,
+    layer_norm_apply,
+    linear_apply,
+    linear_init,
+    mlp_apply,
+    mlp_init,
+    segment_mean,
+    segment_sum,
+)
+
+
+# ------------------------------------------------------------------ AtomConv
+def atom_conv_init(
+    rng: np.random.Generator,
+    *,
+    atom_fea_dim: int,
+    bond_fea_dim: int,
+    hidden_dim: int | Sequence[int] = 64,
+    norm: str | None = None,
+    gmlp_norm: str | None = "layer",
+    use_mlp_out: bool = True,
+    mlp_out_bias: bool = False,
+    resnet: bool = True,
+) -> Params:
+    params: Params = {
+        "gated_mlp": gated_mlp_init(
+            rng,
+            2 * atom_fea_dim + bond_fea_dim,
+            atom_fea_dim,
+            hidden_dim=hidden_dim,
+            norm=gmlp_norm,
+        )
+    }
+    if use_mlp_out:
+        params["mlp_out"] = mlp_init(
+            rng, atom_fea_dim, output_dim=atom_fea_dim, hidden_dim=0, bias=mlp_out_bias
+        )
+    if norm == "layer":
+        params["norm"] = {
+            "scale": np.ones(atom_fea_dim, dtype=np.float32),
+            "bias": np.zeros(atom_fea_dim, dtype=np.float32),
+        }
+    return params
+
+
+def atom_conv_apply(
+    params: Params,
+    atom_feas: jnp.ndarray,  # [N, d_atom]
+    bond_feas: jnp.ndarray,  # [U, d_bond]
+    bond_weights: jnp.ndarray,  # [U, d_atom]
+    atom_graph: jnp.ndarray,  # [E, 2]
+    edge_scatter: jnp.ndarray,  # [E] (padding -> N, dropped)
+    directed2undirected: jnp.ndarray,  # [E]
+    edge_mask: jnp.ndarray,  # [E]
+    *,
+    activation: str = "silu",
+    resnet: bool = True,
+) -> jnp.ndarray:
+    """Directed gather -> gated MLP -> bond-weight scaling -> sorted
+    segment-sum into center atoms (``layers.py:81-137``)."""
+    center = atom_feas[atom_graph[:, 0]]
+    nbr = atom_feas[atom_graph[:, 1]]
+    bonds = bond_feas[directed2undirected]
+    messages = jnp.concatenate([center, bonds, nbr], axis=1)
+    messages = gated_mlp_apply(params["gated_mlp"], messages, activation=activation)
+    messages = messages * bond_weights[directed2undirected]
+    messages = messages * edge_mask[:, None]
+
+    new_atom_feas = segment_sum(
+        messages, edge_scatter, atom_feas.shape[0], indices_are_sorted=True
+    )
+    if "mlp_out" in params:
+        new_atom_feas = mlp_apply(params["mlp_out"], new_atom_feas)
+    if resnet:
+        new_atom_feas = new_atom_feas + atom_feas
+    if "norm" in params:
+        new_atom_feas = layer_norm_apply(params["norm"], new_atom_feas)
+    return new_atom_feas
+
+
+# ------------------------------------------------------------------ BondConv
+def bond_conv_init(
+    rng: np.random.Generator,
+    *,
+    atom_fea_dim: int,
+    bond_fea_dim: int,
+    angle_fea_dim: int,
+    hidden_dim: int | Sequence[int] = 64,
+    norm: str | None = None,
+    gmlp_norm: str | None = "layer",
+    use_mlp_out: bool = True,
+    mlp_out_bias: bool = False,
+    resnet: bool = True,
+) -> Params:
+    params: Params = {
+        "gated_mlp": gated_mlp_init(
+            rng,
+            atom_fea_dim + 2 * bond_fea_dim + angle_fea_dim,
+            bond_fea_dim,
+            hidden_dim=hidden_dim,
+            norm=gmlp_norm,
+        )
+    }
+    if use_mlp_out:
+        params["mlp_out"] = mlp_init(
+            rng, bond_fea_dim, output_dim=bond_fea_dim, hidden_dim=0, bias=mlp_out_bias
+        )
+    if norm == "layer":
+        params["norm"] = {
+            "scale": np.ones(bond_fea_dim, dtype=np.float32),
+            "bias": np.zeros(bond_fea_dim, dtype=np.float32),
+        }
+    return params
+
+
+def bond_conv_apply(
+    params: Params,
+    atom_feas: jnp.ndarray,  # [N, d_atom]
+    bond_feas: jnp.ndarray,  # [U, d_bond]
+    bond_weights: jnp.ndarray,  # [U, d_bond]
+    angle_feas: jnp.ndarray,  # [A, d_angle]
+    bond_graph: jnp.ndarray,  # [A, 5]
+    angle_scatter: jnp.ndarray,  # [A] (padding -> U, dropped)
+    angle_mask: jnp.ndarray,  # [A]
+    *,
+    activation: str = "silu",
+    resnet: bool = True,
+) -> jnp.ndarray:
+    """Line-graph update of undirected-bond features (``layers.py:208-265``)."""
+    center = atom_feas[bond_graph[:, 0]]
+    bond_i = bond_feas[bond_graph[:, 1]]
+    bond_j = bond_feas[bond_graph[:, 3]]
+    total = jnp.concatenate([bond_i, bond_j, angle_feas, center], axis=1)
+    update = gated_mlp_apply(params["gated_mlp"], total, activation=activation)
+    update = (
+        update
+        * bond_weights[bond_graph[:, 1]]
+        * bond_weights[bond_graph[:, 3]]
+        * angle_mask[:, None]
+    )
+    new_bond_feas = segment_sum(
+        update, angle_scatter, bond_feas.shape[0], indices_are_sorted=True
+    )
+    if "mlp_out" in params:
+        new_bond_feas = mlp_apply(params["mlp_out"], new_bond_feas)
+    if resnet:
+        new_bond_feas = new_bond_feas + bond_feas
+    if "norm" in params:
+        new_bond_feas = layer_norm_apply(params["norm"], new_bond_feas)
+    return new_bond_feas
+
+
+# --------------------------------------------------------------- AngleUpdate
+def angle_update_init(
+    rng: np.random.Generator,
+    *,
+    atom_fea_dim: int,
+    bond_fea_dim: int,
+    angle_fea_dim: int,
+    hidden_dim: int | Sequence[int] = 0,
+    norm: str | None = None,
+    gmlp_norm: str | None = "layer",
+    resnet: bool = True,
+) -> Params:
+    params: Params = {
+        "gated_mlp": gated_mlp_init(
+            rng,
+            atom_fea_dim + 2 * bond_fea_dim + angle_fea_dim,
+            angle_fea_dim,
+            hidden_dim=hidden_dim,
+            norm=gmlp_norm,
+        )
+    }
+    if norm == "layer":
+        params["norm"] = {
+            "scale": np.ones(angle_fea_dim, dtype=np.float32),
+            "bias": np.zeros(angle_fea_dim, dtype=np.float32),
+        }
+    return params
+
+
+def angle_update_apply(
+    params: Params,
+    atom_feas: jnp.ndarray,
+    bond_feas: jnp.ndarray,
+    angle_feas: jnp.ndarray,
+    bond_graph: jnp.ndarray,
+    *,
+    activation: str = "silu",
+    resnet: bool = True,
+) -> jnp.ndarray:
+    """Per-angle feature update, no aggregation (``layers.py:321-363``)."""
+    center = atom_feas[bond_graph[:, 0]]
+    bond_i = bond_feas[bond_graph[:, 1]]
+    bond_j = bond_feas[bond_graph[:, 3]]
+    total = jnp.concatenate([bond_i, bond_j, angle_feas, center], axis=1)
+    new_angle_feas = gated_mlp_apply(params["gated_mlp"], total, activation=activation)
+    if resnet:
+        new_angle_feas = new_angle_feas + angle_feas
+    if "norm" in params:
+        new_angle_feas = layer_norm_apply(params["norm"], new_angle_feas)
+    return new_angle_feas
+
+
+# ------------------------------------------------------------------- pooling
+def graph_pool(
+    atom_feas: jnp.ndarray,  # [N, d]
+    atom_scatter: jnp.ndarray,  # [N] graph id, padding -> B (dropped)
+    n_graphs: int,
+    *,
+    average: bool = False,
+) -> jnp.ndarray:
+    """Sum/mean pooling over each graph's atoms (``layers.py:366-389``)."""
+    if average:
+        return segment_mean(
+            atom_feas, atom_scatter, n_graphs, indices_are_sorted=True
+        )
+    return segment_sum(atom_feas, atom_scatter, n_graphs, indices_are_sorted=True)
+
+
+def attention_readout_init(
+    rng: np.random.Generator,
+    atom_fea_dim: int,
+    *,
+    num_heads: int = 3,
+    hidden_dim: int = 32,
+) -> Params:
+    """Multi-head attention pooling (``layers.py:392-453``), vectorized with
+    a per-graph segment softmax instead of the reference's python loop."""
+    return {
+        "key": mlp_init(
+            rng, atom_fea_dim, output_dim=num_heads, hidden_dim=hidden_dim
+        )
+    }
+
+
+def attention_readout_apply(
+    params: Params,
+    atom_feas: jnp.ndarray,  # [N, d]
+    atom_scatter: jnp.ndarray,  # [N]
+    atom_mask: jnp.ndarray,  # [N]
+    n_graphs: int,
+    *,
+    average: bool = False,
+    activation: str = "silu",
+) -> jnp.ndarray:
+    logits = mlp_apply(params["key"], atom_feas, activation=activation)  # [N, H]
+    # segment softmax: subtract per-graph max, exponentiate, normalize
+    neg_inf = jnp.asarray(-1e30, logits.dtype)
+    masked_logits = jnp.where(atom_mask[:, None] > 0, logits, neg_inf)
+    seg_max = jax.ops.segment_max(
+        masked_logits, atom_scatter, num_segments=n_graphs, indices_are_sorted=True
+    )
+    shifted = masked_logits - seg_max[atom_scatter]
+    expv = jnp.exp(shifted) * atom_mask[:, None]
+    denom = segment_sum(expv, atom_scatter, n_graphs, indices_are_sorted=True)
+    weight = expv / jnp.maximum(denom[atom_scatter], 1e-30)  # [N, H]
+    # weighted sums per head -> [B, H * d]
+    weighted = atom_feas[:, None, :] * weight[:, :, None]  # [N, H, d]
+    pooled = segment_sum(
+        weighted.reshape(atom_feas.shape[0], -1),
+        atom_scatter,
+        n_graphs,
+        indices_are_sorted=True,
+    )  # [B, H * d]
+    if average:
+        counts = segment_sum(
+            atom_mask[:, None], atom_scatter, n_graphs, indices_are_sorted=True
+        )
+        pooled = pooled / jnp.maximum(counts, 1.0)
+    return pooled

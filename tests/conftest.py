@@ -19,6 +19,11 @@ if "xla_force_host_platform_device_count" not in xla_flags:
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/chgnet_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
 import pytest  # noqa: E402
 
 from chgnet_tpu import ROOT  # noqa: E402

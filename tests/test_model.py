@@ -1,0 +1,229 @@
+"""Model tests: param-count goldens, physics invariances, batching, IO.
+
+Ports the reference test strategy (``/root/reference/tests/test_model.py``):
+rotation invariance/equivariance, supercell extensivity, translation
+invariance, batching consistency, serialization round trips, plus a
+finite-difference check that jax.grad forces match the energy surface.
+Pretrained-output goldens need checkpoint blobs absent from this
+environment; the converter is structurally tested in test_checkpoint.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from chgnet_tpu.core.structure import Structure
+from chgnet_tpu.models import CHGNet
+
+SMALL = dict(
+    atom_fea_dim=16,
+    bond_fea_dim=16,
+    angle_fea_dim=16,
+    num_radial=9,
+    num_angular=9,
+    n_conv=3,
+    mlp_hidden_dims=(16,),
+    atom_conv_hidden_dim=16,
+    bond_conv_hidden_dim=16,
+    graph_converter_algorithm="numpy",
+)
+
+
+@pytest.fixture(scope="module")
+def model() -> CHGNet:
+    return CHGNet(seed=0, **SMALL)
+
+
+@pytest.fixture(scope="module")
+def limno2() -> Structure:
+    from chgnet_tpu import ROOT
+
+    return Structure.from_file(f"{ROOT}/examples/mp-18767-LiMnO2.cif")
+
+
+def test_default_param_count() -> None:
+    """The default architecture matches the reference v0.3.0 exactly:
+    412,525 parameters (``/root/reference/tests/test_model.py:240``)."""
+    model = CHGNet(graph_converter_algorithm="numpy")
+    assert model.n_params == 412_525
+
+
+def test_v020_param_count() -> None:
+    """v0.2.0 architecture: mlp_out_bias=True, no readout norm, non-learnable
+    basis still stored -> 400,438 params
+    (``/root/reference/tests/test_model.py:251``)."""
+    model = CHGNet(
+        graph_converter_algorithm="numpy",
+        mlp_out_bias=True,
+        num_radial=9,
+        num_angular=9,
+        mlp_hidden_dims=(64, 64),
+        gMLP_norm=None,
+        readout_norm=None,
+    )
+    assert model.n_params == 400_438
+
+
+def test_predict_structure_keys(model, limno2) -> None:
+    out = model.predict_structure(
+        limno2,
+        task="efsm",
+        return_site_energies=True,
+        return_atom_feas=True,
+        return_crystal_feas=True,
+    )
+    assert sorted(out) == ["atom_fea", "crystal_fea", *"efms", "site_energies"]
+    assert out["e"] < 0  # AtomRef reference energies dominate
+    assert out["f"].shape == (8, 3)
+    assert out["s"].shape == (3, 3)
+    assert out["m"].shape == (8,)
+    assert out["site_energies"].shape == (8,)
+    assert np.sum(out["site_energies"]) / len(limno2) == pytest.approx(
+        out["e"], rel=1e-4, abs=1e-5
+    )
+    assert out["atom_fea"].shape == (8, SMALL["atom_fea_dim"])
+    assert out["crystal_fea"].shape == (SMALL["atom_fea_dim"],)
+
+
+def test_rotation_invariance_equivariance(model, limno2) -> None:
+    out0 = model.predict_structure(limno2, task="efs")
+    theta = 0.7
+    rot = np.array(
+        [
+            [np.cos(theta), -np.sin(theta), 0],
+            [np.sin(theta), np.cos(theta), 0],
+            [0, 0, 1.0],
+        ]
+    )
+    rotated = Structure(
+        limno2.lattice.matrix @ rot.T,
+        limno2.atomic_numbers.tolist(),
+        limno2.frac_coords,
+    )
+    out1 = model.predict_structure(rotated, task="efs")
+    assert out1["e"] == pytest.approx(out0["e"], abs=1e-6)
+    assert out1["f"] == pytest.approx(out0["f"] @ rot.T, abs=1e-5)
+    assert out1["s"] == pytest.approx(rot @ out0["s"] @ rot.T, abs=1e-4)
+
+
+def test_translation_invariance(model, limno2) -> None:
+    out0 = model.predict_structure(limno2, task="ef")
+    moved = limno2.copy()
+    moved.frac_coords = moved.frac_coords + 0.13
+    out1 = model.predict_structure(moved, task="ef")
+    assert out1["e"] == pytest.approx(out0["e"], abs=1e-5)
+    assert out1["f"] == pytest.approx(out0["f"], abs=1e-5)
+
+
+def test_supercell_extensivity(model, limno2) -> None:
+    out0 = model.predict_structure(limno2, task="e")
+    for scale in ([2, 1, 1], [2, 2, 1]):
+        out_sc = model.predict_structure(limno2.make_supercell(scale), task="e")
+        assert out_sc["e"] == pytest.approx(out0["e"], abs=1e-5)
+
+
+def test_forces_match_finite_difference(model, limno2) -> None:
+    """-dE/dx from jax.grad agrees with central differences."""
+    struct = limno2.perturb(0.05, seed=3)
+    out = model.predict_structure(struct, task="ef")
+    n_atoms = len(struct)
+    cart = struct.cart_coords
+    step = 1e-3
+
+    def energy_at(coords):
+        probe = Structure(
+            struct.lattice.matrix,
+            struct.atomic_numbers.tolist(),
+            coords,
+            coords_are_cartesian=True,
+        )
+        return model.predict_structure(probe, task="e")["e"] * n_atoms
+
+    for atom, axis in ((0, 0), (3, 1), (5, 2)):
+        plus, minus = cart.copy(), cart.copy()
+        plus[atom, axis] += step
+        minus[atom, axis] -= step
+        fd_force = -(energy_at(plus) - energy_at(minus)) / (2 * step)
+        assert fd_force == pytest.approx(out["f"][atom, axis], abs=5e-3)
+
+
+def test_force_sum_zero(model, limno2) -> None:
+    out = model.predict_structure(limno2.perturb(0.1, seed=11), task="ef")
+    assert out["f"].sum(axis=0) == pytest.approx(np.zeros(3), abs=1e-5)
+
+
+def test_batching_consistency(model, limno2) -> None:
+    """Batched predictions equal per-structure predictions
+    (port of test_model.py:194-207)."""
+    other = limno2.perturb(0.1, seed=7)
+    separate = [
+        model.predict_structure(s, task="efm") for s in (limno2, other)
+    ]
+    together = model.predict_structure([limno2, other], task="efm")
+    for sep, tog in zip(separate, together):
+        assert tog["e"] == pytest.approx(sep["e"], abs=1e-5)
+        assert tog["f"] == pytest.approx(sep["f"], abs=1e-5)
+        assert tog["m"] == pytest.approx(sep["m"], abs=1e-5)
+
+
+def test_isolated_atom_energy_size_independent() -> None:
+    """Isolated atom energy does not depend on box size
+    (port of test_model.py:210-219)."""
+    model = CHGNet(
+        seed=0, **{**SMALL, "graph_converter_algorithm": "numpy"}
+    )
+    model.graph_converter.set_isolated_atom_response("ignore")
+    energies = []
+    for box in (20.0, 30.0):
+        struct = Structure(np.eye(3) * box, ["Li"], [[0.5, 0.5, 0.5]])
+        energies.append(model.predict_structure(struct, task="e")["e"])
+    assert energies[0] == pytest.approx(energies[1], abs=1e-6)
+
+
+def test_model_args_sweep(limno2) -> None:
+    """Reduced port of the reference 128-combination hyperparameter sweep
+    (test_model.py:18-45): every architecture variant builds and runs."""
+    graph_kwargs = dict(graph_converter_algorithm="numpy")
+    for kwargs in (
+        dict(n_conv=1),
+        dict(num_angular=1, num_radial=1),
+        dict(update_angle=False),
+        dict(update_bond=False, update_angle=False),
+        dict(mlp_first=False, read_out="ave"),
+        dict(mlp_first=False, read_out="attn"),
+        dict(composition_model="MPF"),
+        dict(is_intensive=False),
+        dict(gMLP_norm=None, readout_norm=None),
+    ):
+        model = CHGNet(seed=0, **{**SMALL, **graph_kwargs, **kwargs})
+        graph = model.graph_converter(limno2)
+        out = model.forward([graph], task="e")
+        assert out["e"].shape == (1,)
+        assert np.isfinite(out["e"]).all()
+
+
+def test_save_load_roundtrip(model, limno2, tmp_path) -> None:
+    path = str(tmp_path / "model.npz")
+    model.save(path)
+    clone = CHGNet.from_file(path)
+    assert clone.n_params == model.n_params
+    e0 = model.predict_structure(limno2, task="e")["e"]
+    e1 = clone.predict_structure(limno2, task="e")["e"]
+    assert e0 == pytest.approx(e1, abs=1e-7)
+
+
+def test_as_dict_from_dict(model) -> None:
+    dct = model.as_dict()
+    clone = CHGNet.from_dict(dct)
+    assert clone.config == model.config
+
+
+def test_unknown_kwargs_warn() -> None:
+    with pytest.warns(UserWarning, match="unknown model args"):
+        CHGNet(seed=0, **SMALL, not_a_real_arg=1)
+
+
+def test_odd_num_angular_required() -> None:
+    with pytest.raises(ValueError, match="must be odd"):
+        CHGNet(seed=0, **{**SMALL, "num_angular": 10})
