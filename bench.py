@@ -1,0 +1,82 @@
+"""Benchmark: crystal-graph message-passing throughput on one chip.
+
+Measures the BASELINE.json north-star metric — directed graph edges
+processed per second — on the production inference path (energy + forces +
+stress + magmom, i.e. forward + full backward through the conv stack) of
+the default 412k-param CHGNet over a batch of perturbed LiMnO2 supercells
+(MPtrj-like density: ~64 atoms, ~48 neighbors/atom at 6 A).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+``vs_baseline`` anchors to 1e6 directed edges/s, a fixed documented
+nominal: the reference publishes no throughput numbers (SURVEY §6), so the
+anchor makes cross-round progress comparable (2.0 == 2M edges/s).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_EDGES_PER_S = 1.0e6
+
+
+def main() -> None:
+    from chgnet_tpu import ROOT
+    from chgnet_tpu.core.structure import Structure
+    from chgnet_tpu.graph.batching import batch_graphs
+    from chgnet_tpu.models.chgnet import CHGNet, compute_batch
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/chgnet_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+    model = CHGNet(seed=0)
+    struct = Structure.from_file(f"{ROOT}/examples/mp-18767-LiMnO2.cif")
+
+    n_structs = 16
+    graphs = [
+        model.graph_converter(
+            struct.make_supercell(2).perturb(0.05, seed=seed), graph_id=str(seed)
+        )
+        for seed in range(n_structs)
+    ]
+    n_edges = sum(g.n_directed for g in graphs)
+    batch = batch_graphs(graphs)
+    batch = jax.device_put(batch)
+
+    def run():
+        return compute_batch(
+            model.params,
+            batch,
+            config=model.config,
+            compute_force=True,
+            compute_stress=True,
+            compute_magmom=True,
+        )
+
+    out = run()  # compile
+    jax.block_until_ready(out)
+
+    n_iters = 20
+    start = time.perf_counter()
+    for _ in range(n_iters):
+        out = run()
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - start
+
+    edges_per_s = n_edges * n_iters / elapsed
+    result = {
+        "metric": "edges/s per chip (batched graphs, E+F+S+M inference)",
+        "value": round(edges_per_s, 1),
+        "unit": "directed edges/s",
+        "vs_baseline": round(edges_per_s / BASELINE_EDGES_PER_S, 4),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,124 @@
+"""Combined multi-target loss over padded batches.
+
+Mirrors the reference ``CombinedLoss``
+(``/root/reference/chgnet/trainer/trainer.py:719-869``): weighted sum of
+energy / force / stress / magmom criteria with NaN-masked missing labels.
+The reference masks by boolean indexing over ragged lists; here targets are
+dense padded arrays and masking is a multiply, so the whole loss (and its
+grad-of-grad through forces) stays jittable with static shapes.
+
+Padded-target conventions (see ``chgnet_tpu.data.dataset.collate_targets``):
+``e`` [B], ``f`` [N, 3], ``s`` [B, 3, 3], ``m`` [N]; missing labels are NaN;
+padding lanes are ignored via the batch masks.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _criterion(name: str, delta: float):
+    name = name.lower()
+    if name == "mse":
+        return lambda pred, target: (pred - target) ** 2
+    if name in {"mae", "l1"}:
+        return lambda pred, target: jnp.abs(pred - target)
+    if name == "huber":
+
+        def huber(pred, target):
+            err = jnp.abs(pred - target)
+            quad = jnp.minimum(err, delta)
+            return 0.5 * quad**2 + delta * (err - quad)
+
+        return huber
+    raise NotImplementedError(f"criterion {name!r}")
+
+
+def _masked_mean(values: jnp.ndarray, valid: jnp.ndarray):
+    """(sum(values * valid) / max(sum(valid), 1), count)."""
+    count = valid.sum()
+    total = jnp.where(valid, values, 0.0).sum()
+    return total / jnp.maximum(count, 1.0), count
+
+
+class CombinedLoss:
+    """Weighted e/f/s/m loss with NaN-label masking (jit-compatible)."""
+
+    def __init__(
+        self,
+        *,
+        target_str: str = "ef",
+        criterion: str = "MSE",
+        energy_loss_ratio: float = 1.0,
+        force_loss_ratio: float = 1.0,
+        stress_loss_ratio: float = 0.1,
+        mag_loss_ratio: float = 0.1,
+        delta: float = 0.1,
+        allow_missing_labels: bool = True,
+    ) -> None:
+        self.target_str = target_str
+        self.criterion = criterion
+        self.delta = delta
+        self.allow_missing_labels = allow_missing_labels
+        self.energy_loss_ratio = energy_loss_ratio
+        self.force_loss_ratio = force_loss_ratio if "f" in target_str else 0.0
+        self.stress_loss_ratio = stress_loss_ratio if "s" in target_str else 0.0
+        self.mag_loss_ratio = mag_loss_ratio if "m" in target_str else 0.0
+
+    def __call__(
+        self,
+        targets: dict[str, jnp.ndarray],
+        prediction: dict[str, jnp.ndarray],
+        *,
+        graph_mask: jnp.ndarray,  # [B] 1 for real graphs
+        atom_mask: jnp.ndarray,  # [N] 1 for real atoms
+    ) -> dict[str, jnp.ndarray]:
+        """Returns {'loss', '<k>_MAE', '<k>_MAE_size'} like the reference."""
+        crit = _criterion(self.criterion, self.delta)
+        out: dict[str, jnp.ndarray] = {"loss": jnp.asarray(0.0)}
+
+        def valid_of(target, mask):
+            valid = mask > 0
+            if self.allow_missing_labels:
+                valid = valid & ~jnp.isnan(target)
+            return valid
+
+        if "e" in self.target_str:
+            target = targets["e"]
+            valid = valid_of(target, graph_mask)
+            safe_t = jnp.where(valid, target, 0.0)
+            loss_e, count = _masked_mean(crit(prediction["e"], safe_t), valid)
+            mae_e, _ = _masked_mean(jnp.abs(prediction["e"] - safe_t), valid)
+            out["loss"] = out["loss"] + self.energy_loss_ratio * loss_e
+            out["e_MAE"], out["e_MAE_size"] = mae_e, count
+
+        if "f" in self.target_str and "f" in targets:
+            target = targets["f"]
+            valid = valid_of(target, atom_mask[:, None] * jnp.ones_like(target))
+            safe_t = jnp.where(valid, target, 0.0)
+            loss_f, count = _masked_mean(crit(prediction["f"], safe_t), valid)
+            mae_f, _ = _masked_mean(jnp.abs(prediction["f"] - safe_t), valid)
+            out["loss"] = out["loss"] + self.force_loss_ratio * loss_f
+            out["f_MAE"], out["f_MAE_size"] = mae_f, count
+
+        if "s" in self.target_str and "s" in targets:
+            target = targets["s"]
+            valid = valid_of(
+                target, graph_mask[:, None, None] * jnp.ones_like(target)
+            )
+            safe_t = jnp.where(valid, target, 0.0)
+            loss_s, count = _masked_mean(crit(prediction["s"], safe_t), valid)
+            mae_s, _ = _masked_mean(jnp.abs(prediction["s"] - safe_t), valid)
+            out["loss"] = out["loss"] + self.stress_loss_ratio * loss_s
+            out["s_MAE"], out["s_MAE_size"] = mae_s, count
+
+        if "m" in self.target_str and "m" in targets:
+            target = targets["m"]
+            valid = valid_of(target, atom_mask)
+            safe_t = jnp.where(valid, target, 0.0)
+            loss_m, count = _masked_mean(crit(prediction["m"], safe_t), valid)
+            mae_m, _ = _masked_mean(jnp.abs(prediction["m"] - safe_t), valid)
+            out["loss"] = out["loss"] + self.mag_loss_ratio * loss_m
+            out["m_MAE"], out["m_MAE_size"] = mae_m, count
+
+        return out

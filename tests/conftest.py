@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
@@ -21,6 +21,9 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 
 import jax  # noqa: E402
 
+# the axon sitecustomize pins jax_platforms=axon programmatically; tests run
+# on 8 virtual CPU devices so the multi-chip paths execute without hardware
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/chgnet_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
