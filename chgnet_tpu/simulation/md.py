@@ -1,0 +1,521 @@
+"""On-device molecular dynamics: NVE / NVT / NPT ensembles.
+
+TPU-native counterpart of the reference ``MolecularDynamics``
+(``/root/reference/chgnet/model/dynamics.py:433-780``), which drives ASE
+integrators on the host with a fresh graph every step. Here each ensemble
+is a jitted velocity-Verlet ``lax.scan`` chunk over a padded batch with
+skin-reused topology (:class:`GraphRuntime`), so several structures can
+run MD in lockstep on one chip. Supported (matching the reference's
+ensemble/thermostat matrix, ``dynamics.py:553-720``):
+
+* ``nve``                — velocity Verlet
+* ``nvt``  + Berendsen / Nose-Hoover
+* ``npt``  + Berendsen (isotropic) / Berendsen_inhomogeneous (per-axis),
+  both on top of a Berendsen or Nose-Hoover thermostat.
+
+Units: fs, eV, Angstrom, amu, K, GPa (see ``simulation/units.py``).
+"""
+
+from __future__ import annotations
+
+import functools
+import warnings
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from chgnet_tpu.core.structure import Structure
+from chgnet_tpu.models.chgnet import CHGNetConfig
+from chgnet_tpu.simulation import units
+from chgnet_tpu.simulation.calculator import voigt_6
+from chgnet_tpu.simulation.observers import (
+    CrystalFeasObserver,
+    TrajectoryObserver,
+)
+from chgnet_tpu.simulation.runtime import GraphRuntime, compute_batch_dynamic
+
+
+class MDState(NamedTuple):
+    """Batched MD integration state (a JAX pytree)."""
+
+    frac: jnp.ndarray  # [N, 3]
+    lat: jnp.ndarray  # [B, 3, 3]
+    vel: jnp.ndarray  # [N, 3] A/fs
+    accel: jnp.ndarray  # [N, 3] A/fs^2 at current positions
+    epot: jnp.ndarray  # [B] total potential energy, eV
+    stress: jnp.ndarray  # [B, 3, 3] potential stress, GPa
+    zeta: jnp.ndarray  # [B] Nose-Hoover thermostat variable, 1/fs
+
+
+class MDParams(NamedTuple):
+    """Dynamic (traced) MD parameters."""
+
+    dt: jnp.ndarray  # scalar, fs
+    temperature: jnp.ndarray  # scalar, K
+    taut: jnp.ndarray  # scalar, fs
+    taup: jnp.ndarray  # scalar, fs
+    pressure: jnp.ndarray  # scalar, GPa
+    compressibility: jnp.ndarray  # scalar, 1/GPa
+
+
+def kinetic_energy(
+    vel: jnp.ndarray, masses: jnp.ndarray, owner: jnp.ndarray, n_graphs: int
+) -> jnp.ndarray:
+    """Per-graph kinetic energy [B] in eV (vel A/fs, masses amu)."""
+    ke_atom = 0.5 * masses * (vel**2).sum(axis=1) * units.AMU_A2_FS2_TO_EV
+    return jax.ops.segment_sum(
+        ke_atom, owner, num_segments=n_graphs, indices_are_sorted=True
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "ensemble", "thermostat", "n_steps", "record"),
+)
+def md_chunk(
+    params,
+    batch,
+    state: MDState,
+    md: MDParams,
+    masses: jnp.ndarray,  # [N] amu (padding: 1)
+    dof: jnp.ndarray,  # [B] degrees of freedom (3 n_atoms)
+    *,
+    config: CHGNetConfig,
+    ensemble: str,
+    thermostat: str,
+    n_steps: int,
+    record: bool,
+):
+    """Run ``n_steps`` fixed-topology MD steps under ``lax.scan``."""
+    n_graphs = batch.n_graphs
+    owner = batch.atom_owner
+    atom_mask = batch.atom_mask[:, None]
+    nose_hoover = thermostat.lower().startswith("nose")
+    # Nose-Hoover mass Q = dof * kB * T0 * taut^2  [eV fs^2]
+    q_nh = dof * units.KB * md.temperature * md.taut**2
+
+    def evaluate(frac, lat):
+        out = compute_batch_dynamic(
+            params,
+            batch._replace(frac_coords=frac, lattices=lat),
+            config=config,
+            compute_stress=True,
+            compute_magmom=record,
+        )
+        n_atoms = jnp.maximum(out["atoms_per_graph"], 1.0)
+        epot = out["e"] * (n_atoms if config.is_intensive else 1.0)
+        accel = (
+            out["f"]
+            * atom_mask
+            / masses[:, None]
+            * units.EV_PER_AMU_A_TO_A_FS2
+        )
+        return epot, accel, out
+
+    def total_pressure(state, ke):
+        """Instantaneous pressure [B] in GPa incl. ideal-gas term."""
+        volume = jnp.abs(jnp.linalg.det(state.lat))
+        p_pot = -jnp.trace(state.stress, axis1=1, axis2=2) / 3.0
+        p_kin = 2.0 * ke / (3.0 * volume) * units.EV_A3_TO_GPA
+        return p_pot + p_kin
+
+    def rescale_cell(state, eta):
+        """Scale lattices (and positions implicitly, via frac) by eta [B,3]."""
+        lat = state.lat * eta[:, :, None]  # row i scaled by eta_i
+        return state._replace(lat=lat)
+
+    def step(state: MDState, _):
+        dt = md.dt
+        vel = state.vel
+
+        # --- thermostat pre-step
+        if nose_hoover:
+            vel = vel + 0.5 * dt * (
+                state.accel - state.zeta[owner][:, None] * vel
+            )
+        else:
+            vel = vel + 0.5 * dt * state.accel
+
+        # --- drift
+        cart = jnp.einsum("ni,nij->nj", state.frac, state.lat[owner])
+        cart = cart + dt * vel
+        frac = jnp.einsum(
+            "ni,nij->nj", cart, jnp.linalg.inv(state.lat)[owner]
+        )
+
+        epot, accel, out = evaluate(frac, state.lat)
+
+        # --- kick 2
+        if nose_hoover:
+            ke_half = kinetic_energy(vel, masses, owner, n_graphs)
+            zeta = state.zeta + dt * (
+                2.0 * ke_half - dof * units.KB * md.temperature
+            ) / jnp.maximum(q_nh, 1e-30)
+            vel = (vel + 0.5 * dt * accel) / (
+                1.0 + 0.5 * dt * zeta[owner][:, None]
+            )
+        else:
+            zeta = state.zeta
+            vel = vel + 0.5 * dt * accel
+
+        state = MDState(
+            frac=frac,
+            lat=state.lat,
+            vel=vel * atom_mask,
+            accel=accel,
+            epot=epot,
+            stress=out["s"],
+            zeta=zeta,
+        )
+
+        # --- Berendsen velocity rescale (nvt/npt with Berendsen thermostat)
+        ke = kinetic_energy(state.vel, masses, owner, n_graphs)
+        temp = 2.0 * ke / jnp.maximum(dof * units.KB, 1e-30)
+        if ensemble in {"nvt", "npt"} and not nose_hoover:
+            lam2 = 1.0 + dt / md.taut * (
+                md.temperature / jnp.maximum(temp, 1e-10) - 1.0
+            )
+            lam = jnp.sqrt(jnp.clip(lam2, 0.81, 1.21))
+            state = state._replace(vel=state.vel * lam[owner][:, None])
+            ke = kinetic_energy(state.vel, masses, owner, n_graphs)
+            temp = 2.0 * ke / jnp.maximum(dof * units.KB, 1e-30)
+
+        # --- Berendsen barostat (npt)
+        if ensemble == "npt":
+            if thermostat.lower().endswith("inhomogeneous"):
+                # per-axis coupling to the diagonal stress components
+                volume = jnp.abs(jnp.linalg.det(state.lat))
+                sigma_kin = (
+                    jax.ops.segment_sum(
+                        masses[:, None] * state.vel**2,
+                        owner,
+                        num_segments=n_graphs,
+                        indices_are_sorted=True,
+                    )
+                    * units.AMU_A2_FS2_TO_EV
+                    / volume[:, None]
+                    * units.EV_A3_TO_GPA
+                )  # [B, 3] ideal-gas diagonal, GPa
+                p_axis = (
+                    -jnp.diagonal(state.stress, axis1=1, axis2=2) + sigma_kin
+                )
+                eta = (
+                    1.0
+                    + dt / md.taup * (md.compressibility / 3.0)
+                    * (p_axis - md.pressure)
+                )
+            else:
+                p_inst = total_pressure(state, ke)
+                eta3 = 1.0 + dt / md.taup * md.compressibility * (
+                    p_inst - md.pressure
+                )
+                eta = jnp.cbrt(eta3)[:, None] * jnp.ones((1, 3))
+            eta = jnp.clip(eta, 0.98, 1.02)
+            state = rescale_cell(state, eta)
+
+        ys = {
+            "epot": state.epot,
+            "ekin": ke,
+            "temperature": temp,
+            "stress": state.stress,
+        }
+        if record:
+            ys.update(
+                forces=state.accel
+                * masses[:, None]
+                * units.AMU_A2_FS2_TO_EV,
+                magmom=out["m"],
+                crystal_fea=out["crystal_fea"],
+                frac=state.frac,
+                lat=state.lat,
+            )
+        return state, ys
+
+    return jax.lax.scan(step, state, None, length=n_steps)
+
+
+def maxwell_boltzmann_velocities(
+    masses: np.ndarray,
+    temperature: float,
+    *,
+    seed: int | None = None,
+    force_temp: bool = True,
+    stationary: bool = True,
+) -> np.ndarray:
+    """Velocities [n, 3] in A/fs from the Maxwell-Boltzmann distribution."""
+    rng = np.random.default_rng(seed)
+    sigma = np.sqrt(
+        units.KB * temperature / (masses * units.AMU_A2_FS2_TO_EV)
+    )
+    vel = rng.normal(size=(len(masses), 3)) * sigma[:, None]
+    if stationary:
+        vel -= (masses[:, None] * vel).sum(axis=0) / masses.sum()
+    if force_temp and temperature > 0:
+        ke = 0.5 * (masses[:, None] * vel**2).sum() * units.AMU_A2_FS2_TO_EV
+        target = 1.5 * len(masses) * units.KB * temperature
+        vel *= np.sqrt(target / max(ke, 1e-30))
+    return vel
+
+
+class MolecularDynamics:
+    """Molecular dynamics over one Structure — or several in lockstep.
+
+    Constructor arguments mirror the reference (``dynamics.py:433-551``):
+    ensemble nve/nvt/npt, thermostat Berendsen / Berendsen_inhomogeneous /
+    Nose-Hoover, temperature [K], timestep [fs], pressure [GPa],
+    taut/taup time constants [fs], bulk_modulus [GPa] (auto-fitted via EOS
+    for NPT when not given, fallback 2 GPa like ``dynamics.py:620-645``),
+    logfile + loginterval, trajectory and crystal-feature capture.
+    """
+
+    def __init__(
+        self,
+        atoms: Structure | list[Structure],
+        *,
+        model=None,
+        ensemble: str = "nvt",
+        thermostat: str = "Berendsen_inhomogeneous",
+        temperature: float = 300.0,
+        starting_temperature: float | None = None,
+        timestep: float = 2.0,
+        pressure: float = units.ATM_IN_GPA,
+        taut: float | None = None,
+        taup: float | None = None,
+        bulk_modulus: float | None = None,
+        trajectory: str | None = None,
+        logfile: str | None = None,
+        loginterval: int = 1,
+        crystal_feas_logfile: str | None = None,
+        on_isolated_atoms: str = "warn",
+        use_device: str | None = None,
+        seed: int | None = None,
+        skin: float = 0.3,
+        chunk_size: int = 10,
+    ) -> None:
+        if model is None:
+            from chgnet_tpu.models.chgnet import CHGNet
+
+            model = CHGNet.load(verbose=False)
+        if hasattr(model, "model"):  # CHGNetCalculator
+            model = model.model
+        self.model = model
+        self.ensemble = ensemble.lower()
+        self.thermostat = thermostat
+        if self.ensemble not in {"nve", "nvt", "npt"}:
+            raise ValueError(f"Ensemble not supported: {ensemble}")
+        if self.ensemble == "npt" and thermostat.lower() == "nose-hoover":
+            # reference maps this to ASE's Parrinello-Rahman NPT; here the
+            # barostat is Berendsen-isotropic with an NH thermostat
+            warnings.warn(
+                "npt + Nose-Hoover uses an isotropic Berendsen barostat "
+                "with a Nose-Hoover thermostat in chgnet-tpu"
+            )
+
+        single = isinstance(atoms, Structure)
+        self.structures = [atoms] if single else list(atoms)
+        self._single = single
+        self.temperature = float(temperature)
+        self.timestep = float(timestep)
+        self.pressure = float(pressure)
+        self.taut = float(taut if taut is not None else 100 * timestep)
+        self.taup = float(taup if taup is not None else 1000 * timestep)
+        self.loginterval = int(loginterval)
+        self.chunk_size = int(chunk_size)
+        self._n_steps_done = 0
+
+        if bulk_modulus is None and self.ensemble == "npt":
+            bulk_modulus = self._auto_bulk_modulus()
+        self.bulk_modulus = bulk_modulus
+        compressibility = 1.0 / bulk_modulus if bulk_modulus else 0.0
+
+        self.runtime = GraphRuntime(
+            model.config,
+            self.structures,
+            skin=skin,
+            on_isolated_atoms=on_isolated_atoms,
+        )
+        batch = self.runtime.batch
+        masses = np.ones(batch.n_atoms_padded)
+        vel = np.zeros((batch.n_atoms_padded, 3))
+        for idx, struct in enumerate(self.structures):
+            sl = slice(self.runtime.offsets[idx], self.runtime.offsets[idx + 1])
+            masses[sl] = struct.masses
+            if starting_temperature is not None:
+                vel[sl] = maxwell_boltzmann_velocities(
+                    struct.masses,
+                    starting_temperature,
+                    seed=None if seed is None else seed + idx,
+                )
+        self.masses = jnp.asarray(masses, jnp.float32)
+        self.dof = jnp.asarray(
+            [3.0 * len(s) for s in self.structures], jnp.float32
+        )
+        self.md_params = MDParams(
+            dt=jnp.float32(self.timestep),
+            temperature=jnp.float32(self.temperature),
+            taut=jnp.float32(self.taut),
+            taup=jnp.float32(self.taup),
+            pressure=jnp.float32(self.pressure),
+            compressibility=jnp.float32(compressibility),
+        )
+
+        # prime accel/epot/stress with one evaluation
+        out = compute_batch_dynamic(
+            model.params, batch, config=model.config, compute_magmom=False
+        )
+        n_atoms = jnp.maximum(out["atoms_per_graph"], 1.0)
+        self.state = MDState(
+            frac=jnp.asarray(batch.frac_coords),
+            lat=jnp.asarray(batch.lattices),
+            vel=jnp.asarray(vel, jnp.float32),
+            accel=out["f"]
+            * batch.atom_mask[:, None]
+            / self.masses[:, None]
+            * units.EV_PER_AMU_A_TO_A_FS2,
+            epot=out["e"] * (n_atoms if model.config.is_intensive else 1.0),
+            stress=out["s"],
+            zeta=jnp.zeros(batch.n_graphs, jnp.float32),
+        )
+
+        self.observers: list[TrajectoryObserver] | None = None
+        self._trajectory_path = trajectory
+        if trajectory is not None:
+            self.observers = [
+                TrajectoryObserver(atomic_numbers=s.atomic_numbers)
+                for s in self.structures
+            ]
+        self.crystal_feas_observer = (
+            CrystalFeasObserver() if crystal_feas_logfile else None
+        )
+        self._crystal_feas_logfile = crystal_feas_logfile
+        self._logfile = logfile
+        if logfile:
+            with open(logfile, "w") as file:
+                file.write(
+                    "Time[ps]      Etot[eV]     Epot[eV]     Ekin[eV]    T[K]\n"
+                )
+
+    def _auto_bulk_modulus(self) -> float:
+        """Fit bulk modulus via EOS, fallback 2 GPa (``dynamics.py:620-645``)."""
+        from chgnet_tpu.simulation.eos import EquationOfState
+
+        try:
+            eos = EquationOfState(model=self.model)
+            eos.fit(self.structures[0], steps=500, fmax=0.1)
+            bulk = eos.get_bulk_modulus(unit="GPa")
+            print(f"Bulk modulus of fitted material = {bulk:.3f} GPa")
+            return float(bulk)
+        except Exception:
+            warnings.warn(
+                "Warning!!! Equation of State fitting failed, setting bulk "
+                "modulus to 2 GPa. NPT simulation can proceed with incorrect "
+                "pressure relaxation time."
+            )
+            return 2.0
+
+    # -------------------------------------------------------------------- run
+    def run(self, steps: int = 50) -> None:
+        """Advance the dynamics by ``steps`` timesteps."""
+        record = (
+            self.observers is not None
+            or self.crystal_feas_observer is not None
+        )
+        done = 0
+        while done < steps:
+            n_steps = min(self.chunk_size, steps - done)
+            self.state, ys = md_chunk(
+                self.model.params,
+                self.runtime.batch,
+                self.state,
+                self.md_params,
+                self.masses,
+                self.dof,
+                config=self.model.config,
+                ensemble=self.ensemble,
+                thermostat=self.thermostat,
+                n_steps=n_steps,
+                record=record,
+            )
+            ys = jax.tree.map(np.asarray, ys)
+            self._log_chunk(ys, n_steps)
+            done += n_steps
+            self._n_steps_done += n_steps
+            frac = np.asarray(self.state.frac)
+            lat = np.asarray(self.state.lat)
+            if self.runtime.needs_rebuild(frac, lat):
+                self.runtime.rebuild(frac, lat)
+        if self.observers is not None and self._trajectory_path:
+            for idx, obs in enumerate(self.observers):
+                suffix = "" if self._single else f".{idx}"
+                obs.save(f"{self._trajectory_path}{suffix}")
+        if self.crystal_feas_observer and self._crystal_feas_logfile:
+            self.crystal_feas_observer.save(self._crystal_feas_logfile)
+
+    # -------------------------------------------------------------- logging
+    def _log_chunk(self, ys: dict, n_steps: int) -> None:
+        for step in range(n_steps):
+            global_step = self._n_steps_done + step + 1
+            if global_step % self.loginterval:
+                continue
+            if self._logfile:
+                with open(self._logfile, "a") as file:
+                    for gi in range(len(self.structures)):
+                        epot = ys["epot"][step][gi]
+                        ekin = ys["ekin"][step][gi]
+                        temp = ys["temperature"][step][gi]
+                        time_ps = global_step * self.timestep / 1000.0
+                        file.write(
+                            f"{time_ps:<10.4f} {epot + ekin:12.4f} "
+                            f"{epot:12.4f} {ekin:12.4f} {temp:6.1f}\n"
+                        )
+            if self.observers is not None:
+                for gi, obs in enumerate(self.observers):
+                    lat = ys["lat"][step][gi]
+                    frac = self.runtime.unpad(ys["frac"][step], gi)
+                    obs.record(
+                        energy=ys["epot"][step][gi],
+                        forces=self.runtime.unpad(ys["forces"][step], gi),
+                        stress=voigt_6(ys["stress"][step][gi])
+                        * units.GPA_TO_EV_A3,
+                        magmoms=self.runtime.unpad(ys["magmom"][step], gi),
+                        positions=frac @ lat,
+                        cell=lat,
+                    )
+            if self.crystal_feas_observer is not None:
+                self.crystal_feas_observer.record(ys["crystal_fea"][step])
+
+    # ------------------------------------------------------------ accessors
+    @property
+    def atoms(self) -> Structure | list[Structure]:
+        """Current structure(s) materialized from device state."""
+        structs = self.runtime.structures(
+            np.asarray(self.state.frac), np.asarray(self.state.lat)
+        )
+        return structs[0] if self._single else structs
+
+    def get_temperature(self) -> float | np.ndarray:
+        ke = kinetic_energy(
+            self.state.vel,
+            self.masses,
+            self.runtime.batch.atom_owner,
+            self.runtime.batch.n_graphs,
+        )
+        temp = np.asarray(2.0 * ke / (self.dof * units.KB))
+        return float(temp[0]) if self._single else temp
+
+    def set_atoms(self, atoms: Structure | list[Structure]) -> None:
+        """Replace the structures (new topology, velocities kept)."""
+        structures = [atoms] if isinstance(atoms, Structure) else list(atoms)
+        if [len(s) for s in structures] != self.runtime.sizes:
+            raise ValueError("set_atoms requires matching atom counts")
+        self.runtime.rebuild(
+            np.concatenate([s.frac_coords for s in structures]),
+            np.stack([s.lattice.matrix for s in structures]),
+        )
+        batch = self.runtime.batch
+        self.state = self.state._replace(
+            frac=jnp.asarray(batch.frac_coords),
+            lat=jnp.asarray(batch.lattices),
+        )

@@ -1,0 +1,389 @@
+"""Batched on-device FIRE structure relaxation.
+
+TPU-native counterpart of the reference ``StructOptimizer``
+(``/root/reference/chgnet/model/dynamics.py:184-346``), which loops ASE's
+FIRE on the host and rebuilds the graph every step. Here:
+
+* FIRE (Bitzek et al. 2006, with the standard ASE parameterization:
+  dt0=0.1, dtmax=1.0, Nmin=5, finc=1.1, fdec=0.5, astart=0.1, fa=0.99,
+  maxstep=0.2 A) is a jitted ``lax.scan`` chunk over a padded batch,
+* MANY structures relax in parallel, each with its own FIRE clock and
+  convergence flag (converged graphs freeze in place),
+* cell relaxation follows the unit-cell-filter scheme: the DOF vector is
+  (cartesian positions, cell_factor * strain), with the strain gradient
+  dE/d(eps) taken from the same single backward pass that yields forces,
+* topology is reused across steps via :class:`GraphRuntime` skin masks.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from chgnet_tpu.core.structure import Structure
+from chgnet_tpu.graph.batching import GraphBatch
+from chgnet_tpu.models.chgnet import CHGNetConfig
+from chgnet_tpu.simulation.observers import TrajectoryObserver
+from chgnet_tpu.simulation.runtime import GraphRuntime, compute_batch_dynamic
+from chgnet_tpu.simulation.units import GPA_TO_EV_A3
+
+from chgnet_tpu.simulation.calculator import voigt_6
+
+
+class FIRE(NamedTuple):
+    """FIRE hyperparameters (ASE defaults)."""
+
+    dt0: float = 0.1
+    dtmax: float = 1.0
+    n_min: int = 5
+    f_inc: float = 1.1
+    f_dec: float = 0.5
+    alpha_start: float = 0.1
+    f_alpha: float = 0.99
+    maxstep: float = 0.2
+
+
+class FireState(NamedTuple):
+    """Per-batch FIRE integration state (a JAX pytree)."""
+
+    frac: jnp.ndarray  # [N, 3]
+    lat: jnp.ndarray  # [B, 3, 3]
+    vel: jnp.ndarray  # [N, 3] atom DOF velocity
+    vel_cell: jnp.ndarray  # [B, 3, 3] scaled-strain DOF velocity
+    dt: jnp.ndarray  # [B]
+    alpha: jnp.ndarray  # [B]
+    n_pos: jnp.ndarray  # [B] i32
+    converged: jnp.ndarray  # [B] bool
+
+
+def _init_state(batch: GraphBatch, fire: FIRE) -> FireState:
+    n_graphs = batch.n_graphs
+    return FireState(
+        frac=jnp.asarray(batch.frac_coords, jnp.float32),
+        lat=jnp.asarray(batch.lattices, jnp.float32),
+        vel=jnp.zeros_like(batch.frac_coords),
+        vel_cell=jnp.zeros((n_graphs, 3, 3), jnp.float32),
+        dt=jnp.full((n_graphs,), fire.dt0, jnp.float32),
+        alpha=jnp.full((n_graphs,), fire.alpha_start, jnp.float32),
+        n_pos=jnp.zeros((n_graphs,), jnp.int32),
+        converged=jnp.zeros((n_graphs,), bool),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "fire", "n_steps", "relax_cell", "record"),
+)
+def fire_chunk(
+    params,
+    batch: GraphBatch,
+    state: FireState,
+    *,
+    config: CHGNetConfig,
+    fire: FIRE,
+    n_steps: int,
+    fmax_target: float,
+    cell_factor: jnp.ndarray,  # [B]
+    relax_cell: bool,
+    record: bool,
+):
+    """Run ``n_steps`` fixed-topology FIRE steps under ``lax.scan``.
+
+    Returns (state, per-step outputs). Each step evaluates E/F(/S),
+    updates convergence, then moves the unconverged graphs.
+    """
+    n_graphs = batch.n_graphs
+    owner = batch.atom_owner
+    atom_mask = batch.atom_mask[:, None]
+
+    def seg_sum(per_atom):  # [N] -> [B], padded atoms masked upstream
+        return jax.ops.segment_sum(
+            per_atom, owner, num_segments=n_graphs, indices_are_sorted=True
+        )
+
+    def evaluate(state: FireState):
+        cur = batch._replace(frac_coords=state.frac, lattices=state.lat)
+        out = compute_batch_dynamic(
+            params,
+            cur,
+            config=config,
+            compute_stress=relax_cell or record,
+            compute_magmom=record,
+        )
+        n_atoms = jnp.maximum(out["atoms_per_graph"], 1.0)
+        e_total = out["e"] * (n_atoms if config.is_intensive else 1.0)
+        forces = out["f"] * atom_mask
+        if relax_cell or record:
+            volume = jnp.abs(jnp.linalg.det(state.lat))
+            virial = (
+                out["s"] * GPA_TO_EV_A3 * volume[:, None, None]
+            )  # dE/d(strain) [B,3,3] eV
+            virial = 0.5 * (virial + jnp.swapaxes(virial, 1, 2))
+        else:
+            virial = jnp.zeros((n_graphs, 3, 3), forces.dtype)
+        return e_total, forces, virial, out
+
+    def step(state: FireState, _):
+        e_total, forces, virial, out = evaluate(state)
+        cell_forces = (
+            -virial / cell_factor[:, None, None]
+            if relax_cell
+            else jnp.zeros_like(virial)
+        )
+
+        # convergence: max row norm over atoms (+ cell pseudo-atoms)
+        f2_atom = (forces**2).sum(axis=1)
+        fmax2 = jax.ops.segment_max(
+            jnp.where(batch.atom_mask > 0, f2_atom, 0.0),
+            owner,
+            num_segments=n_graphs,
+            indices_are_sorted=True,
+        )
+        if relax_cell:
+            fmax2 = jnp.maximum(fmax2, (cell_forces**2).sum(axis=2).max(axis=1))
+        fmax = jnp.sqrt(fmax2)
+        converged = state.converged | (fmax < fmax_target)
+
+        # FIRE: P = F . v per graph over the combined DOF
+        power = seg_sum((forces * state.vel).sum(axis=1)) + (
+            (cell_forces * state.vel_cell).sum(axis=(1, 2))
+        )
+        v_norm2 = seg_sum((state.vel**2).sum(axis=1)) + (
+            (state.vel_cell**2).sum(axis=(1, 2))
+        )
+        f_norm2 = seg_sum(f2_atom) + (cell_forces**2).sum(axis=(1, 2))
+        downhill = power > 0.0
+
+        mix = state.alpha * jnp.sqrt(v_norm2 / jnp.maximum(f_norm2, 1e-30))
+        vel_mixed = (1.0 - state.alpha[owner])[:, None] * state.vel + mix[
+            owner
+        ][:, None] * forces
+        velc_mixed = (1.0 - state.alpha)[:, None, None] * state.vel_cell + mix[
+            :, None, None
+        ] * cell_forces
+        vel = jnp.where(downhill[owner][:, None], vel_mixed, 0.0)
+        vel_cell = jnp.where(downhill[:, None, None], velc_mixed, 0.0)
+
+        grow = downhill & (state.n_pos > fire.n_min)
+        dt = jnp.where(
+            grow,
+            jnp.minimum(state.dt * fire.f_inc, fire.dtmax),
+            jnp.where(downhill, state.dt, state.dt * fire.f_dec),
+        )
+        alpha = jnp.where(
+            grow,
+            state.alpha * fire.f_alpha,
+            jnp.where(downhill, state.alpha, fire.alpha_start),
+        )
+        n_pos = jnp.where(downhill, state.n_pos + 1, 0)
+
+        vel = vel + dt[owner][:, None] * forces
+        vel_cell = vel_cell + dt[:, None, None] * cell_forces
+
+        dr = dt[owner][:, None] * vel
+        dr_cell = dt[:, None, None] * vel_cell
+        dr_norm = jnp.sqrt(
+            seg_sum((dr**2).sum(axis=1)) + (dr_cell**2).sum(axis=(1, 2))
+        )
+        scale = jnp.minimum(1.0, fire.maxstep / jnp.maximum(dr_norm, 1e-30))
+        active = scale * jnp.where(converged, 0.0, 1.0)  # freeze converged
+        dr = dr * active[owner][:, None] * atom_mask
+        d_strain = dr_cell * (active / cell_factor)[:, None, None]
+
+        # fold: lat' = lat @ (I + de), cart' = (cart + dr) @ (I + de)
+        deform = jnp.eye(3, dtype=state.lat.dtype)[None] + d_strain
+        lat_new = jnp.einsum("bij,bjk->bik", state.lat, deform)
+        cart = jnp.einsum("ni,nij->nj", state.frac, state.lat[owner]) + dr
+        cart = jnp.einsum("ni,nij->nj", cart, deform[owner])
+        frac_new = jnp.einsum(
+            "ni,nij->nj", cart, jnp.linalg.inv(lat_new)[owner]
+        )
+
+        new_state = FireState(
+            frac=frac_new,
+            lat=lat_new,
+            vel=vel,
+            vel_cell=vel_cell,
+            dt=dt,
+            alpha=alpha,
+            n_pos=n_pos,
+            converged=converged,
+        )
+        ys = {"energy": e_total, "fmax": fmax}
+        if record:
+            ys.update(
+                forces=forces,
+                stress=out["s"],
+                magmom=out["m"],
+                frac=state.frac,
+                lat=state.lat,
+            )
+        return new_state, ys
+
+    state, trajectory = jax.lax.scan(step, state, None, length=n_steps)
+    return state, trajectory
+
+
+class StructOptimizer:
+    """Structure relaxation via batched on-device FIRE.
+
+    API mirrors the reference (``dynamics.py:184-346``): ``relax()``
+    returns ``{"final_structure", "trajectory"}`` — or a list of such
+    dicts when given several structures, all relaxed in ONE padded batch.
+    """
+
+    def __init__(
+        self,
+        model=None,
+        *,
+        optimizer_class: str = "FIRE",
+        use_device: str | None = None,
+        stress_weight: float = GPA_TO_EV_A3,
+        on_isolated_atoms: str = "warn",
+        fire_params: FIRE | None = None,
+    ) -> None:
+        if optimizer_class not in {"FIRE", None}:
+            raise NotImplementedError(
+                f"{optimizer_class=} is not supported; the TPU-native "
+                "relaxer implements batched FIRE"
+            )
+        if model is None:
+            from chgnet_tpu.models.chgnet import CHGNet
+
+            model = CHGNet.load(verbose=False)
+        if hasattr(model, "model"):  # a CHGNetCalculator
+            model = model.model
+        self.model = model
+        self.fire = fire_params or FIRE()
+        self.on_isolated_atoms = on_isolated_atoms
+
+    @property
+    def version(self) -> str | None:
+        return self.model.version
+
+    @property
+    def n_params(self) -> int:
+        return self.model.n_params
+
+    def relax(
+        self,
+        atoms: Structure | list[Structure],
+        *,
+        fmax: float = 0.1,
+        steps: int = 500,
+        relax_cell: bool = True,
+        save_path: str | None = None,
+        loginterval: int | None = 1,
+        verbose: bool = False,
+        assign_magmoms: bool = True,
+        chunk_size: int = 20,
+        skin: float = 0.3,
+        **kwargs,
+    ):
+        """Relax structure(s) to a local total-energy minimum.
+
+        Args mirror the reference ``relax`` (``dynamics.py:243-306``);
+        ``chunk_size`` sets how many jitted steps run between host-side
+        convergence checks and topology rebuilds.
+        """
+        single = isinstance(atoms, Structure)
+        structures = [atoms] if single else list(atoms)
+        runtime = GraphRuntime(
+            self.model.config,
+            structures,
+            skin=skin,
+            on_isolated_atoms=self.on_isolated_atoms,
+        )
+        cell_factor = jnp.asarray(
+            [max(len(s), 1) for s in structures], jnp.float32
+        )
+        record = loginterval is not None
+        state = _init_state(runtime.batch, self.fire)
+        observers = [
+            TrajectoryObserver(atomic_numbers=s.atomic_numbers)
+            for s in structures
+        ]
+
+        total = 0
+        last_energy = np.zeros(len(structures))
+        while total < steps:
+            n_steps = min(chunk_size, steps - total)
+            state, traj = fire_chunk(
+                self.model.params,
+                runtime.batch,
+                state,
+                config=self.model.config,
+                fire=self.fire,
+                n_steps=n_steps,
+                fmax_target=fmax,
+                cell_factor=cell_factor,
+                relax_cell=relax_cell,
+                record=record,
+            )
+            traj = jax.tree.map(np.asarray, traj)
+            last_energy = traj["energy"][-1]
+            if record:
+                self._record(observers, runtime, traj, total, loginterval)
+            total += n_steps
+            if verbose:
+                print(
+                    f"FIRE step {total}: E = "
+                    f"{np.array2string(traj['energy'][-1], precision=4)} eV, "
+                    f"fmax = {np.array2string(traj['fmax'][-1], precision=4)}"
+                )
+            if bool(np.all(np.asarray(state.converged))):
+                break
+            frac = np.asarray(state.frac)
+            lat = np.asarray(state.lat)
+            if runtime.needs_rebuild(frac, lat):
+                runtime.rebuild(frac, lat)
+
+        final_structures = runtime.structures(
+            np.asarray(state.frac), np.asarray(state.lat)
+        )
+        if assign_magmoms or save_path:
+            final = self.model.predict_structure(
+                final_structures, task="efsm"
+            )
+            final = [final] if single else final
+            for idx, struct in enumerate(final_structures):
+                if assign_magmoms:
+                    struct.site_properties["magmom"] = list(
+                        np.asarray(final[idx]["m"], dtype=float)
+                    )
+
+        results = []
+        for idx, struct in enumerate(final_structures):
+            if save_path is not None:
+                suffix = "" if single else f".{idx}"
+                observers[idx].save(f"{save_path}{suffix}")
+            results.append(
+                {
+                    "final_structure": struct,
+                    "trajectory": observers[idx],
+                    "final_energy": float(last_energy[idx]),
+                }
+            )
+        return results[0] if single else results
+
+    @staticmethod
+    def _record(observers, runtime, traj, step_offset, loginterval):
+        n_steps = len(traj["energy"])
+        for step in range(n_steps):
+            if (step_offset + step) % (loginterval or 1):
+                continue
+            for gi, obs in enumerate(observers):
+                lat = traj["lat"][step][gi]
+                frac = runtime.unpad(traj["frac"][step], gi)
+                obs.record(
+                    energy=traj["energy"][step][gi],
+                    forces=runtime.unpad(traj["forces"][step], gi),
+                    stress=voigt_6(traj["stress"][step][gi]) * GPA_TO_EV_A3,
+                    magmoms=runtime.unpad(traj["magmom"][step], gi),
+                    positions=frac @ lat,
+                    cell=lat,
+                )

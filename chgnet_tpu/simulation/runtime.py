@@ -1,0 +1,219 @@
+"""Skin-radius graph topology reuse for on-device simulation loops.
+
+The reference rebuilds the crystal graph on the host every MD/relaxation
+step (``/root/reference/chgnet/model/dynamics.py:156-158``). Here the
+topology is built once with cutoffs enlarged by a ``skin`` radius and
+reused across steps; exact-cutoff semantics are restored inside the jitted
+forward by :func:`apply_dynamic_cutoff`, which recomputes edge/angle
+validity masks from the *current* positions. The host only rebuilds when
+accumulated atomic drift or lattice strain could let a neighbor cross the
+skin shell (the classic Verlet-list criterion).
+
+Atom capacity is pinned so per-atom state arrays (velocities, etc.) stay
+valid across rebuilds; edge/angle capacities grow monotonically on a
+bucket grid to bound recompiles.
+"""
+
+from __future__ import annotations
+
+import functools
+from collections.abc import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from chgnet_tpu.core.lattice import Lattice
+from chgnet_tpu.core.structure import Structure
+from chgnet_tpu.graph.batching import GraphBatch, batch_graphs, round_up
+from chgnet_tpu.graph.converter import CrystalGraphConverter
+from chgnet_tpu.models.chgnet import CHGNetConfig, compute_batch
+
+_TOL = 1e-8  # matches neighbor-search numerical_tol
+
+
+def apply_dynamic_cutoff(
+    batch: GraphBatch, config: CHGNetConfig
+) -> GraphBatch:
+    """Recompute edge/angle masks from current positions at model cutoffs.
+
+    Mirrors the builder's comparisons (``chgnet_tpu/graph/builder.py``):
+    atom-graph edges keep ``d <= atom_graph_cutoff``; a line-graph row stays
+    valid while its undirected bond i satisfies ``d_i <= bond_graph_cutoff``
+    and its directed bond j satisfies ``d_j < bond_graph_cutoff``.
+    """
+    lat = batch.lattices
+    cart = jnp.einsum("ni,nij->nj", batch.frac_coords, lat[batch.atom_owner])
+    vec = (
+        cart[batch.atom_graph[:, 0]]
+        - cart[batch.atom_graph[:, 1]]
+        - jnp.einsum("ei,eij->ej", batch.images, lat[batch.edge_owner])
+    )
+    dist = jnp.linalg.norm(vec, axis=1)  # [E] directed distances
+    und_dist = dist[batch.undirected2directed]  # [U]
+
+    in_atom_graph = und_dist <= config.atom_graph_cutoff + _TOL
+    edge_mask = batch.edge_mask * in_atom_graph[
+        batch.directed2undirected
+    ].astype(batch.edge_mask.dtype)
+    und_mask = batch.und_mask * in_atom_graph.astype(batch.und_mask.dtype)
+
+    left_ok = und_dist[batch.bond_graph[:, 1]] <= config.bond_graph_cutoff + _TOL
+    right_ok = dist[batch.bond_graph[:, 4]] < config.bond_graph_cutoff - _TOL
+    angle_mask = batch.angle_mask * (left_ok & right_ok).astype(
+        batch.angle_mask.dtype
+    )
+    return batch._replace(
+        edge_mask=edge_mask, und_mask=und_mask, angle_mask=angle_mask
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "compute_stress", "compute_magmom"),
+)
+def compute_batch_dynamic(
+    params,
+    batch: GraphBatch,
+    *,
+    config: CHGNetConfig,
+    compute_stress: bool = True,
+    compute_magmom: bool = True,
+):
+    """Forward pass with forces over a skin-built batch: dynamic-cutoff
+    masks first, then the standard padded forward (energies per atom in eV,
+    forces eV/A, stress GPa, magmom mu_B)."""
+    batch = apply_dynamic_cutoff(batch, config)
+    return compute_batch(
+        params,
+        batch,
+        config=config,
+        compute_force=True,
+        compute_stress=compute_stress,
+        compute_magmom=compute_magmom,
+    )
+
+
+class GraphRuntime:
+    """Builds and maintains a padded :class:`GraphBatch` for structures
+    whose positions/lattices evolve on device.
+
+    Usage::
+
+        rt = GraphRuntime(config, structures, skin=0.3)
+        batch = rt.batch                       # initial padded batch
+        ...update batch.frac_coords / batch.lattices on device...
+        if rt.needs_rebuild(frac, lattices):
+            batch = rt.rebuild(frac, lattices)
+    """
+
+    def __init__(
+        self,
+        config: CHGNetConfig,
+        structures: Sequence[Structure],
+        *,
+        skin: float = 0.3,
+        on_isolated_atoms: str = "warn",
+    ) -> None:
+        self.config = config
+        self.skin = float(skin)
+        self.converter = CrystalGraphConverter(
+            atom_graph_cutoff=config.atom_graph_cutoff + self.skin,
+            bond_graph_cutoff=config.bond_graph_cutoff + self.skin,
+            on_isolated_atoms=on_isolated_atoms,  # type: ignore[arg-type]
+        )
+        self.n_structs = len(structures)
+        self.sizes = [len(s) for s in structures]
+        self.offsets = np.concatenate([[0], np.cumsum(self.sizes)])
+        self.atomic_numbers = [s.atomic_numbers.copy() for s in structures]
+        self.site_properties = [dict(s.site_properties) for s in structures]
+        # pinned atom capacity; edge/angle capacities grow monotonically
+        self.cap_n = round_up(int(self.offsets[-1]))
+        self._cap_e = 0
+        self._cap_a = 0
+        self.n_rebuilds = -1  # first build is not a "rebuild"
+        self.batch = self._build(
+            [s.frac_coords for s in structures],
+            np.stack([s.lattice.matrix for s in structures]),
+        )
+
+    # ----------------------------------------------------------------- build
+    def _build(
+        self, frac_list: list[np.ndarray], lattices: np.ndarray
+    ) -> GraphBatch:
+        graphs = []
+        for idx in range(self.n_structs):
+            struct = Structure(
+                Lattice(np.asarray(lattices[idx], dtype=np.float64)),
+                self.atomic_numbers[idx].tolist(),
+                np.asarray(frac_list[idx], dtype=np.float64),
+            )
+            graphs.append(self.converter(struct, graph_id=str(idx)))
+        tot_e = sum(g.n_directed for g in graphs)
+        tot_a = sum(g.n_angles for g in graphs)
+        self._cap_e = max(self._cap_e, round_up(tot_e))
+        self._cap_a = max(self._cap_a, round_up(max(tot_a, 1)))
+        batch = batch_graphs(
+            graphs, capacities=(self.cap_n, self._cap_e, self._cap_a)
+        )
+        self._ref_frac = batch.frac_coords.copy()
+        self._ref_lat = batch.lattices.copy()
+        self._ref_inv_lat = np.linalg.inv(self._ref_lat)
+        self.n_rebuilds += 1
+        return batch
+
+    def rebuild(self, frac: np.ndarray, lattices: np.ndarray) -> GraphBatch:
+        """Rebuild topology from padded frac [cap_n, 3] and lattices [B, 3, 3]."""
+        frac = np.asarray(frac, dtype=np.float64)
+        lattices = np.asarray(lattices, dtype=np.float64)
+        frac_list = [
+            frac[self.offsets[i]: self.offsets[i + 1]]
+            for i in range(self.n_structs)
+        ]
+        self.batch = self._build(frac_list, lattices)
+        return self.batch
+
+    # --------------------------------------------------------- rebuild check
+    def needs_rebuild(self, frac: np.ndarray, lattices: np.ndarray) -> bool:
+        """Verlet-list criterion: rebuild when two atoms could have closed
+        the skin shell (2 x max displacement) or lattice strain could have
+        stretched a build-radius bond by the remaining margin."""
+        frac = np.asarray(frac)
+        lattices = np.asarray(lattices)
+        disp = np.einsum(
+            "ni,nij->nj", frac - self._ref_frac, lattices[self._atom_owner()]
+        )
+        max_disp = float(np.sqrt((disp**2).sum(axis=1)).max()) if len(disp) else 0.0
+        # operator-norm bound of the deformation relative to the build cell
+        strain = np.matmul(self._ref_inv_lat, lattices) - np.eye(3)
+        strain_norm = float(
+            max(np.linalg.norm(s, 2) for s in strain)
+        )
+        r_build = self.config.atom_graph_cutoff + self.skin
+        return 2.0 * max_disp + strain_norm * r_build >= self.skin
+
+    def _atom_owner(self) -> np.ndarray:
+        return np.asarray(self.batch.atom_owner)
+
+    # ------------------------------------------------------------- unpadding
+    def unpad(self, arr: np.ndarray, graph_idx: int) -> np.ndarray:
+        """Slice one structure's rows out of a padded per-atom array."""
+        return np.asarray(arr)[
+            self.offsets[graph_idx]: self.offsets[graph_idx + 1]
+        ]
+
+    def structures(
+        self, frac: np.ndarray, lattices: np.ndarray
+    ) -> list[Structure]:
+        """Materialize host Structures from padded device state."""
+        frac = np.asarray(frac, dtype=np.float64)
+        lattices = np.asarray(lattices, dtype=np.float64)
+        return [
+            Structure(
+                Lattice(lattices[i]),
+                self.atomic_numbers[i].tolist(),
+                self.unpad(frac, i),
+                site_properties=self.site_properties[i],
+            )
+            for i in range(self.n_structs)
+        ]

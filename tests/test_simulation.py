@@ -1,0 +1,381 @@
+"""Simulation layer tests: runtime masks, calculator, relax, MD, EOS.
+
+Mirrors the intent of the reference ``tests/test_relaxation.py`` and
+``tests/test_md.py`` (convergence, trajectory capture, ensemble behavior)
+without their pretrained golden values (checkpoint blobs are absent from
+the reference mount); physics invariants are asserted instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from chgnet_tpu.models.chgnet import CHGNet, compute_batch
+from chgnet_tpu.graph.batching import batch_graphs
+from chgnet_tpu.simulation import (
+    CHGNetCalculator,
+    EquationOfState,
+    MolecularDynamics,
+    StructOptimizer,
+    TrajectoryObserver,
+)
+from chgnet_tpu.simulation.eos import BirchMurnaghan
+from chgnet_tpu.simulation.md import maxwell_boltzmann_velocities
+from chgnet_tpu.simulation.runtime import GraphRuntime, compute_batch_dynamic
+from chgnet_tpu.simulation import units
+
+SMALL = dict(
+    atom_fea_dim=16,
+    bond_fea_dim=16,
+    angle_fea_dim=16,
+    num_radial=9,
+    num_angular=9,
+    n_conv=2,
+    mlp_hidden_dims=(16,),
+    atom_conv_hidden_dim=16,
+    bond_conv_hidden_dim=16,
+)
+
+
+@pytest.fixture(scope="module")
+def model():
+    return CHGNet(seed=0, **SMALL)
+
+
+@pytest.fixture(scope="module")
+def struct():
+    from chgnet_tpu import ROOT
+    from chgnet_tpu.core.structure import Structure
+
+    return Structure.from_file(f"{ROOT}/examples/mp-18767-LiMnO2.cif")
+
+
+# ------------------------------------------------------------------ runtime
+def test_dynamic_cutoff_matches_fresh_graph(model, struct):
+    """Skin-built topology + dynamic masks == exact-cutoff fresh graph.
+
+    This is the correctness keystone of topology reuse: perturb atoms
+    (well within skin/2), evaluate EFS on the stale skin topology with
+    dynamic masks, and compare against a freshly built exact graph.
+    """
+    runtime = GraphRuntime(model.config, [struct], skin=0.5)
+    moved = struct.perturb(0.08, seed=3)
+    batch = runtime.batch._replace(
+        frac_coords=np.asarray(
+            np.concatenate(
+                [
+                    moved.frac_coords,
+                    runtime.batch.frac_coords[len(moved):],
+                ]
+            ),
+            dtype=np.float32,
+        )
+    )
+    assert not runtime.needs_rebuild(batch.frac_coords, batch.lattices)
+    out_skin = compute_batch_dynamic(
+        model.params, batch, config=model.config
+    )
+
+    fresh_graph = model.graph_converter(moved)
+    fresh = compute_batch(
+        model.params,
+        batch_graphs([fresh_graph]),
+        config=model.config,
+        compute_force=True,
+        compute_stress=True,
+        compute_magmom=True,
+    )
+    np.testing.assert_allclose(
+        float(out_skin["e"][0]), float(fresh["e"][0]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_skin["f"])[: len(moved)],
+        np.asarray(fresh["f"])[: len(moved)],
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_skin["s"])[0], np.asarray(fresh["s"])[0], atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_skin["m"])[: len(moved)],
+        np.asarray(fresh["m"])[: len(moved)],
+        atol=1e-4,
+    )
+
+
+def test_runtime_rebuild_tracking(model, struct):
+    runtime = GraphRuntime(model.config, [struct], skin=0.3)
+    frac = runtime.batch.frac_coords.copy()
+    lat = runtime.batch.lattices.copy()
+    assert not runtime.needs_rebuild(frac, lat)
+    # large move must trigger a rebuild
+    frac2 = frac.copy()
+    frac2[0] += 0.2
+    assert runtime.needs_rebuild(frac2, lat)
+    runtime.rebuild(frac2, lat)
+    assert runtime.n_rebuilds == 1
+    assert not runtime.needs_rebuild(frac2, lat)
+    # pure lattice strain also triggers
+    assert runtime.needs_rebuild(frac2, lat * 1.05)
+
+
+# --------------------------------------------------------------- calculator
+def test_calculator(model, struct):
+    calc = CHGNetCalculator(model=model, return_site_energies=True)
+    calc.calculate(struct)
+    res = calc.results
+    n = len(struct)
+    assert res["forces"].shape == (n, 3)
+    assert res["stress"].shape == (3, 3)
+    assert res["magmoms"].shape == (n,)
+    assert res["energies"].shape == (n,)
+    assert res["energy"] == pytest.approx(res["free_energy"])
+    # energy is total (extensive): model output is intensive eV/atom
+    pred = model.predict_structure(struct, task="e")
+    assert res["energy"] == pytest.approx(pred["e"] * n, rel=1e-5)
+    # ASE-style getters
+    assert calc.get_potential_energy(struct) == pytest.approx(res["energy"])
+    assert calc.get_stress(struct).shape == (6,)
+
+
+# --------------------------------------------------------------------- relax
+def test_relax_fixed_cell(model, struct):
+    relaxer = StructOptimizer(model=model)
+    result = relaxer.relax(
+        struct.perturb(0.1, seed=0),
+        relax_cell=False,
+        fmax=0.005,
+        steps=120,
+        assign_magmoms=True,
+    )
+    traj = result["trajectory"]
+    assert isinstance(traj, TrajectoryObserver)
+    assert len(traj) > 1
+    assert traj.energies[-1] < traj.energies[0]
+    final = result["final_structure"]
+    assert len(final) == len(struct)
+    assert "magmom" in final.site_properties
+    # cell unchanged with relax_cell=False
+    np.testing.assert_allclose(
+        final.lattice.matrix, struct.lattice.matrix, atol=1e-5
+    )
+    # converged or out of steps with lower fmax than start
+    fmax_start = np.sqrt((traj.forces[0] ** 2).sum(axis=1).max())
+    fmax_end = np.sqrt((traj.forces[-1] ** 2).sum(axis=1).max())
+    assert fmax_end < fmax_start
+
+
+def test_relax_cell_and_batched(model, struct):
+    relaxer = StructOptimizer(model=model)
+    structs = [struct.perturb(0.05, seed=s) for s in range(3)]
+    results = relaxer.relax(
+        structs, relax_cell=True, fmax=0.005, steps=60, loginterval=2
+    )
+    assert len(results) == 3
+    for res in results:
+        traj = res["trajectory"]
+        assert traj.energies[-1] <= traj.energies[0] + 1e-6
+        # cell was allowed to move
+        assert res["final_structure"].volume > 0
+    # trajectories recorded with loginterval=2
+    assert len(results[0]["trajectory"]) >= 2
+
+
+def test_relax_save_trajectory(model, struct, tmp_path):
+    relaxer = StructOptimizer(model=model)
+    path = str(tmp_path / "traj.pkl")
+    relaxer.relax(struct, relax_cell=False, steps=5, save_path=path)
+    import pickle
+
+    with open(path, "rb") as file:
+        payload = pickle.load(file)
+    assert set(payload) == {
+        "energy",
+        "forces",
+        "stresses",
+        "magmoms",
+        "atom_positions",
+        "cell",
+        "atomic_number",
+    }
+    assert len(payload["energy"]) == 5
+
+
+# ----------------------------------------------------------------------- md
+def test_maxwell_boltzmann():
+    masses = np.full(500, 22.99)
+    vel = maxwell_boltzmann_velocities(masses, 300.0, seed=0)
+    ke = 0.5 * (masses[:, None] * vel**2).sum() * units.AMU_A2_FS2_TO_EV
+    temp = 2 * ke / (3 * len(masses) * units.KB)
+    assert temp == pytest.approx(300.0, rel=1e-6)  # force_temp
+    # stationary: zero total momentum
+    np.testing.assert_allclose(
+        (masses[:, None] * vel).sum(axis=0), 0.0, atol=1e-9
+    )
+
+
+def test_md_nve_conserves_energy(model, struct):
+    relaxed = StructOptimizer(model=model).relax(
+        struct, relax_cell=False, fmax=0.05, steps=80, loginterval=None,
+        assign_magmoms=False,
+    )["final_structure"]
+    md = MolecularDynamics(
+        relaxed,
+        model=model,
+        ensemble="nve",
+        starting_temperature=100.0,
+        timestep=0.5,
+        seed=0,
+    )
+    e0 = float(md.state.epot[0]) + _ekin(md)
+    md.run(40)
+    e1 = float(md.state.epot[0]) + _ekin(md)
+    scale = max(abs(_ekin(md)), 0.05)
+    assert abs(e1 - e0) < 0.1 * scale + 5e-3
+
+
+def _ekin(md) -> float:
+    from chgnet_tpu.simulation.md import kinetic_energy
+
+    return float(
+        kinetic_energy(
+            md.state.vel,
+            md.masses,
+            md.runtime.batch.atom_owner,
+            md.runtime.batch.n_graphs,
+        )[0]
+    )
+
+
+def test_md_nvt_berendsen_thermostats(model, struct, tmp_path):
+    logfile = str(tmp_path / "md.log")
+    md = MolecularDynamics(
+        struct,
+        model=model,
+        ensemble="nvt",
+        thermostat="Berendsen",
+        temperature=500.0,
+        starting_temperature=200.0,
+        timestep=1.0,
+        taut=20.0,
+        logfile=logfile,
+        loginterval=2,
+        trajectory=str(tmp_path / "md_traj.pkl"),
+        seed=0,
+    )
+    md.run(30)
+    # Berendsen must drive T toward 500 from 200
+    assert md.get_temperature() > 250.0
+    lines = open(logfile).read().splitlines()
+    assert lines[0].startswith("Time[ps]")
+    assert len(lines) == 1 + 15  # every 2nd of 30 steps
+    cols = lines[1].split()
+    assert len(cols) == 5
+    assert float(cols[0]) == pytest.approx(0.002)  # 2 fs in ps
+    # trajectory saved
+    assert (tmp_path / "md_traj.pkl").exists()
+    assert len(md.observers[0]) == 15
+
+
+def test_md_nvt_nose_hoover(model, struct):
+    md = MolecularDynamics(
+        struct,
+        model=model,
+        ensemble="nvt",
+        thermostat="Nose-Hoover",
+        temperature=400.0,
+        starting_temperature=400.0,
+        timestep=1.0,
+        taut=25.0,
+        seed=1,
+    )
+    md.run(20)
+    assert np.isfinite(md.get_temperature())
+    assert float(np.abs(np.asarray(md.state.zeta))[0]) >= 0.0
+
+
+def test_md_npt_berendsen(model, struct):
+    md = MolecularDynamics(
+        struct,
+        model=model,
+        ensemble="npt",
+        thermostat="Berendsen",
+        temperature=300.0,
+        starting_temperature=300.0,
+        timestep=1.0,
+        bulk_modulus=100.0,
+        seed=2,
+    )
+    vol0 = float(np.abs(np.linalg.det(np.asarray(md.state.lat)[0])))
+    md.run(15)
+    vol1 = float(np.abs(np.linalg.det(np.asarray(md.state.lat)[0])))
+    assert vol1 != vol0  # barostat moved the cell
+    assert abs(vol1 / vol0 - 1) < 0.5
+    atoms = md.atoms
+    assert len(atoms) == len(struct)
+
+
+def test_md_npt_inhomogeneous(model, struct):
+    md = MolecularDynamics(
+        struct,
+        model=model,
+        ensemble="npt",
+        thermostat="Berendsen_inhomogeneous",
+        temperature=300.0,
+        starting_temperature=300.0,
+        timestep=1.0,
+        bulk_modulus=100.0,
+        seed=3,
+    )
+    lat0 = np.asarray(md.state.lat).copy()
+    md.run(10)
+    lat1 = np.asarray(md.state.lat)
+    assert not np.allclose(lat0, lat1)
+
+
+def test_md_batched_lockstep(model, struct):
+    structs = [struct.perturb(0.03, seed=s) for s in range(2)]
+    md = MolecularDynamics(
+        structs,
+        model=model,
+        ensemble="nvt",
+        thermostat="Berendsen",
+        temperature=300.0,
+        starting_temperature=300.0,
+        timestep=1.0,
+        seed=0,
+    )
+    md.run(5)
+    out = md.atoms
+    assert isinstance(out, list) and len(out) == 2
+    temps = md.get_temperature()
+    assert temps.shape == (2,)
+
+
+# ---------------------------------------------------------------------- eos
+def test_birch_murnaghan_roundtrip():
+    """Fit recovers B0 from synthetic Birch-Murnaghan energies exactly."""
+    v0, e0, b0, b0p = 64.0, -10.0, 0.8, 4.5  # eV/A^3 units for b0
+    vols = np.linspace(0.9 * v0, 1.1 * v0, 11)
+    eta = (v0 / vols) ** (2.0 / 3.0)
+    energies = e0 + (9 * v0 * b0 / 16) * (
+        (eta - 1) ** 3 * b0p + (eta - 1) ** 2 * (6 - 4 * eta)
+    )
+    bm = BirchMurnaghan(vols, energies)
+    bm.fit()
+    assert bm.v0 == pytest.approx(v0, rel=1e-6)
+    assert bm.e0 == pytest.approx(e0, rel=1e-6)
+    assert bm.b0 == pytest.approx(b0, rel=1e-5)
+    assert bm.b0_GPa == pytest.approx(b0 * 160.21766208, rel=1e-5)
+
+
+def test_eos_fit(struct):
+    # seed-4 random init has an interior volume minimum (seed-0 is monotonic)
+    eos = EquationOfState(model=CHGNet(seed=4, **SMALL))
+    eos.fit(struct, n_points=5, fmax=0.2, steps=30, loginterval=None)
+    b_gpa = eos.get_bulk_modulus(unit="GPa")
+    assert np.isfinite(b_gpa) and b_gpa > 0
+    assert eos.get_compressibility("GPa^-1") == pytest.approx(
+        1 / b_gpa, rel=1e-9
+    )
