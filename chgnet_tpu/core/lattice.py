@@ -50,6 +50,16 @@ class Lattice:
         vec_c = [0.0, 0.0, c]
         return cls(np.array([vec_a, vec_b, vec_c]))
 
+    @classmethod
+    def cubic(cls, a: float) -> Lattice:
+        """Cubic lattice with edge ``a`` (pymatgen API parity)."""
+        return cls(np.eye(3) * a)
+
+    @classmethod
+    def orthorhombic(cls, a: float, b: float, c: float) -> Lattice:
+        """Orthorhombic lattice from three edge lengths."""
+        return cls(np.diag([a, b, c]))
+
     @property
     def volume(self) -> float:
         """Signed-safe cell volume (Å^3)."""

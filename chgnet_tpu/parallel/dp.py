@@ -62,8 +62,10 @@ def loss_and_metrics(
     graph_mask = targets.get(
         "graph_mask", jnp.ones_like(prediction["e"])
     )
+    # atoms of masked (filler) graphs must not enter force/magmom losses
+    atom_mask = batch.atom_mask * graph_mask[batch.atom_owner]
     out = loss_fn(
-        targets, prediction, graph_mask=graph_mask, atom_mask=batch.atom_mask
+        targets, prediction, graph_mask=graph_mask, atom_mask=atom_mask
     )
     return out["loss"], out
 

@@ -1,5 +1,7 @@
 """Utility exports."""
 
+from chgnet_tpu.utils.vasp import parse_vasp_dir, solve_charge_by_mag
+
 from chgnet_tpu.utils.common import (
     AverageMeter,
     count_params,
@@ -22,7 +24,9 @@ __all__ = [
     "load_params",
     "mae",
     "mkdir",
+    "parse_vasp_dir",
     "read_json",
+    "solve_charge_by_mag",
     "save_params",
     "unflatten_params",
     "write_json",

@@ -1,0 +1,232 @@
+"""Trainer integration tests (counterpart of reference ``tests/test_trainer.py``):
+full short training runs with NaN-label injection, checkpoint file layout,
+composition-model fine-tuning selectivity, schedules and resume."""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from chgnet_tpu.core.lattice import Lattice
+from chgnet_tpu.core.structure import Structure
+from chgnet_tpu.data import StructureData, get_train_val_test_loader
+from chgnet_tpu.models.chgnet import CHGNet
+from chgnet_tpu.trainer import Trainer
+from chgnet_tpu.trainer.trainer import _make_schedule
+
+SMALL = dict(
+    atom_fea_dim=16,
+    bond_fea_dim=16,
+    angle_fea_dim=16,
+    num_radial=9,
+    num_angular=9,
+    n_conv=2,
+    mlp_hidden_dims=(16,),
+    atom_conv_hidden_dim=16,
+    bond_conv_hidden_dim=16,
+)
+
+NaCl = Structure(
+    Lattice.cubic(4), ["Na", "Cl"], [[0, 0, 0], [0.5, 0.5, 0.5]]
+)
+
+
+@pytest.fixture(scope="module")
+def loaders():
+    """20 perturbed NaCl structures with teacher-model labels and some NaN
+    labels injected, like the reference fixture (``test_trainer.py:33-46``,
+    which uses random labels; a teacher keeps the toy problem learnable)."""
+    teacher = CHGNet(seed=7, **SMALL)
+    structures, energies, forces, stresses, magmoms = [], [], [], [], []
+    for index in range(20):
+        struct = NaCl.perturb(0.1, seed=index)
+        pred = teacher.predict_structure(struct, task="efsm")
+        structures.append(struct)
+        energies.append(float(pred["e"]))
+        forces.append(np.asarray(pred["f"], dtype=np.float32))
+        # dataset ingests VASP convention and multiplies by -0.1 -> GPa
+        stresses.append(np.asarray(pred["s"], dtype=np.float32) * -10.0)
+        magmoms.append(np.asarray(pred["m"], dtype=np.float32))
+    # inject missing labels
+    energies[2] = np.nan
+    forces[4] = np.full((2, 3), np.nan, dtype=np.float32)
+    magmoms[6] = np.full(2, np.nan, dtype=np.float32)
+    data = StructureData(
+        structures=structures,
+        energies=energies,
+        forces=forces,
+        stresses=stresses,
+        magmoms=magmoms,
+        shuffle=False,
+    )
+    return get_train_val_test_loader(
+        data, batch_size=4, train_ratio=0.6, val_ratio=0.2
+    )
+
+
+def test_trainer_end_to_end(loaders, tmp_path):
+    train_loader, val_loader, test_loader = loaders
+    model = CHGNet(seed=0, **SMALL)
+    trainer = Trainer(
+        model=model,
+        targets="efsm",
+        optimizer="Adam",
+        criterion="MSE",
+        learning_rate=1e-3,
+        epochs=5,
+        scheduler="CosLR",
+        print_freq=100,
+    )
+    save_dir = str(tmp_path / "run")
+    trainer.train(
+        train_loader, val_loader, test_loader, save_dir=save_dir
+    )
+    # history filled for every target and split
+    for key in "efsm":
+        assert len(trainer.training_history[key]["train"]) == 5
+        assert len(trainer.training_history[key]["val"]) == 5
+        assert np.isfinite(trainer.training_history[key]["test"])
+    # training reduced the energy error
+    hist_e = trainer.training_history["e"]["train"]
+    assert hist_e[-1] < hist_e[0]
+    # checkpoint layout: one rotating epoch file + bestE_ + bestF_
+    files = os.listdir(save_dir)
+    assert sum(f.startswith("epoch") for f in files) == 1
+    assert sum(f.startswith("bestE_") for f in files) == 1
+    assert sum(f.startswith("bestF_") for f in files) == 1
+    assert trainer.get_best_model() is not None
+
+
+def test_trainer_resume(loaders, tmp_path):
+    train_loader, val_loader, _ = loaders
+    model = CHGNet(seed=1, **SMALL)
+    trainer = Trainer(
+        model=model, targets="ef", epochs=2, learning_rate=1e-3
+    )
+    save_dir = str(tmp_path / "resume")
+    trainer.train(train_loader, val_loader, save_dir=save_dir)
+    ckpt = next(
+        os.path.join(save_dir, f)
+        for f in os.listdir(save_dir)
+        if f.startswith("epoch")
+    )
+    restored = Trainer.load(ckpt)
+    assert restored.starting_epoch == 2
+    assert restored.scheduler_step == trainer.scheduler_step
+    np.testing.assert_allclose(
+        np.asarray(restored.model.params["atom_embedding"]["weight"]),
+        np.asarray(trainer.model.params["atom_embedding"]["weight"]),
+    )
+    # training history rides along
+    assert (
+        restored.training_history["e"]["train"]
+        == trainer.training_history["e"]["train"]
+    )
+    # continue training from the restored state
+    restored.epochs = 3
+    restored.train(train_loader, val_loader, save_dir=save_dir)
+    assert len(restored.training_history["e"]["train"]) == 3
+
+
+def test_composition_model_freezing(loaders):
+    train_loader, val_loader, _ = loaders
+    model = CHGNet(seed=0, **SMALL)
+    comp_before = np.asarray(model.params["composition"]["weight"]).copy()
+
+    trainer = Trainer(model=model, targets="ef", epochs=1)
+    trainer.train(train_loader, val_loader, save_dir=None)
+    comp_frozen = np.asarray(model.params["composition"]["weight"])
+    np.testing.assert_array_equal(comp_before, comp_frozen)
+
+    trainer2 = Trainer(model=model, targets="ef", epochs=1)
+    trainer2.train(
+        train_loader, val_loader, save_dir=None, train_composition_model=True
+    )
+    comp_after = np.asarray(model.params["composition"]["weight"])
+    # only Na (Z=11 -> row 10) and Cl (Z=17 -> row 16) rows may move
+    changed = ~np.isclose(comp_before, comp_after)
+    changed_rows = set(np.nonzero(changed)[0].tolist())
+    assert changed_rows == {10, 16}
+
+
+def test_nan_loss_aborts(loaders, capsys):
+    train_loader, val_loader, _ = loaders
+    model = CHGNet(seed=0, **SMALL)
+    # absurd lr -> NaN loss quickly; trainer must exit, not crash
+    trainer = Trainer(
+        model=model, targets="ef", epochs=5, learning_rate=1e12,
+        scheduler="ExponentialLR",
+    )
+    trainer.train(train_loader, val_loader, save_dir=None)
+    assert len(trainer.training_history["e"]["train"]) < 5
+
+
+def test_schedules():
+    lr0, epochs = 1e-3, 10
+    cos = _make_schedule("CosLR", lr0, epochs, {})
+    assert cos(0) == pytest.approx(lr0)
+    assert cos(10 * epochs) == pytest.approx(1e-2 * lr0)
+    exp = _make_schedule("ExponentialLR", lr0, epochs, {})
+    assert exp(1) == pytest.approx(lr0 * 0.98)
+    multi = _make_schedule("MultiStepLR", lr0, epochs, {})
+    assert multi(0) == pytest.approx(lr0)
+    assert multi(4 * epochs) == pytest.approx(lr0 * 0.3)
+    assert multi(9 * epochs) == pytest.approx(lr0 * 0.3**4)
+    restart = _make_schedule("CosRestartLR", lr0, epochs, {})
+    assert restart(0) == pytest.approx(lr0)
+    assert restart(10) == pytest.approx(lr0)  # restarted at T_0=10
+    with pytest.raises(NotImplementedError):
+        _make_schedule("bogus", lr0, epochs, {})
+
+
+def test_trainer_huber_and_optimizers(loaders):
+    train_loader, val_loader, _ = loaders
+    for optimizer in ("SGD", "AdamW", "RAdam"):
+        model = CHGNet(seed=0, **SMALL)
+        trainer = Trainer(
+            model=model,
+            targets="ef",
+            optimizer=optimizer,
+            criterion="Huber",
+            delta=0.1,
+            epochs=1,
+            learning_rate=1e-3,
+        )
+        trainer.train(train_loader, val_loader, save_dir=None)
+        assert np.isfinite(trainer.training_history["e"]["train"][0])
+
+
+def test_wandb_mocked(loaders, monkeypatch):
+    """wandb init/log wiring, mirroring reference test_trainer.py:181-252."""
+    from unittest.mock import MagicMock
+
+    import chgnet_tpu.trainer.trainer as trainer_mod
+
+    mock_wandb = MagicMock()
+    monkeypatch.setattr(trainer_mod, "wandb", mock_wandb)
+    train_loader, val_loader, _ = loaders
+    model = CHGNet(seed=0, **SMALL)
+    trainer = trainer_mod.Trainer(
+        model=model,
+        targets="ef",
+        epochs=1,
+        wandb_path="test-project/test-run",
+    )
+    mock_wandb.init.assert_called_once()
+    _, kwargs = mock_wandb.init.call_args
+    assert kwargs["project"] == "test-project"
+    assert kwargs["name"] == "test-run"
+    trainer.train(
+        train_loader, val_loader, save_dir=None, wandb_log_freq="epoch"
+    )
+    # one epoch-level log with train+val metrics
+    logged = [c.args[0] for c in mock_wandb.log.call_args_list]
+    assert any("train_e_mae" in d and "val_e_mae" in d for d in logged)
+
+    with pytest.raises(ValueError, match="project/run_name"):
+        trainer_mod.Trainer(
+            model=model, epochs=1, wandb_path="too/many/slashes"
+        )
