@@ -79,7 +79,9 @@ def test_structure_data_caches_and_resamples():
     for idx in range(len(data)):
         graph, _ = data[idx]
         assert isinstance(graph, CrystalGraph)
-    assert len(data.failed_idx) == 1  # isolated atom got resampled
+    # isolated atom got resampled (possibly repeatedly if the random
+    # resample hits the bad index again, like the reference)
+    assert set(data.failed_idx) == {4}
 
 
 def test_collate_padded(structure_data):
