@@ -21,8 +21,16 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from chgnet_tpu.graph.batching import GraphBatch
-from chgnet_tpu.models.chgnet import CHGNetConfig, compute_batch
-from chgnet_tpu.trainer.losses import CombinedLoss
+from chgnet_tpu.models.chgnet import CHGNetConfig
+from chgnet_tpu.trainer.losses import CombinedLoss, loss_and_metrics
+
+__all__ = [
+    "loss_and_metrics",  # re-export; implementation lives in trainer.losses
+    "make_dp_train_step",
+    "make_single_device_train_step",
+    "stack_batches",
+    "stack_targets",
+]
 
 
 def stack_batches(batches: Sequence[GraphBatch]) -> GraphBatch:
@@ -40,34 +48,6 @@ def stack_targets(targets: Sequence[dict]) -> dict:
     return {
         key: np.stack([t[key] for t in targets]) for key in targets[0]
     }
-
-
-def loss_and_metrics(
-    params,
-    batch: GraphBatch,
-    targets: dict,
-    *,
-    config: CHGNetConfig,
-    loss_fn: CombinedLoss,
-):
-    """Scalar combined loss + metric dict for one padded batch."""
-    prediction = compute_batch(
-        params,
-        batch,
-        config=config,
-        compute_force="f" in loss_fn.target_str,
-        compute_stress="s" in loss_fn.target_str,
-        compute_magmom="m" in loss_fn.target_str,
-    )
-    graph_mask = targets.get(
-        "graph_mask", jnp.ones_like(prediction["e"])
-    )
-    # atoms of masked (filler) graphs must not enter force/magmom losses
-    atom_mask = batch.atom_mask * graph_mask[batch.atom_owner]
-    out = loss_fn(
-        targets, prediction, graph_mask=graph_mask, atom_mask=atom_mask
-    )
-    return out["loss"], out
 
 
 def make_dp_train_step(

@@ -1,0 +1,533 @@
+"""Graph-partitioned multi-chip forward: one (batch of) crystal graph(s)
+spread across a device mesh.
+
+This is the sequence/context-parallel analog for crystal GNNs (SURVEY
+§2.6): the reference has nothing like it — its capacity ceiling is one
+GPU. Here:
+
+* atoms are block-partitioned over the mesh axis; every directed edge
+  lives on the device that owns its CENTER atom (message scatter is then
+  local), and every undirected bond / angle row lives on the device that
+  owns its first directed edge,
+* each conv layer exchanges boundary features by all-gathering the 64-dim
+  atom (and bond) feature tables over ICI — gather-based halo exchange;
+  message computation and segment-sum stay local,
+* energies psum over the mesh; forces/stress flow through the collective
+  transposes (all_gather -> psum-scatter) under ``jax.grad``.
+
+Capacities per device are static, so the whole thing jits once. The CPU
+test suite runs this on 8 virtual devices and asserts numerical identity
+with the single-device forward.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from chgnet_tpu.graph.batching import GraphBatch, round_up
+from chgnet_tpu.models import basis
+from chgnet_tpu.models.chgnet import EV_A3_TO_GPA, CHGNetConfig
+from chgnet_tpu.models.functions import (
+    layer_norm_apply,
+    linear_apply,
+    mlp_apply,
+    segment_sum,
+)
+from chgnet_tpu.models.layers import (
+    angle_update_apply,
+    atom_conv_apply,
+    bond_conv_apply,
+)
+
+
+class ShardedGraphBatch(NamedTuple):
+    """A GraphBatch re-laid-out for D devices (leading axis D everywhere
+    except the replicated lattices). Atom ids stay GLOBAL (block layout:
+    device d owns [d * n_loc, (d+1) * n_loc)); undirected bonds get NEW
+    global ids ``d * u_loc + slot`` matching the all-gather layout."""
+
+    # atoms (block-partitioned, global ids preserved)
+    atomic_numbers: np.ndarray  # i32 [D, N_loc]
+    frac_coords: np.ndarray  # f32 [D, N_loc, 3]
+    atom_owner: np.ndarray  # i32 [D, N_loc] graph id
+    atom_mask: np.ndarray  # f32 [D, N_loc]
+    lattices: np.ndarray  # f32 [B, 3, 3] replicated
+    # directed edges (on center's device)
+    edge_center: np.ndarray  # i32 [D, E_loc] global atom id
+    edge_neighbor: np.ndarray  # i32 [D, E_loc] global atom id
+    edge_image: np.ndarray  # f32 [D, E_loc, 3]
+    edge_owner: np.ndarray  # i32 [D, E_loc] graph id
+    edge_bond: np.ndarray  # i32 [D, E_loc] new global undirected id
+    edge_mask: np.ndarray  # f32 [D, E_loc]
+    # undirected bonds (on first directed edge's device)
+    und_center: np.ndarray  # i32 [D, U_loc] global atom id
+    und_neighbor: np.ndarray  # i32 [D, U_loc] global atom id
+    und_image: np.ndarray  # f32 [D, U_loc, 3]
+    und_owner: np.ndarray  # i32 [D, U_loc] graph id
+    und_mask: np.ndarray  # f32 [D, U_loc]
+    # angle rows (on bond_i's device)
+    ang_center: np.ndarray  # i32 [D, A_loc] global atom id
+    ang_nbr_i: np.ndarray  # i32 [D, A_loc] global atom id (bond_i neighbor)
+    ang_img_i: np.ndarray  # f32 [D, A_loc, 3]
+    ang_nbr_j: np.ndarray  # i32 [D, A_loc]
+    ang_img_j: np.ndarray  # f32 [D, A_loc, 3]
+    ang_bond_i_local: np.ndarray  # i32 [D, A_loc] local scatter slot (or U_loc)
+    ang_bond_i: np.ndarray  # i32 [D, A_loc] new global undirected id
+    ang_bond_j: np.ndarray  # i32 [D, A_loc] new global undirected id
+    ang_owner: np.ndarray  # i32 [D, A_loc] graph id
+    ang_mask: np.ndarray  # f32 [D, A_loc]
+
+    @property
+    def n_devices(self) -> int:
+        return self.atomic_numbers.shape[0]
+
+    @property
+    def n_graphs(self) -> int:
+        return self.lattices.shape[0]
+
+
+def shard_batch(batch: GraphBatch, n_devices: int) -> ShardedGraphBatch:
+    """Host-side re-layout of a padded GraphBatch onto D devices."""
+    d = n_devices
+    cap_n = batch.n_atoms_padded
+    n_loc = round_up(-(-cap_n // d), base=8)
+    n_glob = n_loc * d
+
+    atomic_numbers = np.zeros(n_glob, np.int32)
+    atomic_numbers[:cap_n] = batch.atomic_numbers
+    frac = np.zeros((n_glob, 3), np.float32)
+    frac[:cap_n] = batch.frac_coords
+    atom_owner = np.zeros(n_glob, np.int32)
+    atom_owner[:cap_n] = batch.atom_owner
+    atom_mask = np.zeros(n_glob, np.float32)
+    atom_mask[:cap_n] = batch.atom_mask
+
+    # --- directed edges -> device of center atom
+    e_valid = np.nonzero(batch.edge_mask > 0)[0]
+    centers = batch.atom_graph[e_valid, 0]
+    e_dev = centers // n_loc
+    e_counts = np.bincount(e_dev, minlength=d)
+    e_loc = round_up(int(e_counts.max()), base=8)
+
+    # --- undirected bonds -> device of their first directed edge's center
+    u_valid = np.nonzero(batch.und_mask > 0)[0]
+    u_first_dir = batch.undirected2directed[u_valid]
+    u_center = batch.atom_graph[u_first_dir, 0]
+    u_nbr = batch.atom_graph[u_first_dir, 1]
+    u_img = batch.images[u_first_dir]
+    u_owner_g = batch.edge_owner[u_first_dir]
+    u_dev = u_center // n_loc
+    u_counts = np.bincount(u_dev, minlength=d)
+    u_loc = round_up(int(u_counts.max()), base=8)
+    # new global id for each old undirected id
+    new_uid = np.full(batch.undirected2directed.shape[0], -1, np.int64)
+    slot_ctr = np.zeros(d, np.int64)
+    for old_u, dev in zip(u_valid, u_dev):
+        new_uid[old_u] = dev * u_loc + slot_ctr[dev]
+        slot_ctr[dev] += 1
+
+    # --- angle rows -> device of bond_i
+    a_valid = np.nonzero(batch.angle_mask > 0)[0]
+    bg = batch.bond_graph[a_valid]
+    a_dev = new_uid[bg[:, 1]] // u_loc
+    a_counts = np.bincount(a_dev, minlength=d)
+    a_loc = round_up(int(max(a_counts.max(), 1)), base=8)
+
+    out = ShardedGraphBatch(
+        atomic_numbers=atomic_numbers.reshape(d, n_loc),
+        frac_coords=frac.reshape(d, n_loc, 3),
+        atom_owner=atom_owner.reshape(d, n_loc),
+        atom_mask=atom_mask.reshape(d, n_loc),
+        lattices=np.asarray(batch.lattices, np.float32),
+        edge_center=np.zeros((d, e_loc), np.int32),
+        edge_neighbor=np.zeros((d, e_loc), np.int32),
+        edge_image=np.zeros((d, e_loc, 3), np.float32),
+        edge_owner=np.zeros((d, e_loc), np.int32),
+        edge_bond=np.zeros((d, e_loc), np.int32),
+        edge_mask=np.zeros((d, e_loc), np.float32),
+        und_center=np.zeros((d, u_loc), np.int32),
+        und_neighbor=np.zeros((d, u_loc), np.int32),
+        und_image=np.zeros((d, u_loc, 3), np.float32),
+        und_owner=np.zeros((d, u_loc), np.int32),
+        und_mask=np.zeros((d, u_loc), np.float32),
+        ang_center=np.zeros((d, a_loc), np.int32),
+        ang_nbr_i=np.zeros((d, a_loc), np.int32),
+        ang_img_i=np.zeros((d, a_loc, 3), np.float32),
+        ang_nbr_j=np.zeros((d, a_loc), np.int32),
+        ang_img_j=np.zeros((d, a_loc, 3), np.float32),
+        ang_bond_i_local=np.full((d, a_loc), u_loc, np.int32),
+        ang_bond_i=np.zeros((d, a_loc), np.int32),
+        ang_bond_j=np.zeros((d, a_loc), np.int32),
+        ang_owner=np.zeros((d, a_loc), np.int32),
+        ang_mask=np.zeros((d, a_loc), np.float32),
+    )
+    # padded edge images default to (1,0,0) so padded distances stay > 0
+    out.edge_image[:, :, 0] = 1.0
+    out.und_image[:, :, 0] = 1.0
+    out.ang_img_i[:, :, 0] = 1.0
+    out.ang_img_j[:, :, 0] = 1.0
+
+    cursor = np.zeros(d, np.int64)
+    for e, dev in zip(e_valid, e_dev):
+        s = cursor[dev]
+        out.edge_center[dev, s] = batch.atom_graph[e, 0]
+        out.edge_neighbor[dev, s] = batch.atom_graph[e, 1]
+        out.edge_image[dev, s] = batch.images[e]
+        out.edge_owner[dev, s] = batch.edge_owner[e]
+        out.edge_bond[dev, s] = new_uid[batch.directed2undirected[e]]
+        out.edge_mask[dev, s] = 1.0
+        cursor[dev] += 1
+
+    cursor[:] = 0
+    for idx, (old_u, dev) in enumerate(zip(u_valid, u_dev)):
+        s = cursor[dev]
+        assert new_uid[old_u] == dev * u_loc + s
+        out.und_center[dev, s] = u_center[idx]
+        out.und_neighbor[dev, s] = u_nbr[idx]
+        out.und_image[dev, s] = u_img[idx]
+        out.und_owner[dev, s] = u_owner_g[idx]
+        out.und_mask[dev, s] = 1.0
+        cursor[dev] += 1
+
+    cursor[:] = 0
+    for idx, dev in enumerate(a_dev):
+        s = cursor[dev]
+        row = bg[idx]
+        out.ang_center[dev, s] = batch.atom_graph[row[2], 0]
+        out.ang_nbr_i[dev, s] = batch.atom_graph[row[2], 1]
+        out.ang_img_i[dev, s] = batch.images[row[2]]
+        out.ang_nbr_j[dev, s] = batch.atom_graph[row[4], 1]
+        out.ang_img_j[dev, s] = batch.images[row[4]]
+        out.ang_bond_i_local[dev, s] = new_uid[row[1]] % u_loc
+        out.ang_bond_i[dev, s] = new_uid[row[1]]
+        out.ang_bond_j[dev, s] = new_uid[row[3]]
+        out.ang_owner[dev, s] = batch.edge_owner[row[2]]
+        out.ang_mask[dev, s] = 1.0
+        cursor[dev] += 1
+    return out
+
+
+def _energy_sharded(
+    params,
+    cfg: CHGNetConfig,
+    sb: ShardedGraphBatch,
+    cart: jnp.ndarray,  # [N_loc, 3] undeformed local cartesians (diff var)
+    strains: jnp.ndarray,  # [B, 3, 3] replicated
+    axis: str,
+):
+    """Per-device energy partial with gather-based halo exchange.
+
+    Runs INSIDE shard_map: sb leaves arrive with the leading device axis
+    stripped. Returns (local_energy_partial [B] — NOT psum'ed, so it can
+    sit inside jax.grad without D-fold cotangent inflation; cross-device
+    force terms flow through the all_gather transpose — and an aux dict
+    of local arrays)."""
+    n_graphs = sb.lattices.shape[0]
+    n_loc = sb.atomic_numbers.shape[0]
+    dev = jax.lax.axis_index(axis)
+
+    eye = jnp.eye(3, dtype=cart.dtype)
+    deform = eye[None] + strains  # [B, 3, 3]
+    lat = jnp.einsum("bij,bjk->bik", sb.lattices, deform)
+
+    # global positions: deform local cart -> all_gather (the halo exchange)
+    cart_loc = jnp.einsum("ni,nij->nj", cart, deform[sb.atom_owner])
+    pos = jax.lax.all_gather(cart_loc, axis, tiled=True)  # [N_glob, 3]
+
+    def bond_vec(center, neighbor, image, owner):
+        return (
+            pos[center]
+            - pos[neighbor]
+            - jnp.einsum("ei,eij->ej", image, lat[owner])
+        )
+
+    # undirected bond bases (local bonds)
+    und_vec = bond_vec(sb.und_center, sb.und_neighbor, sb.und_image, sb.und_owner)
+    und_dist = jnp.linalg.norm(und_vec, axis=1)
+    rbf_ag = basis.radial_bessel(
+        und_dist, params["bond_basis"]["freq_ag"],
+        cfg.atom_graph_cutoff, cfg.cutoff_coeff,
+    )
+    rbf_bg = basis.radial_bessel(
+        und_dist, params["bond_basis"]["freq_bg"],
+        cfg.bond_graph_cutoff, cfg.cutoff_coeff,
+    )
+
+    # angle basis from per-row bond vectors (no directed-edge exchange)
+    vec_i = bond_vec(sb.ang_center, sb.ang_nbr_i, sb.ang_img_i, sb.ang_owner)
+    vec_j = bond_vec(sb.ang_center, sb.ang_nbr_j, sb.ang_img_j, sb.ang_owner)
+    unit_i = vec_i / jnp.linalg.norm(vec_i, axis=1, keepdims=True)
+    unit_j = vec_j / jnp.linalg.norm(vec_j, axis=1, keepdims=True)
+    cos_ij = jnp.sum(unit_i * unit_j, axis=1) * (1 - 1e-6)
+    angle_bases = basis.fourier(jnp.arccos(cos_ij), params["angle_basis"]["freq"])
+
+    # embeddings (local)
+    z_index = jnp.clip(sb.atomic_numbers - 1, 0, cfg.max_num_elements - 1)
+    atom_feas = params["atom_embedding"]["weight"][z_index]  # [N_loc, d]
+    bond_feas = linear_apply(params["bond_embedding"], rbf_ag)  # [U_loc, d]
+    bw_ag = linear_apply(params["bond_weights_ag"], rbf_ag)
+    bw_bg = linear_apply(params["bond_weights_bg"], rbf_bg)
+    angle_feas = linear_apply(params["angle_embedding"], angle_bases)
+
+    # one-time gathered tables for edge-level weights
+    bw_ag_glob = jax.lax.all_gather(bw_ag, axis, tiled=True)  # [U_glob, d]
+    bw_bg_glob = jax.lax.all_gather(bw_bg, axis, tiled=True)
+
+    # GLOBAL scatter indices: the conv ops run on the gathered global
+    # tables; each device computes sums for its OWN rows only (its edges
+    # only target its centers/bonds), then slices its block back out.
+    n_glob = n_loc * jax.lax.axis_size(axis)
+    u_loc = bond_feas.shape[0]
+    u_glob = u_loc * jax.lax.axis_size(axis)
+    edge_scatter = jnp.where(
+        sb.edge_mask > 0, sb.edge_center, n_glob
+    ).astype(jnp.int32)
+    atom_graph = jnp.stack([sb.edge_center, sb.edge_neighbor], axis=1)
+    ang_scatter = jnp.where(
+        sb.ang_mask > 0, sb.ang_bond_i, u_glob
+    ).astype(jnp.int32)
+    bond_graph = jnp.stack(
+        [sb.ang_center, sb.ang_bond_i, jnp.zeros_like(sb.ang_bond_i),
+         sb.ang_bond_j, jnp.zeros_like(sb.ang_bond_j)],
+        axis=1,
+    )
+
+    def my_atoms(glob):
+        return jax.lax.dynamic_slice_in_dim(glob, dev * n_loc, n_loc)
+
+    def my_bonds(glob):
+        return jax.lax.dynamic_slice_in_dim(glob, dev * u_loc, u_loc)
+
+    act = cfg.non_linearity
+    atom_feas_mid = atom_feas
+
+    for idx in range(cfg.n_conv - 1):
+        bond_glob = jax.lax.all_gather(bond_feas, axis, tiled=True)
+        atom_glob = jax.lax.all_gather(atom_feas, axis, tiled=True)
+        atom_feas = my_atoms(
+            atom_conv_apply(
+                params["atom_convs"][idx],
+                atom_glob,
+                bond_glob,
+                bw_ag_glob,
+                atom_graph,
+                edge_scatter,
+                sb.edge_bond,
+                sb.edge_mask,
+                activation=act,
+            )
+        )
+        if cfg.update_bond:
+            atom_glob2 = jax.lax.all_gather(atom_feas, axis, tiled=True)
+            bond_feas = my_bonds(
+                bond_conv_apply(
+                    params["bond_convs"][idx],
+                    atom_glob2,
+                    bond_glob,
+                    bw_bg_glob,
+                    angle_feas,
+                    bond_graph,
+                    ang_scatter,
+                    sb.ang_mask,
+                    activation=act,
+                )
+            )
+        if cfg.update_angle:
+            atom_glob3 = jax.lax.all_gather(atom_feas, axis, tiled=True)
+            bond_glob3 = jax.lax.all_gather(bond_feas, axis, tiled=True)
+            angle_feas = angle_update_apply(
+                params["angle_updates"][idx],
+                atom_glob3,
+                bond_glob3,
+                angle_feas,
+                bond_graph,
+                activation=act,
+            )
+        if idx == cfg.n_conv - 2:
+            atom_feas_mid = atom_feas
+
+    bond_glob = jax.lax.all_gather(bond_feas, axis, tiled=True)
+    atom_glob = jax.lax.all_gather(atom_feas, axis, tiled=True)
+    atom_feas = my_atoms(
+        atom_conv_apply(
+            params["atom_convs"][cfg.n_conv - 1],
+            atom_glob,
+            bond_glob,
+            bw_ag_glob,
+            atom_graph,
+            edge_scatter,
+            sb.edge_bond,
+            sb.edge_mask,
+            activation=act,
+        )
+    )
+    if "readout_norm" in params:
+        atom_feas = layer_norm_apply(params["readout_norm"], atom_feas)
+
+    atom_scatter = jnp.where(sb.atom_mask > 0, sb.atom_owner, n_graphs).astype(
+        jnp.int32
+    )
+    atoms_per_graph_local = segment_sum(
+        sb.atom_mask[:, None], atom_scatter, n_graphs
+    ).reshape(-1)
+    if not cfg.mlp_first:
+        raise NotImplementedError(
+            "graph-sharded forward supports mlp_first readout only"
+        )
+    site_energies = mlp_apply(params["mlp"], atom_feas, activation=act)
+    site_energies = site_energies * sb.atom_mask[:, None]
+    energy_partial = segment_sum(site_energies, atom_scatter, n_graphs).reshape(
+        -1
+    )
+    aux = {
+        "atoms_per_graph_local": atoms_per_graph_local,
+        "atom_feas_mid": atom_feas_mid,
+        "site_energies": site_energies.reshape(-1),
+    }
+    return energy_partial, aux
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "config", "mesh", "axis",
+        "compute_force", "compute_stress", "compute_magmom",
+    ),
+)
+def compute_batch_sharded(
+    params,
+    sbatch: ShardedGraphBatch,
+    *,
+    config: CHGNetConfig,
+    mesh: Mesh,
+    axis: str = "graph",
+    compute_force: bool = False,
+    compute_stress: bool = False,
+    compute_magmom: bool = False,
+) -> dict[str, jnp.ndarray]:
+    """Graph-partitioned prediction over a device mesh.
+
+    Returns: e [B] (eV/atom if intensive), f [D, N_loc, 3], s [B, 3, 3]
+    GPa, m [D, N_loc] — per-atom outputs keep the sharded block layout
+    (``unshard_atoms`` flattens them back).
+    """
+    cfg = config
+    n_graphs = sbatch.n_graphs
+
+    sharded_spec = ShardedGraphBatch(
+        atomic_numbers=P(axis), frac_coords=P(axis), atom_owner=P(axis),
+        atom_mask=P(axis), lattices=P(),
+        edge_center=P(axis), edge_neighbor=P(axis), edge_image=P(axis),
+        edge_owner=P(axis), edge_bond=P(axis), edge_mask=P(axis),
+        und_center=P(axis), und_neighbor=P(axis), und_image=P(axis),
+        und_owner=P(axis), und_mask=P(axis),
+        ang_center=P(axis), ang_nbr_i=P(axis), ang_img_i=P(axis),
+        ang_nbr_j=P(axis), ang_img_j=P(axis), ang_bond_i_local=P(axis),
+        ang_bond_i=P(axis), ang_bond_j=P(axis), ang_owner=P(axis),
+        ang_mask=P(axis),
+    )
+
+    def local_fn(params, sbatch_l, frac_l, strains):
+        # leading device axis is stripped by shard_map on P(axis) leaves
+        sb = jax.tree.map(
+            lambda leaf, spec: leaf[0] if spec == P(axis) else leaf,
+            sbatch_l,
+            sharded_spec,
+        )
+
+        def energy_of(cart, strains):
+            with jax.default_matmul_precision(cfg.matmul_precision):
+                e_partial, aux = _energy_sharded(
+                    params, cfg, sb, cart, strains, axis
+                )
+            return e_partial.sum(), (e_partial, aux)
+
+        frac = frac_l[0]
+        # undeformed local cartesians are the differentiation variable,
+        # exactly like compute_batch (model.py:517-535 semantics)
+        cart0 = jnp.einsum("ni,nij->nj", frac, sb.lattices[sb.atom_owner])
+        strains0 = strains
+        out = {}
+        if compute_force or compute_stress:
+            argnums = (0, 1) if compute_stress else (0,)
+            (_, (e_partial, aux)), grads = jax.value_and_grad(
+                energy_of, argnums=argnums, has_aux=True
+            )(cart0, strains0)
+            if compute_force:
+                # local direct terms + cross-device terms via the
+                # all_gather transpose (psum-scatter) = full local force
+                out["f"] = -grads[0][None]
+            if compute_stress:
+                volumes = jnp.abs(jnp.linalg.det(sb.lattices))
+                # each device's grad covers its local strain uses; the
+                # full virial is their sum over the mesh
+                virial = jax.lax.psum(grads[-1], axis)
+                out["s"] = virial * EV_A3_TO_GPA / volumes[:, None, None]
+        else:
+            _, (e_partial, aux) = energy_of(cart0, strains0)
+
+        e_ext = jax.lax.psum(e_partial, axis)
+        atoms_per_graph = jax.lax.psum(aux["atoms_per_graph_local"], axis)
+        safe = jnp.maximum(atoms_per_graph, 1.0)
+        energy = e_ext / safe if cfg.is_intensive else e_ext
+        if "composition" in params:
+            site_ref = params["composition"]["weight"][
+                jnp.clip(sb.atomic_numbers - 1, 0, cfg.max_num_elements - 1)
+            ] * sb.atom_mask
+            atom_scatter = jnp.where(
+                sb.atom_mask > 0, sb.atom_owner, n_graphs
+            ).astype(jnp.int32)
+            comp_ext = jax.lax.psum(
+                segment_sum(site_ref[:, None], atom_scatter, n_graphs
+                            ).reshape(-1),
+                axis,
+            )
+            energy = energy + (
+                comp_ext / safe if cfg.atom_ref_is_intensive else comp_ext
+            )
+        out["e"] = energy
+        out["atoms_per_graph"] = atoms_per_graph
+        if compute_magmom:
+            out["m"] = (
+                jnp.abs(
+                    linear_apply(params["site_wise"], aux["atom_feas_mid"])
+                ).reshape(-1)
+                * sb.atom_mask
+            )[None]
+        return out
+
+    out_specs = {"e": P(), "atoms_per_graph": P()}
+    if compute_force:
+        out_specs["f"] = P(axis)
+    if compute_stress:
+        out_specs["s"] = P()
+    if compute_magmom:
+        out_specs["m"] = P(axis)
+
+    fn = shard_map(
+        functools.partial(local_fn),
+        mesh=mesh,
+        in_specs=(P(), sharded_spec, P(axis), P()),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    strains0 = jnp.zeros((n_graphs, 3, 3), jnp.float32)
+    return fn(
+        params,
+        jax.tree.map(jnp.asarray, sbatch),
+        jnp.asarray(sbatch.frac_coords),
+        strains0,
+    )
+
+
+def unshard_atoms(arr: np.ndarray) -> np.ndarray:
+    """[D, N_loc, ...] -> [D * N_loc, ...] global block layout."""
+    arr = np.asarray(arr)
+    return arr.reshape(arr.shape[0] * arr.shape[1], *arr.shape[2:])

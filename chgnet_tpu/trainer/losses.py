@@ -122,3 +122,25 @@ class CombinedLoss:
             out["m_MAE"], out["m_MAE_size"] = mae_m, count
 
         return out
+
+
+def loss_and_metrics(params, batch, targets, *, config, loss_fn):
+    """Scalar combined loss + metric dict for one padded batch (shared by
+    the single-device and data-parallel train steps)."""
+    from chgnet_tpu.models.chgnet import compute_batch
+
+    prediction = compute_batch(
+        params,
+        batch,
+        config=config,
+        compute_force="f" in loss_fn.target_str,
+        compute_stress="s" in loss_fn.target_str,
+        compute_magmom="m" in loss_fn.target_str,
+    )
+    graph_mask = targets.get("graph_mask", jnp.ones_like(prediction["e"]))
+    # atoms of masked (filler) graphs must not enter force/magmom losses
+    atom_mask = batch.atom_mask * graph_mask[batch.atom_owner]
+    out = loss_fn(
+        targets, prediction, graph_mask=graph_mask, atom_mask=atom_mask
+    )
+    return out["loss"], out
