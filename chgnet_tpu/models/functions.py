@@ -198,3 +198,52 @@ def gated_mlp_apply(params: Params, x: jnp.ndarray, *, activation: str = "silu")
         core = layer_norm_apply(params["norm_core"], core)
         gate = layer_norm_apply(params["norm_gate"], gate)
     return act(core) * jax.nn.sigmoid(gate)
+
+
+def gated_mlp_gather_apply(
+    params: Params,
+    parts: Sequence[tuple[jnp.ndarray, jnp.ndarray | None]],
+    *,
+    activation: str = "silu",
+) -> jnp.ndarray:
+    """GatedMLP over an implicit concatenation of gathered feature blocks.
+
+    ``parts`` is a sequence of ``(table [M_k, d_k], index [E] | None)``;
+    the result equals ``gated_mlp_apply(params, concat([t[i] for t, i in
+    parts], axis=1))`` — but each block is pushed through the first
+    core/gate Linear BEFORE gathering. The message-passing hot loop never
+    materializes the [E, sum(d_k)] concat, and the first-layer matmul rows
+    drop from E (edges/angles) to M_k (atoms/bonds) — the TPU-native
+    rewrite of the reference's gather-concat-matmul
+    (``/root/reference/chgnet/model/layers.py:112-125``): HBM traffic and
+    MXU work move from the edge axis onto the tiny node tables.
+    """
+    act = find_activation(activation)
+    branches = {}
+    for branch in ("core", "gate"):
+        layers = params[branch]["layers"]
+        first = layers[0]
+        offset = 0
+        acc = None
+        for table, idx in parts:
+            d_k = table.shape[1]
+            proj = jnp.dot(table, first["w"][offset: offset + d_k])
+            if idx is not None:
+                proj = proj[idx]
+            acc = proj if acc is None else acc + proj
+            offset += d_k
+        if "b" in first:
+            acc = acc + first["b"]
+        if len(layers) > 1:
+            x = act(acc)
+            for layer in layers[1:-1]:
+                x = act(linear_apply(layer, x))
+            x = linear_apply(layers[-1], x)
+        else:
+            x = acc
+        branches[branch] = x
+    core, gate = branches["core"], branches["gate"]
+    if "norm_core" in params:
+        core = layer_norm_apply(params["norm_core"], core)
+        gate = layer_norm_apply(params["norm_gate"], gate)
+    return act(core) * jax.nn.sigmoid(gate)

@@ -21,6 +21,7 @@ import numpy as np
 from chgnet_tpu.models.functions import (
     Params,
     gated_mlp_apply,
+    gated_mlp_gather_apply,
     gated_mlp_init,
     layer_norm_apply,
     linear_apply,
@@ -79,13 +80,20 @@ def atom_conv_apply(
     activation: str = "silu",
     resnet: bool = True,
 ) -> jnp.ndarray:
-    """Directed gather -> gated MLP -> bond-weight scaling -> sorted
-    segment-sum into center atoms (``layers.py:81-137``)."""
-    center = atom_feas[atom_graph[:, 0]]
-    nbr = atom_feas[atom_graph[:, 1]]
-    bonds = bond_feas[directed2undirected]
-    messages = jnp.concatenate([center, bonds, nbr], axis=1)
-    messages = gated_mlp_apply(params["gated_mlp"], messages, activation=activation)
+    """Gated-MLP messages over directed edges -> bond-weight scaling ->
+    sorted segment-sum into center atoms (``layers.py:81-137``). The
+    [E, 3d] concat of the reference is replaced by split first-layer
+    projections on the atom/bond tables (see ``gated_mlp_gather_apply``).
+    """
+    messages = gated_mlp_gather_apply(
+        params["gated_mlp"],
+        [
+            (atom_feas, atom_graph[:, 0]),
+            (bond_feas, directed2undirected),
+            (atom_feas, atom_graph[:, 1]),
+        ],
+        activation=activation,
+    )
     messages = messages * bond_weights[directed2undirected]
     messages = messages * edge_mask[:, None]
 
@@ -150,11 +158,16 @@ def bond_conv_apply(
     resnet: bool = True,
 ) -> jnp.ndarray:
     """Line-graph update of undirected-bond features (``layers.py:208-265``)."""
-    center = atom_feas[bond_graph[:, 0]]
-    bond_i = bond_feas[bond_graph[:, 1]]
-    bond_j = bond_feas[bond_graph[:, 3]]
-    total = jnp.concatenate([bond_i, bond_j, angle_feas, center], axis=1)
-    update = gated_mlp_apply(params["gated_mlp"], total, activation=activation)
+    update = gated_mlp_gather_apply(
+        params["gated_mlp"],
+        [
+            (bond_feas, bond_graph[:, 1]),
+            (bond_feas, bond_graph[:, 3]),
+            (angle_feas, None),
+            (atom_feas, bond_graph[:, 0]),
+        ],
+        activation=activation,
+    )
     update = (
         update
         * bond_weights[bond_graph[:, 1]]
@@ -213,11 +226,16 @@ def angle_update_apply(
     resnet: bool = True,
 ) -> jnp.ndarray:
     """Per-angle feature update, no aggregation (``layers.py:321-363``)."""
-    center = atom_feas[bond_graph[:, 0]]
-    bond_i = bond_feas[bond_graph[:, 1]]
-    bond_j = bond_feas[bond_graph[:, 3]]
-    total = jnp.concatenate([bond_i, bond_j, angle_feas, center], axis=1)
-    new_angle_feas = gated_mlp_apply(params["gated_mlp"], total, activation=activation)
+    new_angle_feas = gated_mlp_gather_apply(
+        params["gated_mlp"],
+        [
+            (bond_feas, bond_graph[:, 1]),
+            (bond_feas, bond_graph[:, 3]),
+            (angle_feas, None),
+            (atom_feas, bond_graph[:, 0]),
+        ],
+        activation=activation,
+    )
     if resnet:
         new_angle_feas = new_angle_feas + angle_feas
     if "norm" in params:
