@@ -518,6 +518,25 @@ class GraphLoader:
             n += 1
         return n
 
+    def ensure_fixed_capacities(self) -> tuple[int, int, int]:
+        """Pin capacities so every batch has identical shapes (required by
+        the multi-device data-parallel path, where all devices must see
+        the same compiled program). Upper-bounds by batch_size x the
+        largest per-item sizes over this loader's indices."""
+        if self.capacities is None:
+            max_n = max_e = max_a = 1
+            for idx in self.indices:
+                graph, _ = self.dataset[int(idx)]
+                max_n = max(max_n, graph.n_atoms)
+                max_e = max(max_e, graph.n_directed)
+                max_a = max(max_a, graph.n_angles)
+            self.capacities = (
+                round_up(self.batch_size * max_n),
+                round_up(self.batch_size * max_e),
+                round_up(self.batch_size * max_a),
+            )
+        return self.capacities
+
     def _capacities_for(self, graphs) -> tuple[int, int, int]:
         if self.capacities is not None:
             return self.capacities

@@ -126,13 +126,21 @@ class Trainer:
         wandb_path: str | None = None,
         wandb_init_kwargs: dict | None = None,
         extra_run_config: dict | None = None,
+        mesh=None,
         **kwargs,
     ) -> None:
         self.trainer_args = {
             k: v
             for k, v in locals().items()
-            if k not in {"self", "__class__", "model", "kwargs"}
+            if k not in {"self", "__class__", "model", "kwargs", "mesh"}
         } | kwargs
+        # data parallelism over a device mesh (a NEW capability vs the
+        # single-device reference, SURVEY §2.6): int -> first-N-devices mesh
+        if isinstance(mesh, int):
+            from chgnet_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(mesh)
+        self.mesh = mesh
         self.model = model
         self.targets = targets
         if data_seed:
@@ -362,6 +370,40 @@ class Trainer:
             if wandb is not None and self.trainer_args.get("wandb_path"):
                 wandb.log({f"test_{k}_mae": v for k, v in test_mae.items()})
 
+    def _dp_step(self):
+        """Jitted data-parallel train step over ``self.mesh`` (cached)."""
+        if "dp" not in self._jit_cache:
+            from chgnet_tpu.parallel.dp import make_dp_train_step
+
+            self._jit_cache["dp"] = make_dp_train_step(
+                config=self.model.config,
+                loss_fn=self.criterion,
+                optimizer=self._optimizer,
+                mesh=self.mesh,
+            )
+        return self._jit_cache["dp"]
+
+    def _iter_train_batches(self, train_loader):
+        """Yield (batch, targets) ready for the train step; under a mesh,
+        groups of D loader batches are stacked on a device axis (the
+        trailing incomplete group is dropped)."""
+        if self.mesh is None:
+            yield from train_loader
+            return
+        from chgnet_tpu.parallel.dp import stack_batches, stack_targets
+
+        n_dev = self.mesh.devices.size
+        train_loader.ensure_fixed_capacities()
+        group: list = []
+        for item in train_loader:
+            group.append(item)
+            if len(group) == n_dev:
+                yield (
+                    stack_batches([b for b, _ in group]),
+                    stack_targets([t for _, t in group]),
+                )
+                group = []
+
     def _train(
         self,
         train_loader,
@@ -372,14 +414,20 @@ class Trainer:
         batch_time, data_time = AverageMeter(), AverageMeter()
         losses = AverageMeter()
         mae_errors = {t: AverageMeter() for t in self.targets}
-        train_step, _ = self._steps(
-            self.trainer_args.get("train_composition_model", False)
-        )
-        n_batches = len(train_loader)
+        if self.mesh is not None:
+            train_step = self._dp_step()
+            n_batches = len(train_loader) // self.mesh.devices.size
+        else:
+            train_step, _ = self._steps(
+                self.trainer_args.get("train_composition_model", False)
+            )
+            n_batches = len(train_loader)
         lr_marks = set(np.arange(1, 11) * n_batches // 10)
 
         start = time.perf_counter()
-        for idx, (batch, targets) in enumerate(train_loader):
+        for idx, (batch, targets) in enumerate(
+            self._iter_train_batches(train_loader)
+        ):
             data_time.update(time.perf_counter() - start)
             params, self.opt_state, metrics = train_step(
                 self.model.params, self.opt_state, batch, targets

@@ -199,6 +199,21 @@ def test_trainer_huber_and_optimizers(loaders):
         assert np.isfinite(trainer.training_history["e"]["train"][0])
 
 
+def test_trainer_data_parallel(loaders):
+    """Trainer over a 4-device mesh: loader batches grouped/stacked per
+    device, gradients pmean'ed — a capability the reference lacks."""
+    train_loader, val_loader, _ = loaders
+    model = CHGNet(seed=0, **SMALL)
+    trainer = Trainer(
+        model=model, targets="ef", epochs=2, learning_rate=1e-3, mesh=4
+    )
+    trainer.train(train_loader, val_loader, save_dir=None)
+    hist = trainer.training_history["e"]["train"]
+    assert len(hist) == 2 and all(np.isfinite(hist))
+    # fixed capacities were pinned for shape-identical device batches
+    assert train_loader.capacities is not None
+
+
 def test_wandb_mocked(loaders, monkeypatch):
     """wandb init/log wiring, mirroring reference test_trainer.py:181-252."""
     from unittest.mock import MagicMock
