@@ -70,7 +70,10 @@ def main() -> None:
         start = time.perf_counter()
         for _ in range(n_iters):
             out = run()
-        jax.block_until_ready(out)
+        # host scalar fetch: stream-ordered, so it forces TRUE completion
+        # of all queued executions (block_until_ready alone can be
+        # unreliable through remote-device tunnels)
+        float(out["e"][0])
         best = min(best, time.perf_counter() - start)
 
     edges_per_s = n_edges * n_iters / best
