@@ -227,3 +227,29 @@ def test_unknown_kwargs_warn() -> None:
 def test_odd_num_angular_required() -> None:
     with pytest.raises(ValueError, match="must be odd"):
         CHGNet(seed=0, **{**SMALL, "num_angular": 10})
+
+
+def test_bfloat16_compute_mode(li_mn_o2):
+    """Opt-in bf16 conv stack tracks the f32 path within loose tolerance
+    (geometry and readout stay f32; see CHGNetConfig.compute_dtype)."""
+    import dataclasses
+
+    from chgnet_tpu.graph.batching import batch_graphs
+    from chgnet_tpu.models.chgnet import compute_batch
+
+    model = CHGNet(seed=0, **SMALL)
+    batch = batch_graphs([model.graph_converter(li_mn_o2)])
+    kw = dict(compute_force=True, compute_stress=True, compute_magmom=True)
+    out32 = compute_batch(model.params, batch, config=model.config, **kw)
+    cfg16 = dataclasses.replace(
+        model.config, compute_dtype="bfloat16", matmul_precision="default"
+    )
+    out16 = compute_batch(model.params, batch, config=cfg16, **kw)
+    assert float(out16["e"][0]) == pytest.approx(float(out32["e"][0]), abs=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(out16["f"]), np.asarray(out32["f"]), atol=2e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(out16["m"]), np.asarray(out32["m"]), atol=2e-2
+    )
+    assert np.asarray(out16["f"]).dtype == np.float32  # outputs stay f32
