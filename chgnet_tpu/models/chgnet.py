@@ -113,6 +113,7 @@ class CHGNetConfig:
     compute_dtype: str = "float32"  # "bfloat16": conv stack in bf16 (see
     # _energy_core) — ~2x less HBM traffic on bandwidth-bound TPUs at the
     # cost of ~1e-2-relative feature precision; geometry/readout stay f32
+    fused_kernels: bool = False  # Pallas fused gated-message kernels
     max_num_elements: int = 94
 
     def __post_init__(self) -> None:
@@ -318,6 +319,7 @@ def _energy_core(
             batch.directed2undirected,
             edge_mask,
             activation=act,
+            fused=cfg.fused_kernels,
         )
         if cfg.update_bond:
             bond_feas = bond_conv_apply(
@@ -330,6 +332,7 @@ def _energy_core(
                 batch.angle_scatter,
                 angle_mask,
                 activation=act,
+                fused=cfg.fused_kernels,
             )
         if cfg.update_angle:
             angle_feas = angle_update_apply(
@@ -353,6 +356,7 @@ def _energy_core(
         batch.directed2undirected,
         edge_mask,
         activation=act,
+        fused=cfg.fused_kernels,
     )
     atom_feas = atom_feas.astype(jnp.float32)  # readout stays float32
     if "readout_norm" in params:

@@ -200,6 +200,58 @@ def gated_mlp_apply(params: Params, x: jnp.ndarray, *, activation: str = "silu")
     return act(core) * jax.nn.sigmoid(gate)
 
 
+def first_layer_acc(
+    layers: Sequence[Params],
+    parts: Sequence[tuple[jnp.ndarray, jnp.ndarray | None]],
+) -> jnp.ndarray:
+    """First-Linear output over an implicit concat of gathered blocks:
+    each block projected on its table BEFORE gathering (see
+    ``gated_mlp_gather_apply``)."""
+    first = layers[0]
+    offset = 0
+    acc = None
+    for table, idx in parts:
+        d_k = table.shape[1]
+        proj = jnp.dot(table, first["w"][offset: offset + d_k])
+        if idx is not None:
+            proj = proj[idx]
+        acc = proj if acc is None else acc + proj
+        offset += d_k
+    if "b" in first:
+        acc = acc + first["b"]
+    return acc
+
+
+def gated_mlp_fusable(params: Params, activation: str = "silu") -> bool:
+    """True when both branches are exactly 2 Linears with layer norms and
+    silu activation — the shape the fused Pallas message kernel supports
+    (the default CHGNet architecture)."""
+    return (
+        activation == "silu"
+        and "norm_core" in params
+        and len(params["core"]["layers"]) == 2
+        and len(params["gate"]["layers"]) == 2
+    )
+
+
+def gated_mlp_fused_pack(params: Params) -> Params:
+    """Second-layer + norm params in the fused kernel's flat layout."""
+    core2 = params["core"]["layers"][1]
+    gate2 = params["gate"]["layers"][1]
+    dim = core2["w"].shape[1]
+    zeros = jnp.zeros(dim, jnp.asarray(core2["w"]).dtype)
+    return {
+        "w2c": core2["w"],
+        "b2c": core2.get("b", zeros),
+        "w2g": gate2["w"],
+        "b2g": gate2.get("b", zeros),
+        "nc_scale": params["norm_core"]["scale"],
+        "nc_bias": params["norm_core"]["bias"],
+        "ng_scale": params["norm_gate"]["scale"],
+        "ng_bias": params["norm_gate"]["bias"],
+    }
+
+
 def gated_mlp_gather_apply(
     params: Params,
     parts: Sequence[tuple[jnp.ndarray, jnp.ndarray | None]],

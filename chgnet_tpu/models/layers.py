@@ -20,7 +20,10 @@ import numpy as np
 
 from chgnet_tpu.models.functions import (
     Params,
+    first_layer_acc,
     gated_mlp_apply,
+    gated_mlp_fusable,
+    gated_mlp_fused_pack,
     gated_mlp_gather_apply,
     gated_mlp_init,
     layer_norm_apply,
@@ -79,23 +82,34 @@ def atom_conv_apply(
     *,
     activation: str = "silu",
     resnet: bool = True,
+    fused: bool = False,
 ) -> jnp.ndarray:
     """Gated-MLP messages over directed edges -> bond-weight scaling ->
     sorted segment-sum into center atoms (``layers.py:81-137``). The
     [E, 3d] concat of the reference is replaced by split first-layer
-    projections on the atom/bond tables (see ``gated_mlp_gather_apply``).
+    projections on the atom/bond tables (see ``gated_mlp_gather_apply``);
+    with ``fused`` the message tail runs as one Pallas kernel.
     """
-    messages = gated_mlp_gather_apply(
-        params["gated_mlp"],
-        [
-            (atom_feas, atom_graph[:, 0]),
-            (bond_feas, directed2undirected),
-            (atom_feas, atom_graph[:, 1]),
-        ],
-        activation=activation,
-    )
-    messages = messages * bond_weights[directed2undirected]
-    messages = messages * edge_mask[:, None]
+    parts = [
+        (atom_feas, atom_graph[:, 0]),
+        (bond_feas, directed2undirected),
+        (atom_feas, atom_graph[:, 1]),
+    ]
+    gmlp = params["gated_mlp"]
+    if fused and gated_mlp_fusable(gmlp, activation):
+        from chgnet_tpu.ops.gated_message import fused_gated_message
+
+        messages = fused_gated_message(
+            first_layer_acc(gmlp["core"]["layers"], parts),
+            first_layer_acc(gmlp["gate"]["layers"], parts),
+            bond_weights[directed2undirected],
+            edge_mask,
+            gated_mlp_fused_pack(gmlp),
+        )
+    else:
+        messages = gated_mlp_gather_apply(gmlp, parts, activation=activation)
+        messages = messages * bond_weights[directed2undirected]
+        messages = messages * edge_mask[:, None]
 
     new_atom_feas = segment_sum(
         messages, edge_scatter, atom_feas.shape[0], indices_are_sorted=True
@@ -156,24 +170,34 @@ def bond_conv_apply(
     *,
     activation: str = "silu",
     resnet: bool = True,
+    fused: bool = False,
 ) -> jnp.ndarray:
     """Line-graph update of undirected-bond features (``layers.py:208-265``)."""
-    update = gated_mlp_gather_apply(
-        params["gated_mlp"],
-        [
-            (bond_feas, bond_graph[:, 1]),
-            (bond_feas, bond_graph[:, 3]),
-            (angle_feas, None),
-            (atom_feas, bond_graph[:, 0]),
-        ],
-        activation=activation,
-    )
-    update = (
-        update
-        * bond_weights[bond_graph[:, 1]]
-        * bond_weights[bond_graph[:, 3]]
-        * angle_mask[:, None]
-    )
+    parts = [
+        (bond_feas, bond_graph[:, 1]),
+        (bond_feas, bond_graph[:, 3]),
+        (angle_feas, None),
+        (atom_feas, bond_graph[:, 0]),
+    ]
+    gmlp = params["gated_mlp"]
+    if fused and gated_mlp_fusable(gmlp, activation):
+        from chgnet_tpu.ops.gated_message import fused_gated_message
+
+        update = fused_gated_message(
+            first_layer_acc(gmlp["core"]["layers"], parts),
+            first_layer_acc(gmlp["gate"]["layers"], parts),
+            bond_weights[bond_graph[:, 1]] * bond_weights[bond_graph[:, 3]],
+            angle_mask,
+            gated_mlp_fused_pack(gmlp),
+        )
+    else:
+        update = gated_mlp_gather_apply(gmlp, parts, activation=activation)
+        update = (
+            update
+            * bond_weights[bond_graph[:, 1]]
+            * bond_weights[bond_graph[:, 3]]
+            * angle_mask[:, None]
+        )
     new_bond_feas = segment_sum(
         update, angle_scatter, bond_feas.shape[0], indices_are_sorted=True
     )
