@@ -1,0 +1,64 @@
+"""MD throughput benchmark: steps/s at ~10k atoms (BASELINE.json north star).
+
+Runs NVT Berendsen MD on a large LiMnO2 supercell with the full jitted
+step (forward + forces each step), skin-reused topology. Prints one JSON
+line per system size.
+
+Usage: python tools/bench_md.py [n_steps]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/chgnet_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+from chgnet_tpu import ROOT  # noqa: E402
+from chgnet_tpu.core.structure import Structure  # noqa: E402
+from chgnet_tpu.models.chgnet import CHGNet  # noqa: E402
+from chgnet_tpu.simulation import MolecularDynamics  # noqa: E402
+
+
+def main() -> None:
+    n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    base = Structure.from_file(f"{ROOT}/examples/mp-18767-LiMnO2.cif")
+    model = CHGNet(seed=0)
+
+    for scale in ((4, 4, 4), (8, 8, 5)):  # 512 and 10,240 atoms
+        struct = base.make_supercell(scale)
+        md = MolecularDynamics(
+            struct,
+            model=model,
+            ensemble="nvt",
+            thermostat="Berendsen",
+            temperature=300.0,
+            starting_temperature=300.0,
+            timestep=1.0,
+            seed=0,
+        )
+        md.run(md.chunk_size)  # compiles the production-size scan chunk
+        start = time.perf_counter()
+        md.run(n_steps)
+        # force true completion
+        float(md.state.epot[0])
+        elapsed = time.perf_counter() - start
+        print(
+            json.dumps(
+                {
+                    "metric": f"MD steps/s @ {len(struct)} atoms (NVT)",
+                    "value": round(n_steps / elapsed, 3),
+                    "unit": "steps/s",
+                    "n_atoms": len(struct),
+                    "rebuilds": md.runtime.n_rebuilds,
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()
