@@ -3,9 +3,11 @@
 Measures the BASELINE.json north-star metric — directed graph edges
 processed per second — on the production inference path (energy + forces +
 stress + magmom, i.e. forward + full backward through the conv stack) of
-the default 412k-param CHGNet over a batch of 64 perturbed 216-atom LiMnO2
-supercells (~13.8k atoms, ~1.17M directed edges at 6 A — a saturating
-production-scale batch; small batches are dispatch-latency-bound).
+the default 412k-param CHGNet over a batch of 32 perturbed 216-atom LiMnO2
+supercells (~6.9k atoms, ~585k directed edges at 6 A — a saturating
+production-scale batch; small batches are dispatch-latency-bound, and
+larger ones exceed the remote compiler's memory budget on the current
+single-chip environment).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -38,7 +40,7 @@ def main() -> None:
     model = CHGNet(seed=0)
     struct = Structure.from_file(f"{ROOT}/examples/mp-18767-LiMnO2.cif")
 
-    n_structs = 64
+    n_structs = 32
     graphs = [
         model.graph_converter(
             struct.make_supercell(3).perturb(0.05, seed=seed), graph_id=str(seed)

@@ -262,40 +262,68 @@ def gated_mlp_gather_apply(
 
     ``parts`` is a sequence of ``(table [M_k, d_k], index [E] | None)``;
     the result equals ``gated_mlp_apply(params, concat([t[i] for t, i in
-    parts], axis=1))`` — but each block is pushed through the first
-    core/gate Linear BEFORE gathering. The message-passing hot loop never
-    materializes the [E, sum(d_k)] concat, and the first-layer matmul rows
-    drop from E (edges/angles) to M_k (atoms/bonds) — the TPU-native
-    rewrite of the reference's gather-concat-matmul
-    (``/root/reference/chgnet/model/layers.py:112-125``): HBM traffic and
-    MXU work move from the edge axis onto the tiny node tables.
+    parts], axis=1))`` — with two TPU-native rewrites of the reference's
+    gather-concat-matmul (``/root/reference/chgnet/model/layers.py:112-125``):
+
+    * each block is pushed through the first core/gate Linear BEFORE
+      gathering, so the [E, sum d_k] concat never materializes and
+      first-layer matmul rows drop from E (edges/angles) to M_k
+      (atoms/bonds),
+    * the core and gate branches are packed side by side into single
+      [E, 2D] streams. TPU tiles are (8, 128) lanes: a 64-wide f32 tensor
+      pads 2x in memory, so every intermediate on the edge axis would
+      waste half its HBM bytes — lane-packing the branches makes them
+      full-width. The second layer becomes one block-diagonal
+      [2D, 2D] matmul (same MXU passes as one 64-wide matmul) and the
+      norms act per half.
     """
     act = find_activation(activation)
-    branches = {}
-    for branch in ("core", "gate"):
-        layers = params[branch]["layers"]
-        first = layers[0]
-        offset = 0
-        acc = None
-        for table, idx in parts:
-            d_k = table.shape[1]
-            proj = jnp.dot(table, first["w"][offset: offset + d_k])
-            if idx is not None:
-                proj = proj[idx]
-            acc = proj if acc is None else acc + proj
-            offset += d_k
-        if "b" in first:
-            acc = acc + first["b"]
-        if len(layers) > 1:
-            x = act(acc)
-            for layer in layers[1:-1]:
-                x = act(linear_apply(layer, x))
-            x = linear_apply(layers[-1], x)
-        else:
-            x = acc
-        branches[branch] = x
-    core, gate = branches["core"], branches["gate"]
+    layers_c = params["core"]["layers"]
+    layers_g = params["gate"]["layers"]
+    dim = layers_c[-1]["w"].shape[1]
+
+    # joint first layer: [d_in, 2D] = [W1_core | W1_gate]
+    first_w = jnp.concatenate([layers_c[0]["w"], layers_g[0]["w"]], axis=1)
+    offset = 0
+    acc = None
+    for table, idx in parts:
+        d_k = table.shape[1]
+        proj = jnp.dot(table, first_w[offset: offset + d_k])
+        if idx is not None:
+            proj = proj[idx]
+        acc = proj if acc is None else acc + proj
+        offset += d_k
+    if "b" in layers_c[0]:
+        acc = acc + jnp.concatenate([layers_c[0]["b"], layers_g[0]["b"]])
+
+    n_layers = len(layers_c)
+    if n_layers != len(layers_g):
+        raise ValueError("core/gate layer counts differ")
+    if n_layers == 1:
+        both = acc
+    else:
+        x = act(acc)
+        for lc, lg in zip(layers_c[1:], layers_g[1:]):
+            # block-diagonal joint layer: halves stay independent
+            w = jax.scipy.linalg.block_diag(lc["w"], lg["w"])
+            x = jnp.dot(x, w)
+            if "b" in lc:
+                x = x + jnp.concatenate([lc["b"], lg["b"]])
+            if (lc is not layers_c[-1]) and (lg is not layers_g[-1]):
+                x = act(x)
+        both = x
+
     if "norm_core" in params:
-        core = layer_norm_apply(params["norm_core"], core)
-        gate = layer_norm_apply(params["norm_gate"], gate)
-    return act(core) * jax.nn.sigmoid(gate)
+        # per-half layer norm without splitting the stream
+        h = both.reshape(-1, 2, dim)
+        mean = h.mean(axis=-1, keepdims=True)
+        var = ((h - mean) ** 2).mean(axis=-1, keepdims=True)
+        h = (h - mean) * jax.lax.rsqrt(var + 1e-5)
+        scale = jnp.stack(
+            [params["norm_core"]["scale"], params["norm_gate"]["scale"]]
+        )
+        bias = jnp.stack(
+            [params["norm_core"]["bias"], params["norm_gate"]["bias"]]
+        )
+        both = (h * scale + bias).reshape(-1, 2 * dim)
+    return act(both[:, :dim]) * jax.nn.sigmoid(both[:, dim:])
