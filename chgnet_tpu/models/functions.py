@@ -200,25 +200,26 @@ def gated_mlp_apply(params: Params, x: jnp.ndarray, *, activation: str = "silu")
     return act(core) * jax.nn.sigmoid(gate)
 
 
-def first_layer_acc(
-    layers: Sequence[Params],
+def first_layer_acc_joint(
+    layers_c: Sequence[Params],
+    layers_g: Sequence[Params],
     parts: Sequence[tuple[jnp.ndarray, jnp.ndarray | None]],
 ) -> jnp.ndarray:
-    """First-Linear output over an implicit concat of gathered blocks:
-    each block projected on its table BEFORE gathering (see
-    ``gated_mlp_gather_apply``)."""
-    first = layers[0]
+    """Joint [E, 2D] first-Linear output (core | gate lane-packed) over an
+    implicit concat of gathered blocks: each block projected on its table
+    BEFORE gathering (see ``gated_mlp_gather_apply``)."""
+    first_w = jnp.concatenate([layers_c[0]["w"], layers_g[0]["w"]], axis=1)
     offset = 0
     acc = None
     for table, idx in parts:
         d_k = table.shape[1]
-        proj = jnp.dot(table, first["w"][offset: offset + d_k])
+        proj = jnp.dot(table, first_w[offset: offset + d_k])
         if idx is not None:
             proj = proj[idx]
         acc = proj if acc is None else acc + proj
         offset += d_k
-    if "b" in first:
-        acc = acc + first["b"]
+    if "b" in layers_c[0]:
+        acc = acc + jnp.concatenate([layers_c[0]["b"], layers_g[0]["b"]])
     return acc
 
 
@@ -235,16 +236,17 @@ def gated_mlp_fusable(params: Params, activation: str = "silu") -> bool:
 
 
 def gated_mlp_fused_pack(params: Params) -> Params:
-    """Second-layer + norm params in the fused kernel's flat layout."""
+    """Second-layer + norm params in the fused kernel's lane-packed
+    layout: block-diagonal joint W2 and concatenated biases."""
     core2 = params["core"]["layers"][1]
     gate2 = params["gate"]["layers"][1]
     dim = core2["w"].shape[1]
     zeros = jnp.zeros(dim, jnp.asarray(core2["w"]).dtype)
     return {
-        "w2c": core2["w"],
-        "b2c": core2.get("b", zeros),
-        "w2g": gate2["w"],
-        "b2g": gate2.get("b", zeros),
+        "w2": jax.scipy.linalg.block_diag(core2["w"], gate2["w"]),
+        "b2": jnp.concatenate(
+            [core2.get("b", zeros), gate2.get("b", zeros)]
+        ),
         "nc_scale": params["norm_core"]["scale"],
         "nc_bias": params["norm_core"]["bias"],
         "ng_scale": params["norm_gate"]["scale"],

@@ -20,7 +20,7 @@ import numpy as np
 
 from chgnet_tpu.models.functions import (
     Params,
-    first_layer_acc,
+    first_layer_acc_joint,
     gated_mlp_apply,
     gated_mlp_fusable,
     gated_mlp_fused_pack,
@@ -100,8 +100,9 @@ def atom_conv_apply(
         from chgnet_tpu.ops.gated_message import fused_gated_message
 
         messages = fused_gated_message(
-            first_layer_acc(gmlp["core"]["layers"], parts),
-            first_layer_acc(gmlp["gate"]["layers"], parts),
+            first_layer_acc_joint(
+                gmlp["core"]["layers"], gmlp["gate"]["layers"], parts
+            ),
             bond_weights[directed2undirected],
             edge_mask,
             gated_mlp_fused_pack(gmlp),
@@ -184,8 +185,9 @@ def bond_conv_apply(
         from chgnet_tpu.ops.gated_message import fused_gated_message
 
         update = fused_gated_message(
-            first_layer_acc(gmlp["core"]["layers"], parts),
-            first_layer_acc(gmlp["gate"]["layers"], parts),
+            first_layer_acc_joint(
+                gmlp["core"]["layers"], gmlp["gate"]["layers"], parts
+            ),
             bond_weights[bond_graph[:, 1]] * bond_weights[bond_graph[:, 3]],
             angle_mask,
             gated_mlp_fused_pack(gmlp),

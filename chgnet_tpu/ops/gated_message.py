@@ -1,17 +1,17 @@
-"""Pallas TPU kernel: fused gated message computation.
+"""Pallas TPU kernel: fused gated message computation (lane-packed).
 
-The per-edge tail of every conv layer is
+The per-edge tail of every conv layer, with the core and gate branches
+lane-packed into one [E, 2D] stream (TPU tiles are (8, 128) lanes, so a
+64-wide f32 tensor pads 2x in HBM — packing keeps every stream
+full-width):
 
-    msg = silu(LN(silu(acc_core) @ W2c + b2c))
-        * sigmoid(LN(silu(acc_gate) @ W2g + b2g))
-        * weights * mask
+    y   = silu(acc_both) @ blockdiag(W2c, W2g) + [b2c | b2g]
+    msg = silu(LN(y[:, :D])) * sigmoid(LN(y[:, D:])) * weights * mask
 
-(the first gated-MLP layer is already decomposed onto the node tables by
-``gated_mlp_gather_apply``). Under plain XLA the two [E, D] x [D, D]
-matmuls force materialization boundaries, so the chain costs ~6 HBM
-round-trips of [E, D] tensors; this kernel streams each edge tile through
-VMEM once — activations, both MXU matmuls, norms, gating, weighting and
-masking fused — for ~3 reads + 1 write.
+Under plain XLA the matmul forces materialization boundaries, costing
+several [E, *] HBM round-trips; this kernel streams each edge tile
+through VMEM once — activation, the MXU matmul, both per-half norms,
+gating, weighting and masking fused.
 
 Backward is supplied via ``jax.custom_vjp`` (recompute-from-inputs, plain
 XLA): correctness-first, and the forward is the inference/MD hot path.
@@ -37,105 +37,94 @@ def _ln(x, scale, bias, eps=1e-5):
     return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
-def _kernel(
-    acc_core_ref,
-    acc_gate_ref,
-    weights_ref,
-    mask_ref,
-    w2c_ref,
-    b2c_ref,
-    w2g_ref,
-    b2g_ref,
-    nc_scale_ref,
-    nc_bias_ref,
-    ng_scale_ref,
-    ng_bias_ref,
-    out_ref,
-):
-    act = jax.nn.silu
-    core = act(acc_core_ref[:])
-    core = (
-        jnp.dot(core, w2c_ref[:], preferred_element_type=jnp.float32)
-        + b2c_ref[:]
-    )
-    core = _ln(core, nc_scale_ref[:], nc_bias_ref[:])
-    gate = act(acc_gate_ref[:])
-    gate = (
-        jnp.dot(gate, w2g_ref[:], preferred_element_type=jnp.float32)
-        + b2g_ref[:]
-    )
-    gate = _ln(gate, ng_scale_ref[:], ng_bias_ref[:])
-    out_ref[:] = (
-        act(core)
+def _tail(y, weights, mask, p2, dim):
+    """Shared post-matmul math (used by the kernel and the XLA path)."""
+    core = _ln(y[:, :dim], p2["nc_scale"], p2["nc_bias"])
+    gate = _ln(y[:, dim:], p2["ng_scale"], p2["ng_bias"])
+    return (
+        jax.nn.silu(core)
         * jax.nn.sigmoid(gate)
-        * weights_ref[:]
-        * mask_ref[:].reshape(-1, 1)
+        * weights
+        * mask.reshape(-1, 1)
     )
 
 
-def _forward(acc_core, acc_gate, weights, mask, p2, *, interpret):
-    n_rows, dim = acc_core.shape
+def _kernel(acc_ref, weights_ref, mask_ref, w2_ref, b2_ref,
+            ncs_ref, ncb_ref, ngs_ref, ngb_ref, out_ref):
+    dim = out_ref.shape[1]
+    h = jax.nn.silu(acc_ref[:])
+    y = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:]
+    p2 = {
+        "nc_scale": ncs_ref[:], "nc_bias": ncb_ref[:],
+        "ng_scale": ngs_ref[:], "ng_bias": ngb_ref[:],
+    }
+    out_ref[:] = _tail(y, weights_ref[:], mask_ref[:], p2, dim).astype(
+        out_ref.dtype
+    )
+
+
+def _forward(acc_both, weights, mask, p2, *, interpret):
+    n_rows, two_dim = acc_both.shape
+    dim = two_dim // 2
     n_tiles = pl.cdiv(n_rows, TILE)
     pad = n_tiles * TILE - n_rows
     if pad:
-        acc_core, acc_gate, weights = (
-            jnp.pad(x, ((0, pad), (0, 0)))
-            for x in (acc_core, acc_gate, weights)
-        )
+        acc_both = jnp.pad(acc_both, ((0, pad), (0, 0)))
+        weights = jnp.pad(weights, ((0, pad), (0, 0)))
         mask = jnp.pad(mask, (0, pad))
 
-    row_spec = pl.BlockSpec(
+    acc_spec = pl.BlockSpec(
+        (TILE, two_dim), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    w_spec = pl.BlockSpec(
         (TILE, dim), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     vec_spec = pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.VMEM)
-    full_mat = pl.BlockSpec(
-        (dim, dim), lambda i: (0, 0), memory_space=pltpu.VMEM
+    mat_spec = pl.BlockSpec(
+        (two_dim, two_dim), lambda i: (0, 0), memory_space=pltpu.VMEM
     )
-    full_vec = pl.BlockSpec((dim,), lambda i: (0,), memory_space=pltpu.VMEM)
+    b_spec = pl.BlockSpec((two_dim,), lambda i: (0,), memory_space=pltpu.VMEM)
+    d_spec = pl.BlockSpec((dim,), lambda i: (0,), memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
         _kernel,
         grid=(n_tiles,),
         in_specs=[
-            row_spec, row_spec, row_spec, vec_spec,
-            full_mat, full_vec, full_mat, full_vec,
-            full_vec, full_vec, full_vec, full_vec,
+            acc_spec, w_spec, vec_spec,
+            mat_spec, b_spec, d_spec, d_spec, d_spec, d_spec,
         ],
-        out_specs=row_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles * TILE, dim), acc_core.dtype),
+        out_specs=w_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles * TILE, dim), acc_both.dtype),
         interpret=interpret,
     )(
-        acc_core, acc_gate, weights, mask,
-        p2["w2c"], p2["b2c"], p2["w2g"], p2["b2g"],
+        acc_both, weights, mask,
+        p2["w2"], p2["b2"],
         p2["nc_scale"], p2["nc_bias"], p2["ng_scale"], p2["ng_bias"],
     )
     return out[:n_rows]
 
 
-def _reference(acc_core, acc_gate, weights, mask, p2):
+def _reference(acc_both, weights, mask, p2):
     """Plain-XLA composition (identical math; used for backward and as
     the fallback path)."""
-    act = jax.nn.silu
-    core = jnp.dot(act(acc_core), p2["w2c"]) + p2["b2c"]
-    core = _ln(core, p2["nc_scale"], p2["nc_bias"])
-    gate = jnp.dot(act(acc_gate), p2["w2g"]) + p2["b2g"]
-    gate = _ln(gate, p2["ng_scale"], p2["ng_bias"])
-    return act(core) * jax.nn.sigmoid(gate) * weights * mask[:, None]
+    dim = acc_both.shape[1] // 2
+    y = jnp.dot(jax.nn.silu(acc_both), p2["w2"]) + p2["b2"]
+    return _tail(y, weights, mask, p2, dim)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _fused(acc_core, acc_gate, weights, mask, p2, interpret):
-    return _forward(acc_core, acc_gate, weights, mask, p2, interpret=interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _fused(acc_both, weights, mask, p2, interpret):
+    return _forward(acc_both, weights, mask, p2, interpret=interpret)
 
 
-def _fused_fwd(acc_core, acc_gate, weights, mask, p2, interpret):
-    out = _forward(acc_core, acc_gate, weights, mask, p2, interpret=interpret)
-    return out, (acc_core, acc_gate, weights, mask, p2)
+def _fused_fwd(acc_both, weights, mask, p2, interpret):
+    out = _forward(acc_both, weights, mask, p2, interpret=interpret)
+    return out, (acc_both, weights, mask, p2)
 
 
 def _fused_bwd(interpret, residuals, g):
-    acc_core, acc_gate, weights, mask, p2 = residuals
-    _, vjp = jax.vjp(_reference, acc_core, acc_gate, weights, mask, p2)
+    acc_both, weights, mask, p2 = residuals
+    _, vjp = jax.vjp(_reference, acc_both, weights, mask, p2)
     return vjp(g)
 
 
@@ -143,11 +132,10 @@ _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
 def fused_gated_message(
-    acc_core: jnp.ndarray,  # [E, D] first-layer core sum (pre-activation)
-    acc_gate: jnp.ndarray,  # [E, D]
+    acc_both: jnp.ndarray,  # [E, 2D] joint first-layer sums (core | gate)
     weights: jnp.ndarray,  # [E, D] per-edge scale (bond weights)
     mask: jnp.ndarray,  # [E]
-    p2: dict,  # second-layer + norm params (w2c/b2c/w2g/b2g/nc_*/ng_*)
+    p2: dict,  # w2 (block-diag [2D,2D]), b2 [2D], nc_*/ng_* norm params
     *,
     use_pallas: bool | None = None,
 ) -> jnp.ndarray:
@@ -155,6 +143,6 @@ def fused_gated_message(
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if not use_pallas:
-        return _reference(acc_core, acc_gate, weights, mask, p2)
+        return _reference(acc_both, weights, mask, p2)
     interpret = jax.default_backend() != "tpu"
-    return _fused(acc_core, acc_gate, weights, mask, p2, interpret)
+    return _fused(acc_both, weights, mask, p2, interpret)

@@ -13,75 +13,68 @@ from chgnet_tpu.ops.gated_message import _reference, fused_gated_message
 def inputs():
     rng = np.random.default_rng(0)
     E, D = 2500, 64  # not a tile multiple: exercises padding
-    acc_core = rng.normal(size=(E, D)).astype(np.float32)
-    acc_gate = rng.normal(size=(E, D)).astype(np.float32)
+    acc_both = rng.normal(size=(E, 2 * D)).astype(np.float32)
     weights = rng.normal(size=(E, D)).astype(np.float32)
     mask = (rng.random(E) < 0.9).astype(np.float32)
+    w2c = rng.normal(size=(D, D)).astype(np.float32) * 0.1
+    w2g = rng.normal(size=(D, D)).astype(np.float32) * 0.1
+    w2 = np.zeros((2 * D, 2 * D), np.float32)
+    w2[:D, :D] = w2c
+    w2[D:, D:] = w2g
     p2 = {
-        "w2c": rng.normal(size=(D, D)).astype(np.float32) * 0.1,
-        "b2c": rng.normal(size=(D,)).astype(np.float32) * 0.1,
-        "w2g": rng.normal(size=(D, D)).astype(np.float32) * 0.1,
-        "b2g": rng.normal(size=(D,)).astype(np.float32) * 0.1,
+        "w2": w2,
+        "b2": rng.normal(size=(2 * D,)).astype(np.float32) * 0.1,
         "nc_scale": rng.normal(size=(D,)).astype(np.float32),
         "nc_bias": rng.normal(size=(D,)).astype(np.float32) * 0.1,
         "ng_scale": rng.normal(size=(D,)).astype(np.float32),
         "ng_bias": rng.normal(size=(D,)).astype(np.float32) * 0.1,
     }
-    return acc_core, acc_gate, weights, mask, p2
+    return acc_both, weights, mask, p2
 
 
 def test_fused_matches_reference(inputs):
-    acc_core, acc_gate, weights, mask, p2 = inputs
-    ref = _reference(acc_core, acc_gate, weights, mask, p2)
-    out = fused_gated_message(
-        acc_core, acc_gate, weights, mask, p2, use_pallas=True
-    )
+    acc_both, weights, mask, p2 = inputs
+    ref = _reference(acc_both, weights, mask, p2)
+    out = fused_gated_message(acc_both, weights, mask, p2, use_pallas=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
-    assert out.shape == ref.shape
+    assert out.shape == ref.shape == (2500, 64)
 
 
 def test_fused_gradients(inputs):
     """Custom VJP (recompute via plain XLA) matches autodiff of the
     reference composition — required because forces differentiate
     through every message."""
-    acc_core, acc_gate, weights, mask, p2 = inputs
+    acc_both, weights, mask, p2 = inputs
 
-    def loss_fused(ac, ag, w, p):
+    def loss_fused(ab, w, p):
         return (
-            fused_gated_message(ac, ag, w, mask, p, use_pallas=True) ** 2
+            fused_gated_message(ab, w, mask, p, use_pallas=True) ** 2
         ).sum()
 
-    def loss_ref(ac, ag, w, p):
-        return (_reference(ac, ag, w, mask, p) ** 2).sum()
+    def loss_ref(ab, w, p):
+        return (_reference(ab, w, mask, p) ** 2).sum()
 
-    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(
-        acc_core, acc_gate, weights, p2
-    )
-    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(
-        acc_core, acc_gate, weights, p2
-    )
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(acc_both, weights, p2)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(acc_both, weights, p2)
     for a, b in zip(jax.tree.leaves(g_fused), jax.tree.leaves(g_ref)):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-5
         )
 
 
-def test_fused_under_jit_and_vmapless_shapes(inputs):
-    acc_core, acc_gate, weights, mask, p2 = inputs
+def test_fused_under_jit(inputs):
+    acc_both, weights, mask, p2 = inputs
     fn = jax.jit(
-        lambda ac: fused_gated_message(
-            ac, acc_gate, weights, mask, p2, use_pallas=True
-        )
+        lambda ab: fused_gated_message(ab, weights, mask, p2, use_pallas=True)
     )
-    out = fn(acc_core)
     np.testing.assert_allclose(
-        np.asarray(out),
-        np.asarray(_reference(acc_core, acc_gate, weights, mask, p2)),
+        np.asarray(fn(acc_both)),
+        np.asarray(_reference(acc_both, weights, mask, p2)),
         atol=1e-5,
     )
 
 
-def test_model_with_fused_kernels_matches(tmp_path=None):
+def test_model_with_fused_kernels_matches():
     """Full model with fused_kernels=True (interpret mode on CPU) matches
     the plain path for e/f/s/m."""
     import dataclasses
