@@ -114,6 +114,7 @@ class CHGNetConfig:
     # _energy_core) — ~2x less HBM traffic on bandwidth-bound TPUs at the
     # cost of ~1e-2-relative feature precision; geometry/readout stay f32
     fused_kernels: bool = False  # Pallas fused gated-message kernels
+    remat: bool = False  # checkpoint conv blocks (large-system memory)
     max_num_elements: int = 94
 
     def __post_init__(self) -> None:
@@ -307,10 +308,12 @@ def _energy_core(
     act = cfg.non_linearity
     edge_mask = batch.edge_mask.astype(conv_dtype)
     angle_mask = batch.angle_mask.astype(conv_dtype)
-    atom_feas_mid = atom_feas  # overwritten at block n_conv - 2
-    for idx in range(cfg.n_conv - 1):
+
+    def conv_block(idx, layer_params, atom_feas, bond_feas, angle_feas,
+                   bond_weights_ag, bond_weights_bg):
+        atom_p, bond_p, angle_p = layer_params
         atom_feas = atom_conv_apply(
-            params["atom_convs"][idx],
+            atom_p,
             atom_feas,
             bond_feas,
             bond_weights_ag,
@@ -321,9 +324,9 @@ def _energy_core(
             activation=act,
             fused=cfg.fused_kernels,
         )
-        if cfg.update_bond:
+        if bond_p is not None:
             bond_feas = bond_conv_apply(
-                params["bond_convs"][idx],
+                bond_p,
                 atom_feas,
                 bond_feas,
                 bond_weights_bg,
@@ -334,15 +337,34 @@ def _energy_core(
                 activation=act,
                 fused=cfg.fused_kernels,
             )
-        if cfg.update_angle:
+        if angle_p is not None:
             angle_feas = angle_update_apply(
-                params["angle_updates"][idx],
+                angle_p,
                 atom_feas,
                 bond_feas,
                 angle_feas,
                 batch.bond_graph,
                 activation=act,
             )
+        return atom_feas, bond_feas, angle_feas
+
+    if cfg.remat:
+        # trade recompute for memory: per-block rematerialization keeps
+        # the force backward from holding every [E,*]/[A,*] intermediate
+        # (10k-atom systems exceed one chip's HBM otherwise)
+        conv_block = jax.checkpoint(conv_block, static_argnums=(0,))
+
+    atom_feas_mid = atom_feas  # overwritten at block n_conv - 2
+    for idx in range(cfg.n_conv - 1):
+        layer_params = (
+            params["atom_convs"][idx],
+            params["bond_convs"][idx] if cfg.update_bond else None,
+            params["angle_updates"][idx] if cfg.update_angle else None,
+        )
+        atom_feas, bond_feas, angle_feas = conv_block(
+            idx, layer_params, atom_feas, bond_feas, angle_feas,
+            bond_weights_ag, bond_weights_bg,
+        )
         if idx == cfg.n_conv - 2:
             atom_feas_mid = atom_feas
 

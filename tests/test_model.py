@@ -253,3 +253,22 @@ def test_bfloat16_compute_mode(li_mn_o2):
         np.asarray(out16["m"]), np.asarray(out32["m"]), atol=2e-2
     )
     assert np.asarray(out16["f"]).dtype == np.float32  # outputs stay f32
+
+
+def test_remat_mode_matches(li_mn_o2):
+    """remat=True (conv-block checkpointing) is numerically identical."""
+    import dataclasses
+
+    from chgnet_tpu.graph.batching import batch_graphs
+    from chgnet_tpu.models.chgnet import compute_batch
+
+    model = CHGNet(seed=0, **SMALL)
+    batch = batch_graphs([model.graph_converter(li_mn_o2)])
+    kw = dict(compute_force=True, compute_stress=True, compute_magmom=True)
+    ref = compute_batch(model.params, batch, config=model.config, **kw)
+    cfg = dataclasses.replace(model.config, remat=True)
+    out = compute_batch(model.params, batch, config=cfg, **kw)
+    np.testing.assert_allclose(
+        np.asarray(out["f"]), np.asarray(ref["f"]), atol=1e-6
+    )
+    assert float(out["e"][0]) == pytest.approx(float(ref["e"][0]), abs=1e-6)

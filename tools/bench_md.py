@@ -27,10 +27,18 @@ from chgnet_tpu.simulation import MolecularDynamics  # noqa: E402
 def main() -> None:
     n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     base = Structure.from_file(f"{ROOT}/examples/mp-18767-LiMnO2.cif")
-    model = CHGNet(seed=0)
 
-    for scale in ((4, 4, 4), (8, 8, 5)):  # 512 and 10,240 atoms
+    for scale in ((4, 4, 4), (16, 10, 8)):  # 512 and 10,240 atoms
         struct = base.make_supercell(scale)
+        big = len(struct) > 4000
+        # 10k-atom systems need conv-block remat + bf16 streams to fit
+        # one 16 GB chip (the angle stream is ~3.9M rows)
+        model = CHGNet(
+            seed=0,
+            remat=big,
+            compute_dtype="bfloat16" if big else "float32",
+            matmul_precision="default" if big else "highest",
+        )
         md = MolecularDynamics(
             struct,
             model=model,
