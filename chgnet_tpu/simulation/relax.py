@@ -219,6 +219,7 @@ def fire_chunk(
                 forces=forces,
                 stress=out["s"],
                 magmom=out["m"],
+                crystal_fea=out["crystal_fea"],
                 frac=state.frac,
                 lat=state.lat,
             )
@@ -278,6 +279,8 @@ class StructOptimizer:
         relax_cell: bool = True,
         save_path: str | None = None,
         loginterval: int | None = 1,
+        crystal_feas_save_path: str | None = None,
+        ase_filter: str | None = "FrechetCellFilter",
         verbose: bool = False,
         assign_magmoms: bool = True,
         chunk_size: int = 20,
@@ -301,12 +304,22 @@ class StructOptimizer:
         cell_factor = jnp.asarray(
             [max(len(s), 1) for s in structures], jnp.float32
         )
-        record = loginterval is not None
+        if ase_filter not in {"FrechetCellFilter", "ExpCellFilter", None}:
+            raise NotImplementedError(
+                f"{ase_filter=}: the TPU-native relaxer implements a "
+                "unit-cell-filter strain parameterization"
+            )
+        record = loginterval is not None or crystal_feas_save_path is not None
         state = _init_state(runtime.batch, self.fire)
         observers = [
             TrajectoryObserver(atomic_numbers=s.atomic_numbers)
             for s in structures
         ]
+        from chgnet_tpu.simulation.observers import CrystalFeasObserver
+
+        feas_observer = (
+            CrystalFeasObserver() if crystal_feas_save_path else None
+        )
 
         total = 0
         last_energy = np.zeros(len(structures))
@@ -328,6 +341,9 @@ class StructOptimizer:
             last_energy = traj["energy"][-1]
             if record:
                 self._record(observers, runtime, traj, total, loginterval)
+                if feas_observer is not None:
+                    for step in range(len(traj["crystal_fea"])):
+                        feas_observer.record(traj["crystal_fea"][step])
             total += n_steps
             if verbose:
                 print(
@@ -355,6 +371,9 @@ class StructOptimizer:
                     struct.site_properties["magmom"] = list(
                         np.asarray(final[idx]["m"], dtype=float)
                     )
+
+        if feas_observer is not None:
+            feas_observer.save(crystal_feas_save_path)
 
         results = []
         for idx, struct in enumerate(final_structures):

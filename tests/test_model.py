@@ -272,3 +272,40 @@ def test_remat_mode_matches(li_mn_o2):
         np.asarray(out["f"]), np.asarray(ref["f"]), atol=1e-6
     )
     assert float(out["e"][0]) == pytest.approx(float(ref["e"][0]), abs=1e-6)
+
+
+@pytest.mark.parametrize("mlp_first", [True, False])
+@pytest.mark.parametrize("read_out", ["ave", "attn"])
+@pytest.mark.parametrize("update_bond", [True, False])
+@pytest.mark.parametrize("update_angle", [True, False])
+def test_hyperparameter_sweep(li_mn_o2, mlp_first, read_out, update_bond,
+                              update_angle):
+    """Model-builder sweep (analog of reference test_model.py:18-45's
+    128-combination sweep): every architecture variant builds and runs a
+    full forward with forces."""
+    model = CHGNet(
+        seed=0,
+        atom_fea_dim=16,
+        bond_fea_dim=16,
+        angle_fea_dim=16,
+        num_radial=9,
+        num_angular=9,
+        n_conv=2,
+        mlp_hidden_dims=(16,),
+        atom_conv_hidden_dim=16,
+        bond_conv_hidden_dim=16,
+        mlp_first=mlp_first,
+        read_out=read_out,
+        update_bond=update_bond,
+        update_angle=update_angle,
+    )
+    out = model.predict_structure(li_mn_o2, task="ef")
+    assert np.isfinite(out["e"])
+    assert np.isfinite(np.asarray(out["f"])).all()
+
+
+@pytest.mark.parametrize("non_linearity", ["relu", "tanh", "gelu"])
+def test_activation_variants(li_mn_o2, non_linearity):
+    model = CHGNet(seed=0, non_linearity=non_linearity, **SMALL)
+    out = model.predict_structure(li_mn_o2, task="e")
+    assert np.isfinite(out["e"])

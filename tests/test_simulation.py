@@ -379,3 +379,24 @@ def test_eos_fit(struct):
     assert eos.get_compressibility("GPa^-1") == pytest.approx(
         1 / b_gpa, rel=1e-9
     )
+
+
+def test_relax_crystal_feas_capture(model, struct, tmp_path):
+    """crystal_feas_save_path records per-step crystal feature vectors
+    (reference relax arg, dynamics.py:253)."""
+    import pickle
+
+    relaxer = StructOptimizer(model=model)
+    path = str(tmp_path / "feas.pkl")
+    relaxer.relax(
+        struct, relax_cell=False, steps=4, loginterval=1,
+        crystal_feas_save_path=path, assign_magmoms=False,
+    )
+    with open(path, "rb") as file:
+        payload = pickle.load(file)
+    feas = payload["crystal_feas"]
+    assert len(feas) == 4
+    assert feas[0].shape[-1] == model.config.atom_fea_dim
+
+    with pytest.raises(NotImplementedError, match="ase_filter"):
+        relaxer.relax(struct, steps=1, ase_filter="BogusFilter")
