@@ -112,6 +112,164 @@ def _reference(acc_both, weights, mask, p2):
     return _tail(y, weights, mask, p2, dim)
 
 
+# ---------------------------------------------------------------- backward
+def _silu_grad(x):
+    s = jax.nn.sigmoid(x)
+    return s * (1.0 + x * (1.0 - s))
+
+
+def _ln_parts(x, eps=1e-5):
+    mean = x.mean(axis=-1, keepdims=True)
+    var = ((x - mean) ** 2).mean(axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    return (x - mean) * inv, inv
+
+
+def _ln_bwd(g_out, z, inv, scale):
+    """d x for out = z * scale + bias with z = (x - mu) / sigma."""
+    gz = g_out * scale
+    return (
+        gz - gz.mean(axis=-1, keepdims=True)
+        - z * (gz * z).mean(axis=-1, keepdims=True)
+    ) * inv
+
+
+def _bwd_math(acc, weights, mask, p2, g):
+    """Recompute-forward + hand-derived gradients (shared by the Pallas
+    backward kernel and the interpret/CPU path). Returns per-row grads
+    (d_acc, d_weights, d_mask) and per-tile param grad contributions."""
+    dim = weights.shape[-1]
+    h = jax.nn.silu(acc)
+    y = jnp.dot(h, p2["w2"], preferred_element_type=jnp.float32) + p2["b2"]
+    zc, invc = _ln_parts(y[:, :dim])
+    zg, invg = _ln_parts(y[:, dim:])
+    cn = zc * p2["nc_scale"] + p2["nc_bias"]
+    gn = zg * p2["ng_scale"] + p2["ng_bias"]
+    silu_cn = jax.nn.silu(cn)
+    sig_gn = jax.nn.sigmoid(gn)
+    mask_col = mask.reshape(-1, 1)
+
+    stuff = silu_cn * sig_gn * weights  # out = stuff * mask
+    d_weights = g * silu_cn * sig_gn * mask_col
+    d_mask = (g * stuff).sum(axis=-1)
+    m = g * weights * mask_col
+    d_cn = m * sig_gn * _silu_grad(cn)
+    d_gn = m * silu_cn * sig_gn * (1.0 - sig_gn)
+    d_y = jnp.concatenate(
+        [_ln_bwd(d_cn, zc, invc, p2["nc_scale"]),
+         _ln_bwd(d_gn, zg, invg, p2["ng_scale"])],
+        axis=-1,
+    )
+    d_h = jnp.dot(d_y, p2["w2"].T, preferred_element_type=jnp.float32)
+    d_acc = d_h * _silu_grad(acc)
+
+    param_grads = {
+        "w2": jnp.dot(h.T, d_y, preferred_element_type=jnp.float32),
+        "b2": d_y.sum(axis=0),
+        "nc_scale": (d_cn * zc).sum(axis=0),
+        "nc_bias": d_cn.sum(axis=0),
+        "ng_scale": (d_gn * zg).sum(axis=0),
+        "ng_bias": d_gn.sum(axis=0),
+    }
+    return d_acc, d_weights, d_mask, param_grads
+
+
+def _bwd_kernel(acc_ref, w_ref, mask_ref, g_ref,
+                w2_ref, b2_ref, ncs_ref, ncb_ref, ngs_ref, ngb_ref,
+                dacc_ref, dw_ref, dmask_ref,
+                dw2_ref, db2_ref, dncs_ref, dncb_ref, dngs_ref, dngb_ref):
+    p2 = {
+        "w2": w2_ref[:], "b2": b2_ref[:],
+        "nc_scale": ncs_ref[:], "nc_bias": ncb_ref[:],
+        "ng_scale": ngs_ref[:], "ng_bias": ngb_ref[:],
+    }
+    d_acc, d_w, d_mask, pg = _bwd_math(
+        acc_ref[:], w_ref[:], mask_ref[:], p2, g_ref[:]
+    )
+    dacc_ref[:] = d_acc.astype(dacc_ref.dtype)
+    dw_ref[:] = d_w.astype(dw_ref.dtype)
+    dmask_ref[:] = d_mask.astype(dmask_ref.dtype)
+
+    # param grads accumulate across the sequential grid
+    @pl.when(pl.program_id(0) == 0)
+    def _zero():
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+        dncs_ref[:] = jnp.zeros_like(dncs_ref)
+        dncb_ref[:] = jnp.zeros_like(dncb_ref)
+        dngs_ref[:] = jnp.zeros_like(dngs_ref)
+        dngb_ref[:] = jnp.zeros_like(dngb_ref)
+
+    dw2_ref[:] += pg["w2"].astype(dw2_ref.dtype)
+    db2_ref[:] += pg["b2"].astype(db2_ref.dtype)
+    dncs_ref[:] += pg["nc_scale"].astype(dncs_ref.dtype)
+    dncb_ref[:] += pg["nc_bias"].astype(dncb_ref.dtype)
+    dngs_ref[:] += pg["ng_scale"].astype(dngs_ref.dtype)
+    dngb_ref[:] += pg["ng_bias"].astype(dngb_ref.dtype)
+
+
+def _backward(acc_both, weights, mask, p2, g, *, interpret):
+    n_rows, two_dim = acc_both.shape
+    dim = two_dim // 2
+    n_tiles = pl.cdiv(n_rows, TILE)
+    pad = n_tiles * TILE - n_rows
+    if pad:
+        acc_both = jnp.pad(acc_both, ((0, pad), (0, 0)))
+        weights = jnp.pad(weights, ((0, pad), (0, 0)))
+        g = jnp.pad(g, ((0, pad), (0, 0)))
+        mask = jnp.pad(mask, (0, pad))
+
+    acc_spec = pl.BlockSpec(
+        (TILE, two_dim), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    w_spec = pl.BlockSpec(
+        (TILE, dim), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    vec_spec = pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.VMEM)
+    mat_spec = pl.BlockSpec(
+        (two_dim, two_dim), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    b_spec = pl.BlockSpec((two_dim,), lambda i: (0,), memory_space=pltpu.VMEM)
+    d_spec = pl.BlockSpec((dim,), lambda i: (0,), memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        _bwd_kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            acc_spec, w_spec, vec_spec, w_spec,
+            mat_spec, b_spec, d_spec, d_spec, d_spec, d_spec,
+        ],
+        out_specs=[
+            acc_spec, w_spec, vec_spec,
+            mat_spec, b_spec, d_spec, d_spec, d_spec, d_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles * TILE, two_dim), acc_both.dtype),
+            jax.ShapeDtypeStruct((n_tiles * TILE, dim), weights.dtype),
+            jax.ShapeDtypeStruct((n_tiles * TILE,), mask.dtype),
+            # cotangent dtypes must match the p2 primal dtypes
+            jax.ShapeDtypeStruct((two_dim, two_dim), p2["w2"].dtype),
+            jax.ShapeDtypeStruct((two_dim,), p2["b2"].dtype),
+            jax.ShapeDtypeStruct((dim,), p2["nc_scale"].dtype),
+            jax.ShapeDtypeStruct((dim,), p2["nc_bias"].dtype),
+            jax.ShapeDtypeStruct((dim,), p2["ng_scale"].dtype),
+            jax.ShapeDtypeStruct((dim,), p2["ng_bias"].dtype),
+        ],
+        interpret=interpret,
+    )(
+        acc_both, weights, mask, g,
+        p2["w2"], p2["b2"],
+        p2["nc_scale"], p2["nc_bias"], p2["ng_scale"], p2["ng_bias"],
+    )
+    d_acc, d_w, d_mask, dw2, db2, dncs, dncb, dngs, dngb = outs
+    d_p2 = {
+        "w2": dw2, "b2": db2,
+        "nc_scale": dncs, "nc_bias": dncb,
+        "ng_scale": dngs, "ng_bias": dngb,
+    }
+    return d_acc[:n_rows], d_w[:n_rows], d_mask[:n_rows], d_p2
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _fused(acc_both, weights, mask, p2, interpret):
     return _forward(acc_both, weights, mask, p2, interpret=interpret)
@@ -124,8 +282,7 @@ def _fused_fwd(acc_both, weights, mask, p2, interpret):
 
 def _fused_bwd(interpret, residuals, g):
     acc_both, weights, mask, p2 = residuals
-    _, vjp = jax.vjp(_reference, acc_both, weights, mask, p2)
-    return vjp(g)
+    return _backward(acc_both, weights, mask, p2, g, interpret=interpret)
 
 
 _fused.defvjp(_fused_fwd, _fused_bwd)

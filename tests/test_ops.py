@@ -105,3 +105,31 @@ def test_model_with_fused_kernels_matches():
     np.testing.assert_allclose(
         np.asarray(out["m"]), np.asarray(ref["m"]), atol=1e-5
     )
+
+
+def test_fused_bf16_runs():
+    """bf16 streams through the fused kernels (fwd + bwd) stay finite and
+    close to the f32 path."""
+    import dataclasses
+
+    from chgnet_tpu import ROOT
+    from chgnet_tpu.core.structure import Structure
+    from chgnet_tpu.graph.batching import batch_graphs
+    from chgnet_tpu.models.chgnet import CHGNet, compute_batch
+
+    model = CHGNet(seed=0, atom_fea_dim=16, bond_fea_dim=16, angle_fea_dim=16,
+                   num_radial=9, num_angular=9, n_conv=2, mlp_hidden_dims=(16,),
+                   atom_conv_hidden_dim=16, bond_conv_hidden_dim=16)
+    struct = Structure.from_file(f"{ROOT}/examples/mp-18767-LiMnO2.cif")
+    batch = batch_graphs([model.graph_converter(struct)])
+    kw = dict(compute_force=True, compute_stress=True, compute_magmom=True)
+    ref = compute_batch(model.params, batch, config=model.config, **kw)
+    cfg = dataclasses.replace(
+        model.config, fused_kernels=True, compute_dtype="bfloat16",
+        matmul_precision="default",
+    )
+    out = compute_batch(model.params, batch, config=cfg, **kw)
+    assert float(out["e"][0]) == pytest.approx(float(ref["e"][0]), abs=5e-3)
+    np.testing.assert_allclose(
+        np.asarray(out["f"]), np.asarray(ref["f"]), atol=5e-2
+    )
