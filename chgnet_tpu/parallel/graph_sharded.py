@@ -28,6 +28,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -531,3 +532,147 @@ def unshard_atoms(arr: np.ndarray) -> np.ndarray:
     """[D, N_loc, ...] -> [D * N_loc, ...] global block layout."""
     arr = np.asarray(arr)
     return arr.reshape(arr.shape[0] * arr.shape[1], *arr.shape[2:])
+
+
+# ------------------------------------------------------------- training step
+def shard_targets(
+    targets: dict, sbatch: ShardedGraphBatch
+) -> dict:
+    """Re-layout padded training targets onto the sharded atom blocks.
+
+    ``e`` [B] and ``graph_mask`` [B] stay replicated; per-atom targets
+    (``f`` [N_pad, 3], ``m`` [N_pad]) are zero-padded to the D * N_loc
+    global block layout and reshaped to [D, N_loc, ...] (NaN-padding for
+    the new rows so the masking matches missing labels).
+    """
+    d, n_loc = sbatch.atomic_numbers.shape
+    out = {k: np.asarray(v) for k, v in targets.items() if k in ("e", "graph_mask", "s")}
+    for key, width in (("f", (3,)), ("m", ())):
+        if key in targets:
+            src = np.asarray(targets[key], dtype=np.float32)
+            full = np.full((d * n_loc, *width), np.nan, dtype=np.float32)
+            full[: src.shape[0]] = src
+            out[key] = full.reshape(d, n_loc, *width)
+    return out
+
+
+def make_graph_sharded_train_step(
+    *,
+    config: CHGNetConfig,
+    optimizer,
+    mesh: Mesh,
+    axis: str = "graph",
+    energy_loss_ratio: float = 1.0,
+    force_loss_ratio: float = 1.0,
+):
+    """Training over the graph-partitioned forward: per-device loss terms
+    with psum'ed reductions, parameter gradients via shard_map autodiff
+    (VMA-checked, so the collective transposes insert the required psums),
+    replicated optimizer update.
+
+    Step signature: (params, opt_state, sbatch, sharded_targets) ->
+    (params, opt_state, metrics). Targets come from :func:`shard_targets`.
+    Loss = MSE(e, eV/atom) + MSE(f) with NaN-masked labels.
+    """
+    cfg = config
+
+    sharded_spec = ShardedGraphBatch(
+        atomic_numbers=P(axis), frac_coords=P(axis), atom_owner=P(axis),
+        atom_mask=P(axis), lattices=P(),
+        edge_center=P(axis), edge_neighbor=P(axis), edge_image=P(axis),
+        edge_owner=P(axis), edge_bond=P(axis), edge_mask=P(axis),
+        und_center=P(axis), und_neighbor=P(axis), und_image=P(axis),
+        und_owner=P(axis), und_mask=P(axis),
+        ang_center=P(axis), ang_nbr_i=P(axis), ang_img_i=P(axis),
+        ang_nbr_j=P(axis), ang_img_j=P(axis), ang_bond_i_local=P(axis),
+        ang_bond_i=P(axis), ang_bond_j=P(axis), ang_owner=P(axis),
+        ang_mask=P(axis),
+    )
+
+    def strip(sbatch_l):
+        return jax.tree.map(
+            lambda leaf, spec: leaf[0] if spec == P(axis) else leaf,
+            sbatch_l,
+            sharded_spec,
+        )
+
+    def local_loss(params, sb, targets_e, graph_mask, targets_f):
+        n_graphs = sb.lattices.shape[0]
+        frac = sb.frac_coords
+        cart0 = jnp.einsum("ni,nij->nj", frac, sb.lattices[sb.atom_owner])
+        strains0 = jnp.zeros((n_graphs, 3, 3), jnp.float32)
+
+        def e_of(cart):
+            with jax.default_matmul_precision(cfg.matmul_precision):
+                e_partial, aux = _energy_sharded(
+                    params, cfg, sb, cart, strains0, axis
+                )
+            return e_partial.sum(), (e_partial, aux)
+
+        (_, (e_partial, aux)), grad_cart = jax.value_and_grad(
+            e_of, has_aux=True
+        )(cart0)
+        forces = -grad_cart
+
+        e_ext = jax.lax.psum(e_partial, axis)
+        atoms = jnp.maximum(
+            jax.lax.psum(aux["atoms_per_graph_local"], axis), 1.0
+        )
+        energy = e_ext / atoms if cfg.is_intensive else e_ext
+        if "composition" in params:
+            site_ref = params["composition"]["weight"][
+                jnp.clip(sb.atomic_numbers - 1, 0, cfg.max_num_elements - 1)
+            ] * sb.atom_mask
+            atom_scatter = jnp.where(
+                sb.atom_mask > 0, sb.atom_owner, n_graphs
+            ).astype(jnp.int32)
+            comp_ext = jax.lax.psum(
+                segment_sum(site_ref[:, None], atom_scatter, n_graphs
+                            ).reshape(-1),
+                axis,
+            )
+            energy = energy + (
+                comp_ext / atoms if cfg.atom_ref_is_intensive else comp_ext
+            )
+
+        # energy loss (replicated): NaN-masked MSE over valid graphs
+        e_valid = (graph_mask > 0) & ~jnp.isnan(targets_e)
+        safe_e = jnp.where(e_valid, targets_e, 0.0)
+        e_count = jnp.maximum(e_valid.sum(), 1.0)
+        e_err = jnp.where(e_valid, energy - safe_e, 0.0)
+        e_loss = (e_err**2).sum() / e_count
+        e_mae = jnp.abs(e_err).sum() / e_count
+
+        # force loss: local squared errors, psum'ed reduction
+        f_valid = (sb.atom_mask[:, None] > 0) & ~jnp.isnan(targets_f)
+        safe_f = jnp.where(f_valid, targets_f, 0.0)
+        f_err = jnp.where(f_valid, forces - safe_f, 0.0)
+        f_count = jnp.maximum(
+            jax.lax.psum(f_valid.sum(), axis).astype(jnp.float32), 1.0
+        )
+        f_loss = jax.lax.psum((f_err**2).sum(), axis) / f_count
+        f_mae = jax.lax.psum(jnp.abs(f_err).sum(), axis) / f_count
+
+        loss = energy_loss_ratio * e_loss + force_loss_ratio * f_loss
+        return loss, {"loss": loss, "e_MAE": e_mae, "f_MAE": f_mae}
+
+    def local_step(params, opt_state, sbatch_l, targets):
+        sb = strip(sbatch_l)
+        grads, metrics = jax.grad(
+            lambda p: local_loss(
+                p, sb, targets["e"], targets["graph_mask"], targets["f"][0]
+            ),
+            has_aux=True,
+        )(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    target_spec = {"e": P(), "graph_mask": P(), "f": P(axis)}
+    fn = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), P(), sharded_spec, target_spec),
+        out_specs=(P(), P(), P()),
+    )
+    return jax.jit(fn)
