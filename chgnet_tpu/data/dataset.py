@@ -27,7 +27,6 @@ from __future__ import annotations
 import functools
 import os
 import random
-import warnings
 from collections.abc import Sequence
 
 import numpy as np
@@ -498,6 +497,7 @@ class GraphLoader:
         drop_last: bool = False,
         capacities: tuple[int, int, int] | None = None,
         num_device_batches: int = 1,
+        prefetch: int = 2,
     ) -> None:
         self.dataset = dataset
         self.indices = np.asarray(
@@ -510,6 +510,7 @@ class GraphLoader:
         self.drop_last = drop_last
         self.capacities = capacities
         self.num_device_batches = num_device_batches
+        self.prefetch = prefetch
         self._cap_hwm = (0, 0, 0)  # high-water marks when capacities=None
 
     def __len__(self) -> int:
@@ -550,7 +551,7 @@ class GraphLoader:
         )
         return self._cap_hwm
 
-    def __iter__(self):
+    def _chunks(self):
         order = self.indices.copy()
         if self.shuffle:
             self.rng.shuffle(order)
@@ -559,11 +560,35 @@ class GraphLoader:
             chunk = order[start: start + step]
             if self.drop_last and len(chunk) < step:
                 return
-            items = [self.dataset[int(i)] for i in chunk]
-            caps = self._capacities_for([g for g, _ in items])
-            yield collate_padded(
-                items, capacities=caps, n_graphs_cap=self.batch_size
-            )
+            yield chunk
+
+    def _collate(self, chunk):
+        items = [self.dataset[int(i)] for i in chunk]
+        caps = self._capacities_for([g for g, _ in items])
+        return collate_padded(
+            items, capacities=caps, n_graphs_cap=self.batch_size
+        )
+
+    def __iter__(self):
+        if self.prefetch <= 0:
+            for chunk in self._chunks():
+                yield self._collate(chunk)
+            return
+        # threaded prefetch: host graph building overlaps device compute
+        # (the role of torch DataLoader workers in the reference,
+        # dataset.py:798). One worker preserves batch order and is enough
+        # to hide conversion latency behind a jitted train step.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            pending = []
+            chunks = self._chunks()
+            for chunk in chunks:
+                pending.append(pool.submit(self._collate, chunk))
+                if len(pending) > self.prefetch:
+                    yield pending.pop(0).result()
+            for fut in pending:
+                yield fut.result()
 
 
 def get_loader(dataset, *, batch_size: int = 64, **kwargs) -> GraphLoader:
@@ -584,10 +609,11 @@ def get_train_val_test_loader(
     **kwargs,
 ):
     """Random index split into train/val(/test) loaders
-    (``dataset.py:791-848``); num_workers/pin_memory accepted for API
-    compatibility and ignored (host batching is synchronous numpy)."""
+    (``dataset.py:791-848``); pin_memory accepted for API compatibility
+    and ignored; num_workers > 0 maps onto the loader's threaded
+    ``prefetch`` (host graph building overlapping device compute)."""
     if num_workers:
-        warnings.warn("num_workers is ignored (synchronous numpy batching)")
+        kwargs.setdefault("prefetch", max(2, num_workers))
     total = len(dataset)
     indices = np.random.default_rng(seed).permutation(total)
     n_train = int(train_ratio * total)

@@ -47,6 +47,7 @@ class MDState(NamedTuple):
     epot: jnp.ndarray  # [B] total potential energy, eV
     stress: jnp.ndarray  # [B, 3, 3] potential stress, GPa
     zeta: jnp.ndarray  # [B] Nose-Hoover thermostat variable, 1/fs
+    eps_dot: jnp.ndarray  # [B] isotropic barostat strain rate, 1/fs (MTK)
 
 
 class MDParams(NamedTuple):
@@ -168,6 +169,7 @@ def md_chunk(
             epot=epot,
             stress=out["s"],
             zeta=zeta,
+            eps_dot=state.eps_dot,
         )
 
         # --- Berendsen velocity rescale (nvt/npt with Berendsen thermostat)
@@ -182,8 +184,30 @@ def md_chunk(
             ke = kinetic_energy(state.vel, masses, owner, n_graphs)
             temp = 2.0 * ke / jnp.maximum(dof * units.KB, 1e-30)
 
-        # --- Berendsen barostat (npt)
-        if ensemble == "npt":
+        # --- barostat (npt)
+        if ensemble == "npt" and nose_hoover:
+            # MTK-style isotropic Nose-Hoover-Parrinello-Rahman barostat:
+            # d(eps_dot)/dt = 3 V (P - P0) / W, W = (dof + 3) kB T0 taup^2
+            volume = jnp.abs(jnp.linalg.det(state.lat))
+            p_inst = total_pressure(state, ke)
+            w_baro = (dof + 3.0) * units.KB * md.temperature * md.taup**2
+            eps_dot = state.eps_dot + dt * 3.0 * volume * (
+                (p_inst - md.pressure) * units.GPA_TO_EV_A3
+            ) / jnp.maximum(w_baro, 1e-30)
+            eta_iso = jnp.exp(jnp.clip(eps_dot * dt, -0.02, 0.02))
+            state = state._replace(
+                eps_dot=eps_dot,
+                vel=state.vel
+                * jnp.exp(
+                    -(1.0 + 3.0 / jnp.maximum(dof, 1.0)) * eps_dot * dt
+                )[owner][:, None],
+            )
+            state = rescale_cell(
+                state, eta_iso[:, None] * jnp.ones((1, 3))
+            )
+            ke = kinetic_energy(state.vel, masses, owner, n_graphs)
+            temp = 2.0 * ke / jnp.maximum(dof * units.KB, 1e-30)
+        elif ensemble == "npt":
             if thermostat.lower().endswith("inhomogeneous"):
                 # per-axis coupling to the diagonal stress components
                 volume = jnp.abs(jnp.linalg.det(state.lat))
@@ -305,13 +329,6 @@ class MolecularDynamics:
         self.thermostat = thermostat
         if self.ensemble not in {"nve", "nvt", "npt"}:
             raise ValueError(f"Ensemble not supported: {ensemble}")
-        if self.ensemble == "npt" and thermostat.lower() == "nose-hoover":
-            # reference maps this to ASE's Parrinello-Rahman NPT; here the
-            # barostat is Berendsen-isotropic with an NH thermostat
-            warnings.warn(
-                "npt + Nose-Hoover uses an isotropic Berendsen barostat "
-                "with a Nose-Hoover thermostat in chgnet-tpu"
-            )
 
         single = isinstance(atoms, Structure)
         self.structures = [atoms] if single else list(atoms)
@@ -377,6 +394,7 @@ class MolecularDynamics:
             epot=out["e"] * (n_atoms if model.config.is_intensive else 1.0),
             stress=out["s"],
             zeta=jnp.zeros(batch.n_graphs, jnp.float32),
+            eps_dot=jnp.zeros(batch.n_graphs, jnp.float32),
         )
 
         self.observers: list[TrajectoryObserver] | None = None

@@ -400,3 +400,27 @@ def test_relax_crystal_feas_capture(model, struct, tmp_path):
 
     with pytest.raises(NotImplementedError, match="ase_filter"):
         relaxer.relax(struct, steps=1, ase_filter="BogusFilter")
+
+
+def test_md_npt_nose_hoover(model, struct):
+    """npt + Nose-Hoover: MTK-style isotropic barostat under the NH
+    thermostat (reference maps this combo to ASE's Parrinello-Rahman
+    NPT; here it is a native jitted integrator)."""
+    md = MolecularDynamics(
+        struct,
+        model=model,
+        ensemble="npt",
+        thermostat="Nose-Hoover",
+        temperature=300.0,
+        starting_temperature=300.0,
+        timestep=1.0,
+        bulk_modulus=100.0,
+        seed=4,
+    )
+    vol0 = float(np.abs(np.linalg.det(np.asarray(md.state.lat)[0])))
+    md.run(20)
+    vol1 = float(np.abs(np.linalg.det(np.asarray(md.state.lat)[0])))
+    assert np.isfinite(md.get_temperature())
+    assert vol1 != vol0  # barostat engaged
+    assert abs(vol1 / vol0 - 1) < 0.3
+    assert np.isfinite(np.asarray(md.state.eps_dot)).all()
