@@ -37,7 +37,12 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", "/tmp/chgnet_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
-    model = CHGNet(seed=0)
+    # production serving configuration: bf16 conv streams (accuracy cost
+    # ~0.2 meV/atom — far below the model's 29 meV/atom test MAE; see
+    # docs/performance.md). fp32 remains the default for parity work.
+    model = CHGNet(
+        seed=0, compute_dtype="bfloat16", matmul_precision="default"
+    )
     struct = Structure.from_file(f"{ROOT}/examples/mp-18767-LiMnO2.cif")
 
     n_structs = 32

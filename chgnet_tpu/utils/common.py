@@ -13,6 +13,13 @@ import jax
 import numpy as np
 
 
+def cuda_devices_sorted_by_free_mem() -> list[int]:
+    """API-parity stub of ``common_utils.py:38-58``: the reference ranks
+    CUDA devices by free memory via pynvml. On the TPU stack device
+    selection is jax's job; returns device ids in enumeration order."""
+    return [d.id for d in jax.devices()]
+
+
 def determine_device(use_device: str | None = None) -> str:
     """Pick the JAX platform to run on.
 

@@ -1,0 +1,61 @@
+"""Profiling helpers: trace capture and honest device timing.
+
+The reference has no profiling support at all (SURVEY §5); this module
+adds the two tools that matter on TPU:
+
+* :func:`trace` — context manager around ``jax.profiler`` trace capture,
+* :func:`timeit` — steady-state timing that FORCES completion with a host
+  scalar fetch. ``block_until_ready`` alone can be unreliable through
+  remote-device tunnels (it may return at enqueue time), silently turning
+  benchmarks into dispatch-latency measurements.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from collections.abc import Callable
+
+import jax
+import numpy as np
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/chgnet_tpu_trace"):
+    """Capture a jax.profiler trace (view with TensorBoard / xprof)."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
+
+
+def _force_completion(out) -> None:
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(jax.device_get(leaf)).ravel()[:1]
+
+
+def timeit(
+    fn: Callable,
+    *args,
+    iters: int = 10,
+    repeats: int = 3,
+    warmup: bool = True,
+) -> dict:
+    """Best-of-``repeats`` steady-state seconds/iteration for ``fn(*args)``.
+
+    Each window enqueues ``iters`` calls then fetches one scalar to the
+    host, which is stream-ordered and therefore guarantees every queued
+    execution actually ran.
+    """
+    if warmup:
+        out = fn(*args)
+        _force_completion(out)
+    best = float("inf")
+    for _ in range(repeats):
+        start = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        _force_completion(out)
+        best = min(best, (time.perf_counter() - start) / iters)
+    return {"seconds_per_iter": best, "iters": iters, "repeats": repeats}
