@@ -229,6 +229,264 @@ def fire_chunk(
     return state, trajectory
 
 
+
+class LBFGS(NamedTuple):
+    """LBFGS hyperparameters (ASE defaults: H0 = I/70, damping 1, maxstep
+    0.2 A, memory capped for device-resident history buffers)."""
+
+    memory: int = 10
+    alpha: float = 70.0
+    damping: float = 1.0
+    maxstep: float = 0.2
+
+
+class LbfgsState(NamedTuple):
+    """Batched LBFGS state: circular history of (s, y) pairs per graph."""
+
+    frac: jnp.ndarray  # [N, 3]
+    lat: jnp.ndarray  # [B, 3, 3]
+    s_hist: jnp.ndarray  # [M, N, 3]
+    y_hist: jnp.ndarray  # [M, N, 3]
+    s_cell: jnp.ndarray  # [M, B, 3, 3]
+    y_cell: jnp.ndarray  # [M, B, 3, 3]
+    rho: jnp.ndarray  # [M, B]
+    prev_grad: jnp.ndarray  # [N, 3]
+    prev_grad_cell: jnp.ndarray  # [B, 3, 3]
+    prev_dr: jnp.ndarray  # [N, 3]
+    prev_dr_cell: jnp.ndarray  # [B, 3, 3]
+    n_hist: jnp.ndarray  # [B] i32 pairs stored so far
+    converged: jnp.ndarray  # [B] bool
+
+
+def _init_lbfgs_state(batch: GraphBatch, lbfgs: LBFGS) -> LbfgsState:
+    n_graphs = batch.n_graphs
+    n_pad = batch.frac_coords.shape[0]
+    mem = lbfgs.memory
+    zeros_a = jnp.zeros((mem, n_pad, 3), jnp.float32)
+    zeros_c = jnp.zeros((mem, n_graphs, 3, 3), jnp.float32)
+    return LbfgsState(
+        frac=jnp.asarray(batch.frac_coords, jnp.float32),
+        lat=jnp.asarray(batch.lattices, jnp.float32),
+        s_hist=zeros_a,
+        y_hist=zeros_a,
+        s_cell=zeros_c,
+        y_cell=zeros_c,
+        rho=jnp.zeros((mem, n_graphs), jnp.float32),
+        prev_grad=jnp.zeros((n_pad, 3), jnp.float32),
+        prev_grad_cell=jnp.zeros((n_graphs, 3, 3), jnp.float32),
+        prev_dr=jnp.zeros((n_pad, 3), jnp.float32),
+        prev_dr_cell=jnp.zeros((n_graphs, 3, 3), jnp.float32),
+        n_hist=jnp.zeros((n_graphs,), jnp.int32),
+        converged=jnp.zeros((n_graphs,), bool),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "lbfgs", "n_steps", "relax_cell", "record"),
+)
+def lbfgs_chunk(
+    params,
+    batch: GraphBatch,
+    state: LbfgsState,
+    *,
+    config: CHGNetConfig,
+    lbfgs: LBFGS,
+    n_steps: int,
+    fmax_target: float,
+    cell_factor: jnp.ndarray,  # [B]
+    relax_cell: bool,
+    record: bool,
+):
+    """Batched limited-memory BFGS over (positions, scaled strain) DOF;
+    per-graph two-loop recursion with masked circular histories."""
+    n_graphs = batch.n_graphs
+    owner = batch.atom_owner
+    atom_mask = batch.atom_mask[:, None]
+    mem = lbfgs.memory
+
+    def seg_sum(per_atom):
+        return jax.ops.segment_sum(
+            per_atom, owner, num_segments=n_graphs, indices_are_sorted=True
+        )
+
+    def dot(a_atoms, a_cell, b_atoms, b_cell):
+        """Per-graph inner product over combined DOF -> [B]."""
+        return seg_sum((a_atoms * b_atoms).sum(axis=1)) + (
+            (a_cell * b_cell).sum(axis=(1, 2))
+        )
+
+    def evaluate(state):
+        cur = batch._replace(frac_coords=state.frac, lattices=state.lat)
+        out = compute_batch_dynamic(
+            params,
+            cur,
+            config=config,
+            compute_stress=relax_cell or record,
+            compute_magmom=record,
+        )
+        n_atoms = jnp.maximum(out["atoms_per_graph"], 1.0)
+        e_total = out["e"] * (n_atoms if config.is_intensive else 1.0)
+        forces = out["f"] * atom_mask
+        if relax_cell or record:
+            volume = jnp.abs(jnp.linalg.det(state.lat))
+            virial = out["s"] * GPA_TO_EV_A3 * volume[:, None, None]
+            virial = 0.5 * (virial + jnp.swapaxes(virial, 1, 2))
+        else:
+            virial = jnp.zeros((n_graphs, 3, 3), forces.dtype)
+        return e_total, forces, virial, out
+
+    def step(state: LbfgsState, _):
+        e_total, forces, virial, out = evaluate(state)
+        cell_forces = (
+            -virial / cell_factor[:, None, None]
+            if relax_cell
+            else jnp.zeros_like(virial)
+        )
+        grad = -forces
+        grad_cell = -cell_forces
+
+        f2_atom = (forces**2).sum(axis=1)
+        fmax2 = jax.ops.segment_max(
+            jnp.where(batch.atom_mask > 0, f2_atom, 0.0),
+            owner,
+            num_segments=n_graphs,
+            indices_are_sorted=True,
+        )
+        if relax_cell:
+            fmax2 = jnp.maximum(fmax2, (cell_forces**2).sum(axis=2).max(axis=1))
+        fmax = jnp.sqrt(fmax2)
+        converged = state.converged | (fmax < fmax_target)
+
+        # push previous (s, y) pair into the circular history
+        have_prev = state.n_hist > 0
+        y_new = grad - state.prev_grad
+        y_cell_new = grad_cell - state.prev_grad_cell
+        sy = dot(state.prev_dr, state.prev_dr_cell, y_new, y_cell_new)
+        slot = (state.n_hist - 1) % mem  # [B] per-graph slot
+        # scatter per-graph rows into slot: build via one-hot over mem
+        onehot = (
+            jax.nn.one_hot(slot, mem, dtype=jnp.float32)
+            * have_prev.astype(jnp.float32)[:, None]
+        ).T  # [M, B]
+        keep = 1.0 - onehot  # [M, B]
+        oh_atoms = onehot[:, owner, None]  # [M, N, 1]
+        keep_atoms = 1.0 - oh_atoms
+        s_hist = state.s_hist * keep_atoms + state.prev_dr[None] * oh_atoms
+        y_hist = state.y_hist * keep_atoms + y_new[None] * oh_atoms
+        s_cell = (
+            state.s_cell * keep[:, :, None, None]
+            + state.prev_dr_cell[None] * onehot[:, :, None, None]
+        )
+        y_cell = (
+            state.y_cell * keep[:, :, None, None]
+            + y_cell_new[None] * onehot[:, :, None, None]
+        )
+        rho_new = jnp.where(jnp.abs(sy) > 1e-30, 1.0 / sy, 0.0)
+        rho = state.rho * keep + rho_new[None, :] * onehot
+
+        # two-loop recursion (static M loop; invalid slots masked by rho=0);
+        # per-graph circular indexing via gathers over the M axis
+        q = grad
+        q_cell = grad_cell
+        n_hist = state.n_hist
+
+        def gather_hist(hist_atoms, idx):
+            # hist_atoms [M, N, 3], idx [B] -> [N, 3] rows per atom's graph
+            return jnp.take_along_axis(
+                hist_atoms, idx[owner][None, :, None], axis=0
+            )[0]
+
+        def gather_cell(hist_cell, idx):
+            return jnp.take_along_axis(
+                hist_cell, idx[None, :, None, None], axis=0
+            )[0]
+
+        def gather_rho(rho_arr, idx):
+            return jnp.take_along_axis(rho_arr, idx[None, :], axis=0)[0]
+
+        alphas = []
+        for i in range(mem):
+            idx = (n_hist - 1 - i) % mem
+            valid = ((i < n_hist) & ~converged).astype(jnp.float32)
+            s_i = gather_hist(s_hist, idx)
+            y_i = gather_hist(y_hist, idx)
+            sc_i = gather_cell(s_cell, idx)
+            yc_i = gather_cell(y_cell, idx)
+            rho_i = gather_rho(rho, idx) * valid
+            a_i = rho_i * dot(s_i, sc_i, q, q_cell)  # [B]
+            q = q - a_i[owner][:, None] * y_i
+            q_cell = q_cell - a_i[:, None, None] * yc_i
+            alphas.append((a_i, idx))
+        q = q / lbfgs.alpha
+        q_cell = q_cell / lbfgs.alpha
+        for a_i, idx in reversed(alphas):
+            valid = jnp.ones_like(a_i)
+            s_i = gather_hist(s_hist, idx)
+            y_i = gather_hist(y_hist, idx)
+            sc_i = gather_cell(s_cell, idx)
+            yc_i = gather_cell(y_cell, idx)
+            rho_i = gather_rho(rho, idx)
+            b_i = rho_i * dot(y_i, yc_i, q, q_cell)
+            q = q + (a_i - b_i)[owner][:, None] * s_i
+            q_cell = q_cell + (a_i - b_i)[:, None, None] * sc_i
+
+        dr = -q * lbfgs.damping * atom_mask
+        dr_cell = -q_cell * lbfgs.damping
+        # clip the longest per-atom displacement to maxstep (ASE LBFGS)
+        step_len2 = (dr**2).sum(axis=1)
+        longest2 = jax.ops.segment_max(
+            jnp.where(batch.atom_mask > 0, step_len2, 0.0),
+            owner,
+            num_segments=n_graphs,
+            indices_are_sorted=True,
+        )
+        longest2 = jnp.maximum(longest2, (dr_cell**2).sum(axis=(1, 2)))
+        longest = jnp.sqrt(jnp.maximum(longest2, 1e-30))
+        scale = jnp.minimum(1.0, lbfgs.maxstep / longest)
+        active = scale * jnp.where(converged, 0.0, 1.0)
+        dr = dr * active[owner][:, None]
+        d_strain = dr_cell * (active / cell_factor)[:, None, None]
+
+        deform = jnp.eye(3, dtype=state.lat.dtype)[None] + d_strain
+        lat_new = jnp.einsum("bij,bjk->bik", state.lat, deform)
+        cart = jnp.einsum("ni,nij->nj", state.frac, state.lat[owner]) + dr
+        cart = jnp.einsum("ni,nij->nj", cart, deform[owner])
+        frac_new = jnp.einsum(
+            "ni,nij->nj", cart, jnp.linalg.inv(lat_new)[owner]
+        )
+
+        new_state = LbfgsState(
+            frac=frac_new,
+            lat=lat_new,
+            s_hist=s_hist,
+            y_hist=y_hist,
+            s_cell=s_cell,
+            y_cell=y_cell,
+            rho=rho,
+            prev_grad=grad,
+            prev_grad_cell=grad_cell,
+            prev_dr=dr,
+            prev_dr_cell=dr_cell * active[:, None, None],
+            n_hist=jnp.where(converged, state.n_hist, state.n_hist + 1),
+            converged=converged,
+        )
+        ys = {"energy": e_total, "fmax": fmax}
+        if record:
+            ys.update(
+                forces=forces,
+                stress=out["s"],
+                magmom=out["m"],
+                crystal_fea=out["crystal_fea"],
+                frac=state.frac,
+                lat=state.lat,
+            )
+        return new_state, ys
+
+    state, trajectory = jax.lax.scan(step, state, None, length=n_steps)
+    return state, trajectory
+
+
 class StructOptimizer:
     """Structure relaxation via batched on-device FIRE.
 
@@ -246,12 +504,23 @@ class StructOptimizer:
         stress_weight: float = GPA_TO_EV_A3,
         on_isolated_atoms: str = "warn",
         fire_params: FIRE | None = None,
+        lbfgs_params: LBFGS | None = None,
     ) -> None:
-        if optimizer_class not in {"FIRE", None}:
-            raise NotImplementedError(
-                f"{optimizer_class=} is not supported; the TPU-native "
-                "relaxer implements batched FIRE"
+        import warnings
+
+        optimizer_class = optimizer_class or "FIRE"
+        if optimizer_class in {"BFGS", "BFGSLineSearch", "LBFGSLineSearch"}:
+            warnings.warn(
+                f"{optimizer_class} maps to the batched limited-memory "
+                "BFGS (no line search) in chgnet-tpu"
             )
+            optimizer_class = "LBFGS"
+        if optimizer_class not in {"FIRE", "LBFGS"}:
+            raise NotImplementedError(
+                f"{optimizer_class=}: the TPU-native relaxer implements "
+                "batched FIRE and LBFGS"
+            )
+        self.optimizer_class = optimizer_class
         if model is None:
             from chgnet_tpu.models.chgnet import CHGNet
 
@@ -260,6 +529,7 @@ class StructOptimizer:
             model = model.model
         self.model = model
         self.fire = fire_params or FIRE()
+        self.lbfgs = lbfgs_params or LBFGS()
         self.on_isolated_atoms = on_isolated_atoms
 
     @property
@@ -310,7 +580,12 @@ class StructOptimizer:
                 "unit-cell-filter strain parameterization"
             )
         record = loginterval is not None or crystal_feas_save_path is not None
-        state = _init_state(runtime.batch, self.fire)
+        use_lbfgs = self.optimizer_class == "LBFGS"
+        state = (
+            _init_lbfgs_state(runtime.batch, self.lbfgs)
+            if use_lbfgs
+            else _init_state(runtime.batch, self.fire)
+        )
         observers = [
             TrajectoryObserver(atomic_numbers=s.atomic_numbers)
             for s in structures
@@ -325,18 +600,32 @@ class StructOptimizer:
         last_energy = np.zeros(len(structures))
         while total < steps:
             n_steps = min(chunk_size, steps - total)
-            state, traj = fire_chunk(
-                self.model.params,
-                runtime.batch,
-                state,
-                config=self.model.config,
-                fire=self.fire,
-                n_steps=n_steps,
-                fmax_target=fmax,
-                cell_factor=cell_factor,
-                relax_cell=relax_cell,
-                record=record,
-            )
+            if use_lbfgs:
+                state, traj = lbfgs_chunk(
+                    self.model.params,
+                    runtime.batch,
+                    state,
+                    config=self.model.config,
+                    lbfgs=self.lbfgs,
+                    n_steps=n_steps,
+                    fmax_target=fmax,
+                    cell_factor=cell_factor,
+                    relax_cell=relax_cell,
+                    record=record,
+                )
+            else:
+                state, traj = fire_chunk(
+                    self.model.params,
+                    runtime.batch,
+                    state,
+                    config=self.model.config,
+                    fire=self.fire,
+                    n_steps=n_steps,
+                    fmax_target=fmax,
+                    cell_factor=cell_factor,
+                    relax_cell=relax_cell,
+                    record=record,
+                )
             traj = jax.tree.map(np.asarray, traj)
             last_energy = traj["energy"][-1]
             if record:
@@ -347,7 +636,7 @@ class StructOptimizer:
             total += n_steps
             if verbose:
                 print(
-                    f"FIRE step {total}: E = "
+                    f"{self.optimizer_class} step {total}: E = "
                     f"{np.array2string(traj['energy'][-1], precision=4)} eV, "
                     f"fmax = {np.array2string(traj['fmax'][-1], precision=4)}"
                 )

@@ -424,3 +424,34 @@ def test_md_npt_nose_hoover(model, struct):
     assert vol1 != vol0  # barostat engaged
     assert abs(vol1 / vol0 - 1) < 0.3
     assert np.isfinite(np.asarray(md.state.eps_dot)).all()
+
+
+def test_relax_lbfgs(model, struct):
+    """optimizer_class='LBFGS': batched limited-memory BFGS descends and
+    respects the reference optimizer-name aliases."""
+    relaxer = StructOptimizer(model=model, optimizer_class="LBFGS")
+    result = relaxer.relax(
+        struct.perturb(0.1, seed=0), relax_cell=False, fmax=0.01, steps=100,
+        assign_magmoms=False,
+    )
+    traj = result["trajectory"]
+    assert traj.energies[-1] < traj.energies[0]
+    fmax_end = np.sqrt((traj.forces[-1] ** 2).sum(axis=1).max())
+    fmax_start = np.sqrt((traj.forces[0] ** 2).sum(axis=1).max())
+    assert fmax_end < fmax_start
+
+    with pytest.warns(UserWarning, match="maps to"):
+        StructOptimizer(model=model, optimizer_class="BFGS")
+    with pytest.raises(NotImplementedError):
+        StructOptimizer(model=model, optimizer_class="SciPyFminCG")
+
+
+def test_relax_lbfgs_cell_batched(model, struct):
+    relaxer = StructOptimizer(model=model, optimizer_class="LBFGS")
+    results = relaxer.relax(
+        [struct.perturb(0.05, seed=s) for s in range(2)],
+        relax_cell=True, fmax=0.02, steps=40, loginterval=None,
+        assign_magmoms=False,
+    )
+    for res in results:
+        assert np.isfinite(res["final_energy"])
