@@ -296,9 +296,15 @@ def fused_gated_message(
     *,
     use_pallas: bool | None = None,
 ) -> jnp.ndarray:
-    """Fused gated message tail; falls back to plain XLA off-TPU."""
+    """Fused gated message tail; falls back to plain XLA off-TPU and for
+    non-f32 streams (bf16 currently trips a Mosaic lowering bug on real
+    TPUs; the bf16 mode still gets the XLA composition, which fuses
+    reasonably there)."""
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and acc_both.dtype == jnp.float32
+        )
     if not use_pallas:
         return _reference(acc_both, weights, mask, p2)
     interpret = jax.default_backend() != "tpu"
