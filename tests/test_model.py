@@ -309,3 +309,26 @@ def test_activation_variants(li_mn_o2, non_linearity):
     model = CHGNet(seed=0, non_linearity=non_linearity, **SMALL)
     out = model.predict_structure(li_mn_o2, task="e")
     assert np.isfinite(out["e"])
+
+
+def test_self_golden_regression(li_mn_o2):
+    """Self-golden numerical pin: seed-0 SMALL model outputs on LiMnO2,
+    captured 2026-08-17. Guards against silent numerical drift from
+    refactors (the reference pins its pretrained outputs the same way,
+    test_model.py:60-119). Update deliberately if semantics change."""
+    model = CHGNet(seed=0, **SMALL)
+    out = model.predict_structure(li_mn_o2, task="efsm")
+    assert float(out["e"]) == pytest.approx(-7.386071681976318, abs=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(out["f"])[0],
+        [-1.12e-08, 3.82e-08, 8.430728921666741e-04],
+        atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["s"])[0, 0], -0.4712256193161011, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["m"])[:4],
+        [0.3231822, 0.3231822, 0.2883548, 0.2883548],
+        atol=2e-5,
+    )
