@@ -186,3 +186,29 @@ def test_structure_json_data(tmp_path):
     assert targets["e"] == pytest.approx(-3.0)
     _, targets2 = dataset[1]
     assert np.isnan(targets2["m"]).all()  # missing magmom -> NaN labels
+
+
+def test_cif_data(tmp_path):
+    """CIFData: directory of CIFs + labels.json (``dataset.py:197-308``)."""
+    from chgnet_tpu.data import CIFData
+    from chgnet_tpu.utils import write_json
+
+    labels = {}
+    for idx in range(4):
+        struct = NaCl.perturb(0.05, seed=idx)
+        struct.to(str(tmp_path / f"nacl-{idx}.cif"))
+        labels[f"nacl-{idx}"] = {
+            "energy_per_atom": -3.0 + 0.1 * idx,
+            "force": np.zeros((2, 3)).tolist(),
+            "stress": np.eye(3).tolist(),
+            "magmom": [0.1, 0.2],
+        }
+    write_json(labels, str(tmp_path / "labels.json"))
+
+    dataset = CIFData(str(tmp_path), shuffle=False)
+    assert len(dataset) == 4
+    graph, targets = dataset[0]
+    assert isinstance(graph, CrystalGraph)
+    assert set(targets) == {"e", "f", "s", "m"}
+    assert targets["e"] == pytest.approx(-3.0)
+    np.testing.assert_allclose(targets["s"], np.eye(3) * -0.1, atol=1e-7)
