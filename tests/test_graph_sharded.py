@@ -224,3 +224,16 @@ def test_graph_sharded_training_step(model, struct):
             np.asarray(jax.tree.leaves(ref_grads[key])[0]),
             atol=1e-4, rtol=1e-3,
         )
+
+
+def test_hybrid_mesh_and_initialize():
+    from chgnet_tpu.parallel.distributed import initialize, make_hybrid_mesh
+
+    initialize()  # single-process no-op
+    mesh = make_hybrid_mesh(data=2, graph=4)
+    assert mesh.devices.shape == (2, 4)
+    assert mesh.axis_names == ("data", "graph")
+    mesh2 = make_hybrid_mesh(graph=8)
+    assert mesh2.devices.shape == (1, 8)
+    with pytest.raises(ValueError, match="divisible"):
+        make_hybrid_mesh(graph=3)
