@@ -15,9 +15,15 @@ from __future__ import annotations
 
 import json
 
+import os
+
 import jax
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/chgnet_tpu_jax_cache")
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the environment may pin its own platform programmatically; honor
+    # the explicit request for virtual CPU devices (like tests/conftest)
+    jax.config.update("jax_platforms", "cpu")
 
 from chgnet_tpu import ROOT  # noqa: E402
 from chgnet_tpu.core.structure import Structure  # noqa: E402
@@ -32,7 +38,16 @@ from chgnet_tpu.utils import timeit  # noqa: E402
 
 
 def main() -> None:
-    model = CHGNet(seed=0)
+    if jax.default_backend() == "tpu":
+        model = CHGNet(seed=0)
+    else:
+        # virtual-device runs validate the communication pattern; the
+        # full 412k-param sharded graph OOMs host-CPU XLA compilation
+        model = CHGNet(
+            seed=0, atom_fea_dim=16, bond_fea_dim=16, angle_fea_dim=16,
+            num_radial=9, num_angular=9, n_conv=2, mlp_hidden_dims=(16,),
+            atom_conv_hidden_dim=16, bond_conv_hidden_dim=16,
+        )
     struct = Structure.from_file(
         f"{ROOT}/examples/mp-18767-LiMnO2.cif"
     ).make_supercell((4, 4, 2))
@@ -57,19 +72,18 @@ def main() -> None:
         sec = timeit(run, iters=5, repeats=2)["seconds_per_iter"]
         results[n_dev] = n_edges / sec
         base = results[1]
-        print(
-            json.dumps(
-                {
-                    "metric": f"sharded edges/s @ {n_dev} devices",
-                    "value": round(results[n_dev], 1),
-                    "unit": "directed edges/s",
-                    "scaling_efficiency": round(
-                        results[n_dev] / (base * n_dev), 4
-                    ),
-                    "n_atoms": len(struct),
-                }
-            )
-        )
+        line = {
+            "metric": f"sharded edges/s @ {n_dev} devices",
+            "value": round(results[n_dev], 1),
+            "unit": "directed edges/s",
+            "scaling_efficiency": round(results[n_dev] / (base * n_dev), 4),
+            "n_atoms": len(struct),
+        }
+        if jax.default_backend() != "tpu":
+            # virtual devices share one host CPU: correctness of the
+            # communication pattern only, efficiency is meaningless
+            line["note"] = "virtual devices; efficiency not meaningful"
+        print(json.dumps(line))
         n_dev *= 2
 
 
