@@ -8,6 +8,8 @@ spanning all hosts' devices (DP over DCN x graph-partitioning over ICI).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import numpy as np
 from jax.sharding import Mesh
@@ -23,9 +25,25 @@ def initialize(
     On Cloud TPU the arguments are auto-detected from the environment;
     pass them explicitly elsewhere. Must run before any device work.
     """
-    if num_processes == 1 or (
-        coordinator_address is None and jax.process_count() == 1
+    if num_processes == 1:
+        return
+    if (
+        coordinator_address is None
+        and num_processes is None
+        and process_id is None
+        and not any(
+            key in os.environ
+            for key in (
+                "JAX_COORDINATOR_ADDRESS",
+                "COORDINATOR_ADDRESS",
+                "MEGASCALE_COORDINATOR_ADDRESS",
+            )
+        )
     ):
+        # nothing explicit requested and no multi-process environment
+        # advertised: stay single-process. (Deliberately avoids probing
+        # jax.process_count(), which would itself initialize the backend
+        # and always reports 1 pre-init.)
         return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

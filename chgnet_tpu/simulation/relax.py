@@ -421,7 +421,6 @@ def lbfgs_chunk(
         q = q / lbfgs.alpha
         q_cell = q_cell / lbfgs.alpha
         for a_i, idx in reversed(alphas):
-            valid = jnp.ones_like(a_i)
             s_i = gather_hist(s_hist, idx)
             y_i = gather_hist(y_hist, idx)
             sc_i = gather_cell(s_cell, idx)
@@ -654,7 +653,8 @@ class StructOptimizer:
             final = self.model.predict_structure(
                 final_structures, task="efsm"
             )
-            final = [final] if single else final
+            if isinstance(final, dict):  # predict returns a dict for one graph
+                final = [final]
             for idx, struct in enumerate(final_structures):
                 if assign_magmoms:
                     struct.site_properties["magmom"] = list(

@@ -455,3 +455,16 @@ def test_relax_lbfgs_cell_batched(model, struct):
     )
     for res in results:
         assert np.isfinite(res["final_energy"])
+
+
+def test_relax_list_of_one(model, struct):
+    """relax([structure]) (a list of ONE) must return a one-element list
+    and assign magmoms without crashing (predict returns a dict for a
+    single graph; regression for the un-wrap bug)."""
+    relaxer = StructOptimizer(model=model)
+    results = relaxer.relax(
+        [struct.perturb(0.05, seed=0)], relax_cell=False, steps=3,
+        assign_magmoms=True,
+    )
+    assert isinstance(results, list) and len(results) == 1
+    assert "magmom" in results[0]["final_structure"].site_properties
