@@ -52,6 +52,12 @@ class GraphBatch(NamedTuple):
     bond_graph: np.ndarray  # i32 [A, 5] gather indices
     angle_scatter: np.ndarray  # i32 [A] undirected bond i or U (drop)
     angle_mask: np.ndarray  # f32 [A]
+    # optional dense per-atom edge layout (built with dense_k=True):
+    # regularizes AtomConv so the scatter becomes a sum over the K axis
+    # and the center gather becomes a broadcast
+    dense_nbr: np.ndarray = np.zeros((0, 0), np.int32)  # i32 [N, K]
+    dense_bond: np.ndarray = np.zeros((0, 0), np.int32)  # i32 [N, K]
+    dense_mask: np.ndarray = np.zeros((0, 0), np.float32)  # f32 [N, K]
 
     @property
     def n_graphs(self) -> int:
@@ -76,6 +82,7 @@ def batch_graphs(
     *,
     bucket: bool = True,
     capacities: tuple[int, int, int] | None = None,
+    dense_k: bool | int = False,
 ) -> GraphBatch:
     """Assemble CrystalGraphs into one padded GraphBatch.
 
@@ -85,6 +92,9 @@ def batch_graphs(
             under jit to bound recompiles).
         capacities: optional explicit (n_atoms, n_directed, n_angles)
             capacities; wins over ``bucket``.
+        dense_k: also build the dense per-atom edge layout ([N, K] slots;
+            True buckets K to the max neighbor count, an int pins it) for
+            ``CHGNetConfig.dense_atom_conv``.
     """
     n_graphs = len(graphs)
     if n_graphs == 0:
@@ -169,6 +179,32 @@ def batch_graphs(
         u_off += u
         an_off += a
 
+    dense = {}
+    if dense_k:
+        counts = np.bincount(
+            edge_scatter[edge_mask > 0], minlength=cap_n
+        )[:cap_n]
+        max_k = int(counts.max()) if counts.size else 1
+        cap_k = max_k if dense_k is True else int(dense_k)
+        if cap_k < max_k:
+            raise ValueError(f"dense_k={cap_k} < max neighbors {max_k}")
+        cap_k = round_up(max(cap_k, 1), base=8)
+        dense_nbr = np.zeros((cap_n, cap_k), np.int32)
+        dense_bond = np.zeros((cap_n, cap_k), np.int32)
+        dense_mask = np.zeros((cap_n, cap_k), np.float32)
+        slot = np.zeros(cap_n, np.int64)
+        for e in np.nonzero(edge_mask > 0)[0]:
+            center = edge_scatter[e]
+            dense_nbr[center, slot[center]] = atom_graph[e, 1]
+            dense_bond[center, slot[center]] = directed2undirected[e]
+            dense_mask[center, slot[center]] = 1.0
+            slot[center] += 1
+        dense = {
+            "dense_nbr": dense_nbr,
+            "dense_bond": dense_bond,
+            "dense_mask": dense_mask,
+        }
+
     return GraphBatch(
         atomic_numbers=atomic_numbers,
         frac_coords=frac_coords,
@@ -186,4 +222,5 @@ def batch_graphs(
         bond_graph=bond_graph,
         angle_scatter=angle_scatter,
         angle_mask=angle_mask,
+        **dense,
     )

@@ -55,6 +55,7 @@ from chgnet_tpu.models.layers import (
     angle_update_apply,
     angle_update_init,
     atom_conv_apply,
+    atom_conv_dense_apply,
     atom_conv_init,
     attention_readout_apply,
     attention_readout_init,
@@ -115,6 +116,8 @@ class CHGNetConfig:
     # cost of ~1e-2-relative feature precision; geometry/readout stay f32
     fused_kernels: bool = False  # Pallas fused gated-message kernels
     remat: bool = False  # checkpoint conv blocks (large-system memory)
+    dense_atom_conv: bool = False  # [N, K] dense edge layout for AtomConv
+    # (requires batches built with dense_k; K-reduce replaces the scatter)
     max_num_elements: int = 94
 
     def __post_init__(self) -> None:
@@ -309,21 +312,43 @@ def _energy_core(
     edge_mask = batch.edge_mask.astype(conv_dtype)
     angle_mask = batch.angle_mask.astype(conv_dtype)
 
+    use_dense = cfg.dense_atom_conv
+    if use_dense and batch.dense_mask.shape[1] == 0:
+        raise ValueError(
+            "dense_atom_conv=True requires batches built with "
+            "batch_graphs(..., dense_k=True)"
+        )
+    dense_mask_c = (
+        batch.dense_mask.astype(conv_dtype) if use_dense else None
+    )
+
     def conv_block(idx, layer_params, atom_feas, bond_feas, angle_feas,
                    bond_weights_ag, bond_weights_bg):
         atom_p, bond_p, angle_p = layer_params
-        atom_feas = atom_conv_apply(
-            atom_p,
-            atom_feas,
-            bond_feas,
-            bond_weights_ag,
-            batch.atom_graph,
-            batch.edge_scatter,
-            batch.directed2undirected,
-            edge_mask,
-            activation=act,
-            fused=cfg.fused_kernels,
-        )
+        if use_dense:
+            atom_feas = atom_conv_dense_apply(
+                atom_p,
+                atom_feas,
+                bond_feas,
+                bond_weights_ag,
+                batch.dense_nbr,
+                batch.dense_bond,
+                dense_mask_c,
+                activation=act,
+            )
+        else:
+            atom_feas = atom_conv_apply(
+                atom_p,
+                atom_feas,
+                bond_feas,
+                bond_weights_ag,
+                batch.atom_graph,
+                batch.edge_scatter,
+                batch.directed2undirected,
+                edge_mask,
+                activation=act,
+                fused=cfg.fused_kernels,
+            )
         if bond_p is not None:
             bond_feas = bond_conv_apply(
                 bond_p,
@@ -368,18 +393,30 @@ def _energy_core(
         if idx == cfg.n_conv - 2:
             atom_feas_mid = atom_feas
 
-    atom_feas = atom_conv_apply(
-        params["atom_convs"][cfg.n_conv - 1],
-        atom_feas,
-        bond_feas,
-        bond_weights_ag,
-        batch.atom_graph,
-        batch.edge_scatter,
-        batch.directed2undirected,
-        edge_mask,
-        activation=act,
-        fused=cfg.fused_kernels,
-    )
+    if use_dense:
+        atom_feas = atom_conv_dense_apply(
+            params["atom_convs"][cfg.n_conv - 1],
+            atom_feas,
+            bond_feas,
+            bond_weights_ag,
+            batch.dense_nbr,
+            batch.dense_bond,
+            dense_mask_c,
+            activation=act,
+        )
+    else:
+        atom_feas = atom_conv_apply(
+            params["atom_convs"][cfg.n_conv - 1],
+            atom_feas,
+            bond_feas,
+            bond_weights_ag,
+            batch.atom_graph,
+            batch.edge_scatter,
+            batch.directed2undirected,
+            edge_mask,
+            activation=act,
+            fused=cfg.fused_kernels,
+        )
     atom_feas = atom_feas.astype(jnp.float32)  # readout stays float32
     if "readout_norm" in params:
         atom_feas = layer_norm_apply(params["readout_norm"], atom_feas)
@@ -589,7 +626,9 @@ class CHGNet:
     ) -> dict[str, np.ndarray | list[np.ndarray]]:
         """Batched prediction keeping reference semantics: returns a dict
         with 'e' [B] plus per-graph lists for f/s/m when requested."""
-        batch = batch_graphs(graphs, bucket=bucket)
+        batch = batch_graphs(
+            graphs, bucket=bucket, dense_k=self.config.dense_atom_conv
+        )
         out = compute_batch(
             self.params,
             batch,

@@ -20,6 +20,7 @@ import numpy as np
 
 from chgnet_tpu.models.functions import (
     Params,
+    find_activation as find_activation_cached,
     first_layer_acc_joint,
     gated_mlp_apply,
     gated_mlp_fusable,
@@ -123,6 +124,77 @@ def atom_conv_apply(
         new_atom_feas = layer_norm_apply(params["norm"], new_atom_feas)
     return new_atom_feas
 
+
+
+def atom_conv_dense_apply(
+    params: Params,
+    atom_feas: jnp.ndarray,  # [N, d_atom]
+    bond_feas: jnp.ndarray,  # [U, d_bond]
+    bond_weights: jnp.ndarray,  # [U, d_atom]
+    dense_nbr: jnp.ndarray,  # [N, K]
+    dense_bond: jnp.ndarray,  # [N, K]
+    dense_mask: jnp.ndarray,  # [N, K]
+    *,
+    activation: str = "silu",
+    resnet: bool = True,
+) -> jnp.ndarray:
+    """AtomConv over the dense per-atom edge layout.
+
+    Regularizing edges to [N, K] slots turns the sorted segment-sum into
+    a plain reduction over K and the center-feature gather into a
+    broadcast — the two ops a TPU handles worst become free. Numerics
+    match :func:`atom_conv_apply` exactly (same lane-packed gated MLP).
+    """
+    gmlp = params["gated_mlp"]
+    layers_c = gmlp["core"]["layers"]
+    layers_g = gmlp["gate"]["layers"]
+    dim = layers_c[-1]["w"].shape[1]
+    d_atom = atom_feas.shape[1]
+    d_bond = bond_feas.shape[1]
+
+    first_w = jnp.concatenate([layers_c[0]["w"], layers_g[0]["w"]], axis=1)
+    w_center = first_w[:d_atom]
+    w_bond = first_w[d_atom: d_atom + d_bond]
+    w_nbr = first_w[d_atom + d_bond:]
+    p_center = jnp.dot(atom_feas, w_center)  # [N, 2D]
+    p_nbr = jnp.dot(atom_feas, w_nbr)  # [N, 2D]
+    p_bond = jnp.dot(bond_feas, w_bond)  # [U, 2D]
+    acc = p_center[:, None, :] + p_nbr[dense_nbr] + p_bond[dense_bond]
+    if "b" in layers_c[0]:
+        acc = acc + jnp.concatenate([layers_c[0]["b"], layers_g[0]["b"]])
+
+    act = find_activation_cached(activation)
+    x = act(acc)
+    for lc, lg in zip(layers_c[1:], layers_g[1:]):
+        w = jax.scipy.linalg.block_diag(lc["w"], lg["w"])
+        x = jnp.dot(x, w)
+        if "b" in lc:
+            x = x + jnp.concatenate([lc["b"], lg["b"]])
+        if (lc is not layers_c[-1]) and (lg is not layers_g[-1]):
+            x = act(x)
+    if "norm_core" in gmlp:
+        h = x.reshape(*x.shape[:-1], 2, dim)
+        mean = h.mean(axis=-1, keepdims=True)
+        var = ((h - mean) ** 2).mean(axis=-1, keepdims=True)
+        h = (h - mean) * jax.lax.rsqrt(var + 1e-5)
+        scale = jnp.stack(
+            [gmlp["norm_core"]["scale"], gmlp["norm_gate"]["scale"]]
+        )
+        bias = jnp.stack(
+            [gmlp["norm_core"]["bias"], gmlp["norm_gate"]["bias"]]
+        )
+        x = (h * scale + bias).reshape(*x.shape[:-1], 2 * dim)
+    messages = act(x[..., :dim]) * jax.nn.sigmoid(x[..., dim:])
+    messages = messages * bond_weights[dense_bond] * dense_mask[..., None]
+
+    new_atom_feas = messages.sum(axis=1)  # the "scatter" is a K-reduce
+    if "mlp_out" in params:
+        new_atom_feas = mlp_apply(params["mlp_out"], new_atom_feas)
+    if resnet:
+        new_atom_feas = new_atom_feas + atom_feas
+    if "norm" in params:
+        new_atom_feas = layer_norm_apply(params["norm"], new_atom_feas)
+    return new_atom_feas
 
 # ------------------------------------------------------------------ BondConv
 def bond_conv_init(

@@ -332,3 +332,28 @@ def test_self_golden_regression(li_mn_o2):
         [0.3231822, 0.3231822, 0.2883548, 0.2883548],
         atol=2e-5,
     )
+
+
+def test_dense_atom_conv_matches(li_mn_o2):
+    """dense_atom_conv ([N,K] slots; K-reduce replaces the scatter) is
+    numerically identical to the CSR path, including forces."""
+    model = CHGNet(seed=0, **SMALL)
+    dense = CHGNet(seed=0, dense_atom_conv=True, **SMALL)
+    dense.params = model.params
+    struct = li_mn_o2.perturb(0.05, seed=1)
+    a = model.predict_structure(struct, task="efsm")
+    b = dense.predict_structure(struct, task="efsm")
+    assert b["e"] == pytest.approx(a["e"], abs=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(b["f"]), np.asarray(a["f"]), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(b["m"]), np.asarray(a["m"]), atol=1e-6
+    )
+    # flag without dense batch data raises a clear error
+    from chgnet_tpu.graph.batching import batch_graphs
+    from chgnet_tpu.models.chgnet import compute_batch
+
+    plain_batch = batch_graphs([model.graph_converter(struct)])
+    with pytest.raises(ValueError, match="dense_k"):
+        compute_batch(dense.params, plain_batch, config=dense.config)
