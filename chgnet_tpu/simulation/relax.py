@@ -76,7 +76,9 @@ def _init_state(batch: GraphBatch, fire: FIRE) -> FireState:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "fire", "n_steps", "relax_cell", "record"),
+    static_argnames=(
+        "config", "fire", "n_steps", "relax_cell", "record", "method",
+    ),
 )
 def fire_chunk(
     params,
@@ -90,11 +92,13 @@ def fire_chunk(
     cell_factor: jnp.ndarray,  # [B]
     relax_cell: bool,
     record: bool,
+    method: str = "FIRE",
 ):
-    """Run ``n_steps`` fixed-topology FIRE steps under ``lax.scan``.
-
-    Returns (state, per-step outputs). Each step evaluates E/F(/S),
-    updates convergence, then moves the unconverged graphs.
+    """Run ``n_steps`` fixed-topology FIRE (or MDMin) steps under
+    ``lax.scan``. Returns (state, per-step outputs). Each step evaluates
+    E/F(/S), updates convergence, then moves the unconverged graphs.
+    MDMin is the velocity-projection quench: v is projected onto F when
+    downhill and zeroed when uphill (same semantics as ASE's MDMin).
     """
     n_graphs = batch.n_graphs
     owner = batch.atom_owner
@@ -148,7 +152,7 @@ def fire_chunk(
         fmax = jnp.sqrt(fmax2)
         converged = state.converged | (fmax < fmax_target)
 
-        # FIRE: P = F . v per graph over the combined DOF
+        # FIRE / MDMin: P = F . v per graph over the combined DOF
         power = seg_sum((forces * state.vel).sum(axis=1)) + (
             (cell_forces * state.vel_cell).sum(axis=(1, 2))
         )
@@ -158,28 +162,44 @@ def fire_chunk(
         f_norm2 = seg_sum(f2_atom) + (cell_forces**2).sum(axis=(1, 2))
         downhill = power > 0.0
 
-        mix = state.alpha * jnp.sqrt(v_norm2 / jnp.maximum(f_norm2, 1e-30))
-        vel_mixed = (1.0 - state.alpha[owner])[:, None] * state.vel + mix[
-            owner
-        ][:, None] * forces
-        velc_mixed = (1.0 - state.alpha)[:, None, None] * state.vel_cell + mix[
-            :, None, None
-        ] * cell_forces
-        vel = jnp.where(downhill[owner][:, None], vel_mixed, 0.0)
-        vel_cell = jnp.where(downhill[:, None, None], velc_mixed, 0.0)
+        if method == "MDMin":
+            # project v fully onto F when downhill, zero when uphill
+            proj = power / jnp.maximum(f_norm2, 1e-30)
+            vel = jnp.where(
+                downhill[owner][:, None], proj[owner][:, None] * forces, 0.0
+            )
+            vel_cell = jnp.where(
+                downhill[:, None, None],
+                proj[:, None, None] * cell_forces,
+                0.0,
+            )
+            dt, alpha, n_pos = state.dt, state.alpha, state.n_pos
+        else:
+            mix = state.alpha * jnp.sqrt(
+                v_norm2 / jnp.maximum(f_norm2, 1e-30)
+            )
+            vel_mixed = (1.0 - state.alpha[owner])[:, None] * state.vel + mix[
+                owner
+            ][:, None] * forces
+            velc_mixed = (
+                (1.0 - state.alpha)[:, None, None] * state.vel_cell
+                + mix[:, None, None] * cell_forces
+            )
+            vel = jnp.where(downhill[owner][:, None], vel_mixed, 0.0)
+            vel_cell = jnp.where(downhill[:, None, None], velc_mixed, 0.0)
 
-        grow = downhill & (state.n_pos > fire.n_min)
-        dt = jnp.where(
-            grow,
-            jnp.minimum(state.dt * fire.f_inc, fire.dtmax),
-            jnp.where(downhill, state.dt, state.dt * fire.f_dec),
-        )
-        alpha = jnp.where(
-            grow,
-            state.alpha * fire.f_alpha,
-            jnp.where(downhill, state.alpha, fire.alpha_start),
-        )
-        n_pos = jnp.where(downhill, state.n_pos + 1, 0)
+            grow = downhill & (state.n_pos > fire.n_min)
+            dt = jnp.where(
+                grow,
+                jnp.minimum(state.dt * fire.f_inc, fire.dtmax),
+                jnp.where(downhill, state.dt, state.dt * fire.f_dec),
+            )
+            alpha = jnp.where(
+                grow,
+                state.alpha * fire.f_alpha,
+                jnp.where(downhill, state.alpha, fire.alpha_start),
+            )
+            n_pos = jnp.where(downhill, state.n_pos + 1, 0)
 
         vel = vel + dt[owner][:, None] * forces
         vel_cell = vel_cell + dt[:, None, None] * cell_forces
@@ -514,10 +534,10 @@ class StructOptimizer:
                 "BFGS (no line search) in chgnet-tpu"
             )
             optimizer_class = "LBFGS"
-        if optimizer_class not in {"FIRE", "LBFGS"}:
+        if optimizer_class not in {"FIRE", "LBFGS", "MDMin"}:
             raise NotImplementedError(
                 f"{optimizer_class=}: the TPU-native relaxer implements "
-                "batched FIRE and LBFGS"
+                "batched FIRE, LBFGS and MDMin"
             )
         self.optimizer_class = optimizer_class
         if model is None:
@@ -624,6 +644,7 @@ class StructOptimizer:
                     cell_factor=cell_factor,
                     relax_cell=relax_cell,
                     record=record,
+                    method=self.optimizer_class,
                 )
             traj = jax.tree.map(np.asarray, traj)
             last_energy = traj["energy"][-1]

@@ -468,3 +468,13 @@ def test_relax_list_of_one(model, struct):
     )
     assert isinstance(results, list) and len(results) == 1
     assert "magmom" in results[0]["final_structure"].site_properties
+
+
+def test_relax_mdmin(model, struct):
+    relaxer = StructOptimizer(model=model, optimizer_class="MDMin")
+    result = relaxer.relax(
+        struct.perturb(0.1, seed=0), relax_cell=False, fmax=0.01, steps=120,
+        assign_magmoms=False,
+    )
+    traj = result["trajectory"]
+    assert traj.energies[-1] < traj.energies[0]
