@@ -562,8 +562,11 @@ def make_graph_sharded_train_step(
     optimizer,
     mesh: Mesh,
     axis: str = "graph",
+    targets: str = "ef",
     energy_loss_ratio: float = 1.0,
     force_loss_ratio: float = 1.0,
+    stress_loss_ratio: float = 0.1,
+    mag_loss_ratio: float = 0.1,
 ):
     """Training over the graph-partitioned forward: per-device loss terms
     with psum'ed reductions, parameter gradients via shard_map autodiff
@@ -572,7 +575,10 @@ def make_graph_sharded_train_step(
 
     Step signature: (params, opt_state, sbatch, sharded_targets) ->
     (params, opt_state, metrics). Targets come from :func:`shard_targets`.
-    Loss = MSE(e, eV/atom) + MSE(f) with NaN-masked labels.
+    Loss = weighted MSE over the requested targets ("ef"/"efs"/"efsm",
+    like the reference CombinedLoss) with NaN-masked labels; stress flows
+    through the strain gradient (psum'ed virial), magmoms through the
+    site-wise head on local atom blocks.
     """
     cfg = config
 
@@ -596,23 +602,27 @@ def make_graph_sharded_train_step(
             sharded_spec,
         )
 
-    def local_loss(params, sb, targets_e, graph_mask, targets_f):
+    def local_loss(params, sb, tgt):
         n_graphs = sb.lattices.shape[0]
+        targets_e = tgt["e"]
+        graph_mask = tgt["graph_mask"]
+        targets_f = tgt["f"][0]
         frac = sb.frac_coords
         cart0 = jnp.einsum("ni,nij->nj", frac, sb.lattices[sb.atom_owner])
         strains0 = jnp.zeros((n_graphs, 3, 3), jnp.float32)
 
-        def e_of(cart):
+        def e_of(cart, strains):
             with jax.default_matmul_precision(cfg.matmul_precision):
                 e_partial, aux = _energy_sharded(
-                    params, cfg, sb, cart, strains0, axis
+                    params, cfg, sb, cart, strains, axis
                 )
             return e_partial.sum(), (e_partial, aux)
 
-        (_, (e_partial, aux)), grad_cart = jax.value_and_grad(
-            e_of, has_aux=True
-        )(cart0)
-        forces = -grad_cart
+        argnums = (0, 1) if "s" in targets else (0,)
+        (_, (e_partial, aux)), grads_geom = jax.value_and_grad(
+            e_of, argnums=argnums, has_aux=True
+        )(cart0, strains0)
+        forces = -grads_geom[0]
 
         e_ext = jax.lax.psum(e_partial, axis)
         atoms = jnp.maximum(
@@ -654,21 +664,61 @@ def make_graph_sharded_train_step(
         f_mae = jax.lax.psum(jnp.abs(f_err).sum(), axis) / f_count
 
         loss = energy_loss_ratio * e_loss + force_loss_ratio * f_loss
-        return loss, {"loss": loss, "e_MAE": e_mae, "f_MAE": f_mae}
+        metrics = {"e_MAE": e_mae, "f_MAE": f_mae}
 
-    def local_step(params, opt_state, sbatch_l, targets):
+        if "s" in targets:
+            volumes = jnp.abs(jnp.linalg.det(sb.lattices))
+            # under VMA-checked shard_map the strain cotangent is already
+            # summed over the mesh by the collective transposes (unlike
+            # the check_vma=False inference path, which psums explicitly)
+            virial = grads_geom[1]
+            stress = virial * EV_A3_TO_GPA / volumes[:, None, None]
+            targets_s = tgt["s"]
+            s_valid = (
+                (graph_mask[:, None, None] > 0)
+                & ~jnp.isnan(targets_s)
+            )
+            safe_s = jnp.where(s_valid, targets_s, 0.0)
+            s_err = jnp.where(s_valid, stress - safe_s, 0.0)
+            s_count = jnp.maximum(s_valid.sum().astype(jnp.float32), 1.0)
+            loss = loss + stress_loss_ratio * (s_err**2).sum() / s_count
+            metrics["s_MAE"] = jnp.abs(s_err).sum() / s_count
+
+        if "m" in targets:
+            magmom = jnp.abs(
+                linear_apply(params["site_wise"], aux["atom_feas_mid"])
+            ).reshape(-1) * sb.atom_mask
+            targets_m = tgt["m"][0]
+            m_valid = (sb.atom_mask > 0) & ~jnp.isnan(targets_m)
+            safe_m = jnp.where(m_valid, targets_m, 0.0)
+            m_err = jnp.where(m_valid, magmom - safe_m, 0.0)
+            m_count = jnp.maximum(
+                jax.lax.psum(m_valid.sum(), axis).astype(jnp.float32), 1.0
+            )
+            loss = loss + mag_loss_ratio * jax.lax.psum(
+                (m_err**2).sum(), axis
+            ) / m_count
+            metrics["m_MAE"] = jax.lax.psum(
+                jnp.abs(m_err).sum(), axis
+            ) / m_count
+
+        metrics["loss"] = loss
+        return loss, metrics
+
+    def local_step(params, opt_state, sbatch_l, tgt):
         sb = strip(sbatch_l)
         grads, metrics = jax.grad(
-            lambda p: local_loss(
-                p, sb, targets["e"], targets["graph_mask"], targets["f"][0]
-            ),
-            has_aux=True,
+            lambda p: local_loss(p, sb, tgt), has_aux=True
         )(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics
 
     target_spec = {"e": P(), "graph_mask": P(), "f": P(axis)}
+    if "s" in targets:
+        target_spec["s"] = P()
+    if "m" in targets:
+        target_spec["m"] = P(axis)
     fn = shard_map(
         local_step,
         mesh=mesh,

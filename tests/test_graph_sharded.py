@@ -237,3 +237,54 @@ def test_hybrid_mesh_and_initialize():
     assert mesh2.devices.shape == (1, 8)
     with pytest.raises(ValueError, match="divisible"):
         make_hybrid_mesh(graph=3)
+
+
+def test_graph_sharded_training_efsm(model, struct):
+    """Full efsm sharded training: loss/MAEs match the single-device
+    CombinedLoss (stress through the psum'ed strain gradient, magmoms on
+    local atom blocks)."""
+    import optax
+
+    from chgnet_tpu.parallel.graph_sharded import (
+        make_graph_sharded_train_step,
+        shard_targets,
+    )
+    from chgnet_tpu.trainer.losses import CombinedLoss, loss_and_metrics
+
+    big = struct.make_supercell(2).perturb(0.05, seed=3)
+    batch = batch_graphs([model.graph_converter(big)])
+    n = len(big)
+    n_pad = batch.n_atoms_padded
+
+    teacher = CHGNet(seed=7, **SMALL)
+    pred = teacher.predict_structure(big, task="efsm")
+    nanpad = lambda a, w: np.concatenate(
+        [np.asarray(a, np.float32),
+         np.full((n_pad - n, *w), np.nan, np.float32)]
+    )
+    targets = {
+        "e": np.array([pred["e"]], np.float32),
+        "graph_mask": np.ones(1, np.float32),
+        "f": nanpad(pred["f"], (3,)),
+        "s": np.asarray(pred["s"], np.float32)[None],
+        "m": nanpad(pred["m"], ()),
+    }
+    loss_fn = CombinedLoss(target_str="efsm", criterion="MSE")
+    _, ref_metrics = loss_and_metrics(
+        model.params, batch, targets, config=model.config, loss_fn=loss_fn
+    )
+
+    mesh = make_mesh(4, axis_name="graph")
+    sbatch = shard_batch(batch, 4)
+    st = shard_targets(targets, sbatch)
+    optimizer = optax.adam(1e-3)
+    step = make_graph_sharded_train_step(
+        config=model.config, optimizer=optimizer, mesh=mesh, targets="efsm"
+    )
+    _, _, metrics = step(
+        model.params, optimizer.init(model.params), sbatch, st
+    )
+    for key in ("loss", "e_MAE", "f_MAE", "s_MAE", "m_MAE"):
+        assert float(metrics[key]) == pytest.approx(
+            float(ref_metrics[key]), rel=1e-4, abs=1e-6
+        ), key
