@@ -202,9 +202,12 @@ class Graph:
         ]
 
     def as_dict(self) -> dict:
+        directed_edges: dict[tuple[int, int], list[DirectedEdge]] = {}
+        for edge in self.directed_edges_list:
+            directed_edges.setdefault(tuple(edge.nodes), []).append(edge)
         return {
             "nodes": self.nodes,
-            "directed_edges": self.undirected_edges,
+            "directed_edges": directed_edges,
             "directed_edges_list": self.directed_edges_list,
             "undirected_edges": self.undirected_edges,
             "undirected_edges_list": self.undirected_edges_list,

@@ -115,6 +115,12 @@ class GraphRuntime:
         skin: float = 0.3,
         on_isolated_atoms: str = "warn",
     ) -> None:
+        if getattr(config, "dense_atom_conv", False):
+            raise NotImplementedError(
+                "dense_atom_conv is a batching mode for inference/training "
+                "batches; simulation loops use the CSR layout (dynamic "
+                "cutoff masks are not defined for dense slots yet)"
+            )
         self.config = config
         self.skin = float(skin)
         self.converter = CrystalGraphConverter(

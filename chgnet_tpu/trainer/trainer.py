@@ -143,7 +143,7 @@ class Trainer:
         self.mesh = mesh
         self.model = model
         self.targets = targets
-        if data_seed:
+        if data_seed is not None:
             random.seed(data_seed)
             np.random.seed(data_seed)
 
@@ -204,7 +204,7 @@ class Trainer:
         self.training_history: dict[str, dict[str, list | float]] = {
             key: {"train": [], "val": [], "test": []} for key in self.targets
         }
-        self.best_model = None
+        self.best_model_params = None
         self.opt_state = None
         self._jit_cache: dict = {}
         self._optimizer = self._build_optimizer(
@@ -539,12 +539,17 @@ class Trainer:
 
     # ------------------------------------------------------------ persistence
     def get_best_model(self):
-        """Model with the lowest validation energy error."""
-        if self.best_model is None:
+        """Model with the lowest validation energy error (a fresh CHGNet
+        carrying the snapshotted best-epoch parameters)."""
+        if self.best_model_params is None:
             raise RuntimeError("the model needs to be trained first")
         mae = min(self.training_history["e"]["val"])
         print(f"Best model has val {mae =:.4}")
-        return self.best_model
+        from chgnet_tpu.models.chgnet import CHGNet
+
+        return CHGNet(
+            params=self.best_model_params, **self.model.config.as_dict()
+        )
 
     @property
     def _init_keys(self) -> list[str]:
@@ -590,7 +595,11 @@ class Trainer:
         self.save(filename=filename)
 
         if mae_error["e"] == min(self.training_history["e"]["val"]):
-            self.best_model = self.model
+            # snapshot params (the live model keeps training; an alias
+            # would silently return the latest weights instead)
+            self.best_model_params = jax.tree.map(
+                np.asarray, self.model.params
+            )
             for fname in os.listdir(save_dir):
                 if fname.startswith("bestE"):
                     os.remove(os.path.join(save_dir, fname))

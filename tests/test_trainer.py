@@ -245,3 +245,22 @@ def test_wandb_mocked(loaders, monkeypatch):
         trainer_mod.Trainer(
             model=model, epochs=1, wandb_path="too/many/slashes"
         )
+
+
+def test_get_best_model_is_snapshot(loaders):
+    """get_best_model returns the best-epoch params, not an alias to the
+    live (latest) model."""
+    train_loader, val_loader, _ = loaders
+    model = CHGNet(seed=0, **SMALL)
+    trainer = Trainer(model=model, targets="ef", epochs=2, learning_rate=1e-3)
+    trainer.train(train_loader, val_loader, save_dir=None)
+    best = trainer.get_best_model()
+    assert best is not trainer.model
+    best_epoch = int(np.argmin(trainer.training_history["e"]["val"]))
+    if best_epoch < len(trainer.training_history["e"]["val"]) - 1:
+        # best epoch was not the last one: params must differ from latest
+        same = np.allclose(
+            np.asarray(best.params["atom_embedding"]["weight"]),
+            np.asarray(trainer.model.params["atom_embedding"]["weight"]),
+        )
+        assert not same
