@@ -36,8 +36,7 @@ import numpy as np
 import optax
 
 from chgnet_tpu import TrainTask
-from chgnet_tpu.trainer.losses import loss_and_metrics
-from chgnet_tpu.trainer.losses import CombinedLoss
+from chgnet_tpu.trainer.losses import CombinedLoss, loss_and_metrics
 from chgnet_tpu.utils.common import AverageMeter, write_json
 
 try:

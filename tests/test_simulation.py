@@ -478,3 +478,24 @@ def test_relax_mdmin(model, struct):
     )
     traj = result["trajectory"]
     assert traj.energies[-1] < traj.energies[0]
+
+
+def test_md_set_atoms(model, struct):
+    """set_atoms swaps in new coordinates (velocities kept), rejecting
+    mismatched atom counts."""
+    md = MolecularDynamics(
+        struct, model=model, ensemble="nve", starting_temperature=100.0,
+        timestep=0.5, seed=0,
+    )
+    vel_before = np.asarray(md.state.vel).copy()
+    moved = struct.perturb(0.05, seed=9)
+    md.set_atoms(moved)
+    np.testing.assert_allclose(
+        md.runtime.unpad(np.asarray(md.state.frac), 0),
+        moved.frac_coords,
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(np.asarray(md.state.vel), vel_before)
+    with pytest.raises(ValueError, match="matching atom counts"):
+        md.set_atoms(struct.make_supercell(2))
+    md.run(3)  # still integrates after the swap
