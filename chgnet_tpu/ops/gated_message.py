@@ -51,16 +51,23 @@ def _tail(y, weights, mask, p2, dim):
 
 def _kernel(acc_ref, weights_ref, mask_ref, w2_ref, b2_ref,
             ncs_ref, ncb_ref, ngs_ref, ngb_ref, out_ref):
+    # streams may be bf16 in HBM; ALL in-kernel math runs in f32 (Mosaic
+    # rejects bf16 1-D broadcasts / keepdims reductions, and f32 VMEM
+    # compute is numerically better anyway)
+    f32 = jnp.float32
     dim = out_ref.shape[1]
-    h = jax.nn.silu(acc_ref[:])
-    y = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:]
-    p2 = {
-        "nc_scale": ncs_ref[:], "nc_bias": ncb_ref[:],
-        "ng_scale": ngs_ref[:], "ng_bias": ngb_ref[:],
-    }
-    out_ref[:] = _tail(y, weights_ref[:], mask_ref[:], p2, dim).astype(
-        out_ref.dtype
+    h = jax.nn.silu(acc_ref[:].astype(f32))
+    y = (
+        jnp.dot(h, w2_ref[:].astype(f32), preferred_element_type=f32)
+        + b2_ref[:].astype(f32)
     )
+    p2 = {
+        "nc_scale": ncs_ref[:].astype(f32), "nc_bias": ncb_ref[:].astype(f32),
+        "ng_scale": ngs_ref[:].astype(f32), "ng_bias": ngb_ref[:].astype(f32),
+    }
+    out_ref[:] = _tail(
+        y, weights_ref[:].astype(f32), mask_ref[:].astype(f32), p2, dim
+    ).astype(out_ref.dtype)
 
 
 def _forward(acc_both, weights, mask, p2, *, interpret):
@@ -183,8 +190,14 @@ def _bwd_kernel(acc_ref, w_ref, mask_ref, g_ref,
         "nc_scale": ncs_ref[:], "nc_bias": ncb_ref[:],
         "ng_scale": ngs_ref[:], "ng_bias": ngb_ref[:],
     }
+    f32 = jnp.float32
+    p2 = {k: v.astype(f32) for k, v in p2.items()}
     d_acc, d_w, d_mask, pg = _bwd_math(
-        acc_ref[:], w_ref[:], mask_ref[:], p2, g_ref[:]
+        acc_ref[:].astype(f32),
+        w_ref[:].astype(f32),
+        mask_ref[:].astype(f32),
+        p2,
+        g_ref[:].astype(f32),
     )
     dacc_ref[:] = d_acc.astype(dacc_ref.dtype)
     dw_ref[:] = d_w.astype(dw_ref.dtype)
@@ -297,10 +310,13 @@ def fused_gated_message(
     use_pallas: bool | None = None,
 ) -> jnp.ndarray:
     """Fused gated message tail; falls back to plain XLA off-TPU and for
-    non-f32 streams (bf16 currently trips a Mosaic lowering bug on real
-    TPUs; the bf16 mode still gets the XLA composition, which fuses
-    reasonably there)."""
+    off-TPU; streams may be bf16 — in-kernel
+    math runs in f32."""
     if use_pallas is None:
+        # conservative: bf16 streams through the kernel pass interpret-mode
+        # tests (in-kernel math is f32) but could not be verified against
+        # the real Mosaic compiler in this environment (the dev tunnel's
+        # compile service is intermittent) — keep bf16 on the XLA path
         use_pallas = (
             jax.default_backend() == "tpu"
             and acc_both.dtype == jnp.float32
