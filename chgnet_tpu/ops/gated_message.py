@@ -201,7 +201,8 @@ def _bwd_kernel(acc_ref, w_ref, mask_ref, g_ref,
     )
     dacc_ref[:] = d_acc.astype(dacc_ref.dtype)
     dw_ref[:] = d_w.astype(dw_ref.dtype)
-    dmask_ref[:] = d_mask.astype(dmask_ref.dtype)
+    # vector outputs are 2-D (Mosaic rejects 1-D bf16 stores)
+    dmask_ref[:] = d_mask.reshape(-1, 1).astype(dmask_ref.dtype)
 
     # param grads accumulate across the sequential grid
     @pl.when(pl.program_id(0) == 0)
@@ -214,11 +215,11 @@ def _bwd_kernel(acc_ref, w_ref, mask_ref, g_ref,
         dngb_ref[:] = jnp.zeros_like(dngb_ref)
 
     dw2_ref[:] += pg["w2"].astype(dw2_ref.dtype)
-    db2_ref[:] += pg["b2"].astype(db2_ref.dtype)
-    dncs_ref[:] += pg["nc_scale"].astype(dncs_ref.dtype)
-    dncb_ref[:] += pg["nc_bias"].astype(dncb_ref.dtype)
-    dngs_ref[:] += pg["ng_scale"].astype(dngs_ref.dtype)
-    dngb_ref[:] += pg["ng_bias"].astype(dngb_ref.dtype)
+    db2_ref[:] += pg["b2"].reshape(1, -1).astype(db2_ref.dtype)
+    dncs_ref[:] += pg["nc_scale"].reshape(1, -1).astype(dncs_ref.dtype)
+    dncb_ref[:] += pg["nc_bias"].reshape(1, -1).astype(dncb_ref.dtype)
+    dngs_ref[:] += pg["ng_scale"].reshape(1, -1).astype(dngs_ref.dtype)
+    dngb_ref[:] += pg["ng_bias"].reshape(1, -1).astype(dngb_ref.dtype)
 
 
 def _backward(acc_both, weights, mask, p2, g, *, interpret):
@@ -239,11 +240,20 @@ def _backward(acc_both, weights, mask, p2, g, *, interpret):
         (TILE, dim), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     vec_spec = pl.BlockSpec((TILE,), lambda i: (i,), memory_space=pltpu.VMEM)
+    col_spec = pl.BlockSpec(
+        (TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
     mat_spec = pl.BlockSpec(
         (two_dim, two_dim), lambda i: (0, 0), memory_space=pltpu.VMEM
     )
     b_spec = pl.BlockSpec((two_dim,), lambda i: (0,), memory_space=pltpu.VMEM)
     d_spec = pl.BlockSpec((dim,), lambda i: (0,), memory_space=pltpu.VMEM)
+    row2_spec = pl.BlockSpec(
+        (1, two_dim), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    row1_spec = pl.BlockSpec(
+        (1, dim), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
 
     outs = pl.pallas_call(
         _bwd_kernel,
@@ -253,20 +263,21 @@ def _backward(acc_both, weights, mask, p2, g, *, interpret):
             mat_spec, b_spec, d_spec, d_spec, d_spec, d_spec,
         ],
         out_specs=[
-            acc_spec, w_spec, vec_spec,
-            mat_spec, b_spec, d_spec, d_spec, d_spec, d_spec,
+            acc_spec, w_spec, col_spec,
+            mat_spec, row2_spec, row1_spec, row1_spec, row1_spec, row1_spec,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles * TILE, two_dim), acc_both.dtype),
             jax.ShapeDtypeStruct((n_tiles * TILE, dim), weights.dtype),
-            jax.ShapeDtypeStruct((n_tiles * TILE,), mask.dtype),
-            # cotangent dtypes must match the p2 primal dtypes
+            jax.ShapeDtypeStruct((n_tiles * TILE, 1), mask.dtype),
+            # cotangent dtypes must match the p2 primal dtypes; vector
+            # outputs carried as 2-D rows (Mosaic-friendly for bf16)
             jax.ShapeDtypeStruct((two_dim, two_dim), p2["w2"].dtype),
-            jax.ShapeDtypeStruct((two_dim,), p2["b2"].dtype),
-            jax.ShapeDtypeStruct((dim,), p2["nc_scale"].dtype),
-            jax.ShapeDtypeStruct((dim,), p2["nc_bias"].dtype),
-            jax.ShapeDtypeStruct((dim,), p2["ng_scale"].dtype),
-            jax.ShapeDtypeStruct((dim,), p2["ng_bias"].dtype),
+            jax.ShapeDtypeStruct((1, two_dim), p2["b2"].dtype),
+            jax.ShapeDtypeStruct((1, dim), p2["nc_scale"].dtype),
+            jax.ShapeDtypeStruct((1, dim), p2["nc_bias"].dtype),
+            jax.ShapeDtypeStruct((1, dim), p2["ng_scale"].dtype),
+            jax.ShapeDtypeStruct((1, dim), p2["ng_bias"].dtype),
         ],
         interpret=interpret,
     )(
@@ -276,11 +287,11 @@ def _backward(acc_both, weights, mask, p2, g, *, interpret):
     )
     d_acc, d_w, d_mask, dw2, db2, dncs, dncb, dngs, dngb = outs
     d_p2 = {
-        "w2": dw2, "b2": db2,
-        "nc_scale": dncs, "nc_bias": dncb,
-        "ng_scale": dngs, "ng_bias": dngb,
+        "w2": dw2, "b2": db2.reshape(-1),
+        "nc_scale": dncs.reshape(-1), "nc_bias": dncb.reshape(-1),
+        "ng_scale": dngs.reshape(-1), "ng_bias": dngb.reshape(-1),
     }
-    return d_acc[:n_rows], d_w[:n_rows], d_mask[:n_rows], d_p2
+    return d_acc[:n_rows], d_w[:n_rows], d_mask[:n_rows, 0], d_p2
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -313,14 +324,7 @@ def fused_gated_message(
     off-TPU; streams may be bf16 — in-kernel
     math runs in f32."""
     if use_pallas is None:
-        # conservative: bf16 streams through the kernel pass interpret-mode
-        # tests (in-kernel math is f32) but could not be verified against
-        # the real Mosaic compiler in this environment (the dev tunnel's
-        # compile service is intermittent) — keep bf16 on the XLA path
-        use_pallas = (
-            jax.default_backend() == "tpu"
-            and acc_both.dtype == jnp.float32
-        )
+        use_pallas = jax.default_backend() == "tpu"
     if not use_pallas:
         return _reference(acc_both, weights, mask, p2)
     interpret = jax.default_backend() != "tpu"
