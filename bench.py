@@ -66,8 +66,17 @@ def main() -> None:
             compute_magmom=True,
         )
 
-    out = run()  # compile
-    jax.block_until_ready(out)
+    # compile, with retries: the remote compile service is intermittent
+    for attempt in range(3):
+        try:
+            out = run()
+            jax.block_until_ready(out)
+            break
+        except Exception as exc:  # noqa: BLE001 - transient compile faults
+            if attempt == 2:
+                raise
+            print(f"# compile attempt {attempt + 1} failed ({exc}); retrying")
+            time.sleep(10)
 
     # best-of-5 windows: the device link has noisy latency spikes, and a
     # throughput metric should report steady-state, not tunnel jitter
