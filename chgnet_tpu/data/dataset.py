@@ -564,7 +564,15 @@ class GraphLoader:
 
     def _collate(self, chunk):
         items = [self.dataset[int(i)] for i in chunk]
-        caps = self._capacities_for([g for g, _ in items])
+        graphs = [g for g, _ in items]
+        # remainder batches are padded to batch_size with copies of the
+        # smallest graph (masked out); capacities must cover the fillers
+        if len(graphs) < self.batch_size:
+            filler = min(graphs, key=lambda g: g.n_atoms)
+            sizing = graphs + [filler] * (self.batch_size - len(graphs))
+        else:
+            sizing = graphs
+        caps = self._capacities_for(sizing)
         return collate_padded(
             items, capacities=caps, n_graphs_cap=self.batch_size
         )

@@ -212,3 +212,18 @@ def test_cif_data(tmp_path):
     assert set(targets) == {"e", "f", "s", "m"}
     assert targets["e"] == pytest.approx(-3.0)
     np.testing.assert_allclose(targets["s"], np.eye(3) * -0.1, atol=1e-7)
+
+
+def test_loader_remainder_batch(structure_data):
+    """Non-divisible splits: the trailing short batch pads with filler
+    graphs; capacities must cover them (regression)."""
+    from chgnet_tpu.data import GraphLoader
+
+    loader = GraphLoader(
+        structure_data, indices=np.arange(9), batch_size=8, shuffle=False
+    )
+    batches = list(loader)
+    assert len(batches) == 2
+    batch, targets = batches[1]  # 1 real graph + 7 fillers
+    assert batch.n_graphs == 8
+    assert targets["graph_mask"].sum() == 1
