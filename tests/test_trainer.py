@@ -264,3 +264,42 @@ def test_get_best_model_is_snapshot(loaders):
             np.asarray(trainer.model.params["atom_embedding"]["weight"]),
         )
         assert not same
+
+
+def test_loss_extensivity():
+    """Unit-cell and supercell batches give the same per-atom losses when
+    labels scale correspondingly (reference test_trainer.py:53-104)."""
+    from chgnet_tpu.graph.batching import batch_graphs
+    from chgnet_tpu.models.chgnet import compute_batch
+    from chgnet_tpu.trainer.losses import CombinedLoss, loss_and_metrics
+
+    model = CHGNet(seed=0, **SMALL)
+    teacher = CHGNet(seed=7, **SMALL)
+    unit = NaCl.perturb(0.05, seed=0)
+    super_ = unit.make_supercell((2, 1, 1))
+
+    def targets_for(struct):
+        pred = teacher.predict_structure(struct, task="ef")
+        batch = batch_graphs([model.graph_converter(struct)])
+        n_pad = batch.n_atoms_padded
+        f = np.full((n_pad, 3), np.nan, np.float32)
+        f[: len(struct)] = np.asarray(pred["f"], np.float32)
+        return batch, {
+            "e": np.array([pred["e"]], np.float32),
+            "graph_mask": np.ones(1, np.float32),
+            "f": f,
+        }
+
+    loss_fn = CombinedLoss(target_str="ef", criterion="MSE")
+    batch_u, tgt_u = targets_for(unit)
+    batch_s, tgt_s = targets_for(super_)
+    _, m_u = loss_and_metrics(
+        model.params, batch_u, tgt_u, config=model.config, loss_fn=loss_fn
+    )
+    _, m_s = loss_and_metrics(
+        model.params, batch_s, tgt_s, config=model.config, loss_fn=loss_fn
+    )
+    # intensive energy + per-atom force errors: identical across cells
+    assert float(m_s["e_MAE"]) == pytest.approx(float(m_u["e_MAE"]), abs=2e-5)
+    assert float(m_s["f_MAE"]) == pytest.approx(float(m_u["f_MAE"]), abs=2e-5)
+    assert float(m_s["loss"]) == pytest.approx(float(m_u["loss"]), abs=2e-4)
