@@ -7,25 +7,31 @@ from chgnet_tpu.parallel.dp import (
     stack_targets,
 )
 from chgnet_tpu.parallel.graph_sharded import (
+    HaloBatch,
     ShardedGraphBatch,
     compute_batch_sharded,
+    compute_batch_sharded_halo,
     make_graph_sharded_train_step,
     shard_batch,
+    shard_batch_halo,
     shard_targets,
     unshard_atoms,
 )
 from chgnet_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
 
 __all__ = [
+    "HaloBatch",
     "ShardedGraphBatch",
     "batch_sharding",
     "compute_batch_sharded",
+    "compute_batch_sharded_halo",
     "make_dp_train_step",
     "make_graph_sharded_train_step",
     "make_mesh",
     "make_single_device_train_step",
     "replicated",
     "shard_batch",
+    "shard_batch_halo",
     "shard_targets",
     "stack_batches",
     "stack_targets",

@@ -726,3 +726,432 @@ def make_graph_sharded_train_step(
         out_specs=(P(), P(), P()),
     )
     return jax.jit(fn)
+
+
+# ----------------------------------------------------- halo-exchange variant
+class HaloBatch(NamedTuple):
+    """Boundary-exchange metadata for the halo variant of the sharded
+    forward: instead of all-gathering full feature tables each layer,
+    every device sends only the rows its peers actually reference
+    (`jax.lax.all_to_all` over the mesh — the boundary atom/bond feature
+    exchange of the BASELINE north star). All leaves carry the leading
+    device axis; index arrays are pre-remapped into the
+    [own block | halo slots] layout."""
+
+    # which of MY local rows to send to each peer (padding -> row 0)
+    atom_send: np.ndarray  # i32 [D, D, Ha]
+    bond_send: np.ndarray  # i32 [D, D, Hb]
+    # consumer index arrays remapped to local+halo positions
+    edge_center_local: np.ndarray  # i32 [D, E_loc] scatter target (< n_loc)
+    edge_neighbor_h: np.ndarray  # i32 [D, E_loc]
+    edge_bond_h: np.ndarray  # i32 [D, E_loc]
+    und_center_h: np.ndarray  # i32 [D, U_loc]
+    und_neighbor_h: np.ndarray  # i32 [D, U_loc]
+    ang_center_h: np.ndarray  # i32 [D, A_loc]
+    ang_nbr_i_h: np.ndarray  # i32 [D, A_loc]
+    ang_nbr_j_h: np.ndarray  # i32 [D, A_loc]
+    ang_bond_j_h: np.ndarray  # i32 [D, A_loc]
+
+
+def shard_batch_halo(
+    batch: GraphBatch, n_devices: int
+) -> tuple[ShardedGraphBatch, HaloBatch]:
+    """shard_batch plus precomputed boundary-exchange index plans."""
+    sb = shard_batch(batch, n_devices)
+    d = n_devices
+    n_loc = sb.atomic_numbers.shape[1]
+    u_loc = sb.und_mask.shape[1]
+
+    def build_plan(ref_arrays_per_dev, block_size):
+        """For each device: remap references into [own | halo] and build
+        per-peer send lists. ref_arrays_per_dev[dev] = list of (array,
+        valid_mask) with GLOBAL ids (block layout: owner = id // block).
+        Returns (send [D, D, H], remapped arrays in input order)."""
+        needed = [[] for _ in range(d)]
+        for dev in range(d):
+            refs = np.concatenate(
+                [arr[mask].ravel() for arr, mask in ref_arrays_per_dev[dev]]
+            ) if ref_arrays_per_dev[dev] else np.zeros(0, np.int64)
+            remote = refs[(refs // block_size) != dev]
+            needed[dev] = np.unique(remote)
+        h_cap = max(
+            [1]
+            + [
+                int(((ids // block_size) == p).sum())
+                for dev in range(d)
+                for p, ids in [(p, needed[dev]) for p in range(d)]
+            ]
+        )
+        h_cap = round_up(h_cap, base=8)
+        send = np.zeros((d, d, h_cap), np.int32)
+        # recv layout on dev: halo pos = n_loc... + p * h_cap + slot
+        remap = [dict() for _ in range(d)]  # global id -> halo position
+        for dev in range(d):
+            for p in range(d):
+                if p == dev:
+                    continue
+                ids = needed[dev][(needed[dev] // block_size) == p]
+                send[p, dev, : len(ids)] = ids - p * block_size
+                for slot, gid in enumerate(ids):
+                    remap[dev][int(gid)] = block_size + p * h_cap + slot
+
+        def remap_array(dev, arr, mask):
+            out = np.zeros_like(arr, dtype=np.int32)
+            flat = arr.ravel()
+            mflat = np.asarray(mask).ravel()
+            oflat = out.ravel()
+            for i in range(flat.size):
+                gid = int(flat[i])
+                if not mflat[i]:
+                    oflat[i] = 0
+                elif gid // block_size == dev:
+                    oflat[i] = gid - dev * block_size
+                else:
+                    oflat[i] = remap[dev][gid]
+            return out
+
+        remapped = []
+        for dev in range(d):
+            remapped.append(
+                [
+                    remap_array(dev, arr, mask)
+                    for arr, mask in ref_arrays_per_dev[dev]
+                ]
+            )
+        return send, remapped
+
+    atom_refs = [
+        [
+            (sb.edge_neighbor[dev], sb.edge_mask[dev] > 0),
+            (sb.und_center[dev], sb.und_mask[dev] > 0),
+            (sb.und_neighbor[dev], sb.und_mask[dev] > 0),
+            (sb.ang_center[dev], sb.ang_mask[dev] > 0),
+            (sb.ang_nbr_i[dev], sb.ang_mask[dev] > 0),
+            (sb.ang_nbr_j[dev], sb.ang_mask[dev] > 0),
+        ]
+        for dev in range(d)
+    ]
+    atom_send, atom_remapped = build_plan(atom_refs, n_loc)
+
+    bond_refs = [
+        [
+            (sb.edge_bond[dev], sb.edge_mask[dev] > 0),
+            (sb.ang_bond_j[dev], sb.ang_mask[dev] > 0),
+        ]
+        for dev in range(d)
+    ]
+    bond_send, bond_remapped = build_plan(bond_refs, u_loc)
+
+    stack = lambda idx, group: np.stack([group[dev][idx] for dev in range(d)])
+    halo = HaloBatch(
+        atom_send=atom_send.transpose(0, 1, 2),
+        bond_send=bond_send,
+        edge_center_local=np.where(
+            sb.edge_mask > 0,
+            sb.edge_center - (np.arange(d) * n_loc)[:, None],
+            n_loc,
+        ).astype(np.int32),
+        edge_neighbor_h=stack(0, atom_remapped),
+        und_center_h=stack(1, atom_remapped),
+        und_neighbor_h=stack(2, atom_remapped),
+        ang_center_h=stack(3, atom_remapped),
+        ang_nbr_i_h=stack(4, atom_remapped),
+        ang_nbr_j_h=stack(5, atom_remapped),
+        edge_bond_h=stack(0, bond_remapped),
+        ang_bond_j_h=stack(1, bond_remapped),
+    )
+    return sb, halo
+
+
+def _halo_exchange(local_rows, send_idx, axis):
+    """Send my referenced rows to each peer; return the halo table
+    [D * H, F] in peer-major order (matching the remap layout)."""
+    payload = local_rows[send_idx]  # [D, H, F]
+    received = jax.lax.all_to_all(
+        payload, axis, split_axis=0, concat_axis=0, tiled=True
+    )  # [D, H, F]: received[p] = rows sent by peer p
+    return received.reshape(-1, local_rows.shape[-1])
+
+
+def _energy_sharded_halo(
+    params,
+    cfg: CHGNetConfig,
+    sb: ShardedGraphBatch,
+    hb: HaloBatch,
+    cart: jnp.ndarray,  # [N_loc, 3] undeformed local cartesians (diff var)
+    strains: jnp.ndarray,  # [B, 3, 3] replicated
+    axis: str,
+):
+    """Per-device energy partial with BOUNDARY halo exchange: every layer
+    sends only the referenced border rows to peers (all_to_all), instead
+    of all-gathering full tables. Index arrays arrive pre-remapped to the
+    [own block | halo slots] layout (see :func:`shard_batch_halo`).
+    Returns the same (local partial, aux) contract as _energy_sharded."""
+    n_graphs = sb.lattices.shape[0]
+    n_loc = sb.atomic_numbers.shape[0]
+
+    eye = jnp.eye(3, dtype=cart.dtype)
+    deform = eye[None] + strains
+    lat = jnp.einsum("bij,bjk->bik", sb.lattices, deform)
+
+    cart_loc = jnp.einsum("ni,nij->nj", cart, deform[sb.atom_owner])
+    pos = jnp.concatenate(
+        [cart_loc, _halo_exchange(cart_loc, hb.atom_send, axis)]
+    )
+
+    def bond_vec(center_h, neighbor_h, image, owner):
+        return (
+            pos[center_h]
+            - pos[neighbor_h]
+            - jnp.einsum("ei,eij->ej", image, lat[owner])
+        )
+
+    und_vec = bond_vec(hb.und_center_h, hb.und_neighbor_h, sb.und_image,
+                       sb.und_owner)
+    und_dist = jnp.linalg.norm(und_vec, axis=1)
+    rbf_ag = basis.radial_bessel(
+        und_dist, params["bond_basis"]["freq_ag"],
+        cfg.atom_graph_cutoff, cfg.cutoff_coeff,
+    )
+    rbf_bg = basis.radial_bessel(
+        und_dist, params["bond_basis"]["freq_bg"],
+        cfg.bond_graph_cutoff, cfg.cutoff_coeff,
+    )
+
+    vec_i = bond_vec(hb.ang_center_h, hb.ang_nbr_i_h, sb.ang_img_i,
+                     sb.ang_owner)
+    vec_j = bond_vec(hb.ang_center_h, hb.ang_nbr_j_h, sb.ang_img_j,
+                     sb.ang_owner)
+    unit_i = vec_i / jnp.linalg.norm(vec_i, axis=1, keepdims=True)
+    unit_j = vec_j / jnp.linalg.norm(vec_j, axis=1, keepdims=True)
+    cos_ij = jnp.sum(unit_i * unit_j, axis=1) * (1 - 1e-6)
+    angle_bases = basis.fourier(
+        jnp.arccos(cos_ij), params["angle_basis"]["freq"]
+    )
+
+    z_index = jnp.clip(sb.atomic_numbers - 1, 0, cfg.max_num_elements - 1)
+    atom_feas = params["atom_embedding"]["weight"][z_index]
+    bond_feas = linear_apply(params["bond_embedding"], rbf_ag)
+    bw_ag = linear_apply(params["bond_weights_ag"], rbf_ag)
+    bw_bg = linear_apply(params["bond_weights_bg"], rbf_bg)
+    angle_feas = linear_apply(params["angle_embedding"], angle_bases)
+
+    # weight tables change only with geometry: exchange halos once
+    bw_ag_t = jnp.concatenate(
+        [bw_ag, _halo_exchange(bw_ag, hb.bond_send, axis)]
+    )
+    bw_bg_t = jnp.concatenate(
+        [bw_bg, _halo_exchange(bw_bg, hb.bond_send, axis)]
+    )
+
+    u_loc = bond_feas.shape[0]
+    atom_table_rows = pos.shape[0]
+    bond_table_rows = bw_ag_t.shape[0]
+    edge_scatter = jnp.where(
+        sb.edge_mask > 0, hb.edge_center_local, atom_table_rows
+    ).astype(jnp.int32)
+    atom_graph = jnp.stack([hb.edge_center_local, hb.edge_neighbor_h], axis=1)
+    ang_scatter = jnp.where(
+        sb.ang_mask > 0, sb.ang_bond_i_local, bond_table_rows
+    ).astype(jnp.int32)
+    bond_graph = jnp.stack(
+        [hb.ang_center_h, sb.ang_bond_i_local,
+         jnp.zeros_like(sb.ang_bond_i_local),
+         hb.ang_bond_j_h, jnp.zeros_like(hb.ang_bond_j_h)],
+        axis=1,
+    )
+
+    act = cfg.non_linearity
+    atom_feas_mid = atom_feas
+
+    def with_halo(local, send):
+        return jnp.concatenate([local, _halo_exchange(local, send, axis)])
+
+    for idx in range(cfg.n_conv - 1):
+        atom_t = with_halo(atom_feas, hb.atom_send)
+        bond_t = with_halo(bond_feas, hb.bond_send)
+        atom_feas = atom_conv_apply(
+            params["atom_convs"][idx],
+            atom_t, bond_t, bw_ag_t,
+            atom_graph, edge_scatter, hb.edge_bond_h, sb.edge_mask,
+            activation=act,
+        )[:n_loc]
+        if cfg.update_bond:
+            atom_t2 = with_halo(atom_feas, hb.atom_send)
+            bond_feas = bond_conv_apply(
+                params["bond_convs"][idx],
+                atom_t2, bond_t, bw_bg_t, angle_feas,
+                bond_graph, ang_scatter, sb.ang_mask,
+                activation=act,
+            )[:u_loc]
+        if cfg.update_angle:
+            atom_t3 = with_halo(atom_feas, hb.atom_send)
+            bond_t3 = with_halo(bond_feas, hb.bond_send)
+            angle_feas = angle_update_apply(
+                params["angle_updates"][idx],
+                atom_t3, bond_t3, angle_feas, bond_graph,
+                activation=act,
+            )
+        if idx == cfg.n_conv - 2:
+            atom_feas_mid = atom_feas
+
+    atom_t = with_halo(atom_feas, hb.atom_send)
+    bond_t = with_halo(bond_feas, hb.bond_send)
+    atom_feas = atom_conv_apply(
+        params["atom_convs"][cfg.n_conv - 1],
+        atom_t, bond_t, bw_ag_t,
+        atom_graph, edge_scatter, hb.edge_bond_h, sb.edge_mask,
+        activation=act,
+    )[:n_loc]
+    if "readout_norm" in params:
+        atom_feas = layer_norm_apply(params["readout_norm"], atom_feas)
+
+    atom_scatter = jnp.where(
+        sb.atom_mask > 0, sb.atom_owner, n_graphs
+    ).astype(jnp.int32)
+    atoms_per_graph_local = segment_sum(
+        sb.atom_mask[:, None], atom_scatter, n_graphs
+    ).reshape(-1)
+    if not cfg.mlp_first:
+        raise NotImplementedError(
+            "graph-sharded forward supports mlp_first readout only"
+        )
+    site_energies = mlp_apply(params["mlp"], atom_feas, activation=act)
+    site_energies = site_energies * sb.atom_mask[:, None]
+    energy_partial = segment_sum(
+        site_energies, atom_scatter, n_graphs
+    ).reshape(-1)
+    aux = {
+        "atoms_per_graph_local": atoms_per_graph_local,
+        "atom_feas_mid": atom_feas_mid,
+        "site_energies": site_energies.reshape(-1),
+    }
+    return energy_partial, aux
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "config", "mesh", "axis",
+        "compute_force", "compute_stress", "compute_magmom",
+    ),
+)
+def compute_batch_sharded_halo(
+    params,
+    sbatch: ShardedGraphBatch,
+    halo: HaloBatch,
+    *,
+    config: CHGNetConfig,
+    mesh: Mesh,
+    axis: str = "graph",
+    compute_force: bool = False,
+    compute_stress: bool = False,
+    compute_magmom: bool = False,
+) -> dict[str, jnp.ndarray]:
+    """Graph-partitioned prediction with boundary halo exchange
+    (all_to_all of referenced border rows) instead of full all-gathers.
+    Same outputs as :func:`compute_batch_sharded`."""
+    cfg = config
+    n_graphs = sbatch.n_graphs
+
+    sharded_spec = ShardedGraphBatch(
+        atomic_numbers=P(axis), frac_coords=P(axis), atom_owner=P(axis),
+        atom_mask=P(axis), lattices=P(),
+        edge_center=P(axis), edge_neighbor=P(axis), edge_image=P(axis),
+        edge_owner=P(axis), edge_bond=P(axis), edge_mask=P(axis),
+        und_center=P(axis), und_neighbor=P(axis), und_image=P(axis),
+        und_owner=P(axis), und_mask=P(axis),
+        ang_center=P(axis), ang_nbr_i=P(axis), ang_img_i=P(axis),
+        ang_nbr_j=P(axis), ang_img_j=P(axis), ang_bond_i_local=P(axis),
+        ang_bond_i=P(axis), ang_bond_j=P(axis), ang_owner=P(axis),
+        ang_mask=P(axis),
+    )
+    halo_spec = HaloBatch(
+        **{name: P(axis) for name in HaloBatch._fields}
+    )
+
+    def local_fn(params, sbatch_l, halo_l, frac_l, strains):
+        sb = jax.tree.map(
+            lambda leaf, spec: leaf[0] if spec == P(axis) else leaf,
+            sbatch_l, sharded_spec,
+        )
+        hb = jax.tree.map(lambda leaf: leaf[0], halo_l)
+
+        def energy_of(cart, strains):
+            with jax.default_matmul_precision(cfg.matmul_precision):
+                e_partial, aux = _energy_sharded_halo(
+                    params, cfg, sb, hb, cart, strains, axis
+                )
+            return e_partial.sum(), (e_partial, aux)
+
+        frac = frac_l[0]
+        cart0 = jnp.einsum("ni,nij->nj", frac, sb.lattices[sb.atom_owner])
+        strains0 = strains
+        out = {}
+        if compute_force or compute_stress:
+            argnums = (0, 1) if compute_stress else (0,)
+            (_, (e_partial, aux)), grads = jax.value_and_grad(
+                energy_of, argnums=argnums, has_aux=True
+            )(cart0, strains0)
+            if compute_force:
+                out["f"] = -grads[0][None]
+            if compute_stress:
+                volumes = jnp.abs(jnp.linalg.det(sb.lattices))
+                virial = jax.lax.psum(grads[-1], axis)
+                out["s"] = virial * EV_A3_TO_GPA / volumes[:, None, None]
+        else:
+            _, (e_partial, aux) = energy_of(cart0, strains0)
+
+        e_ext = jax.lax.psum(e_partial, axis)
+        atoms_per_graph = jax.lax.psum(aux["atoms_per_graph_local"], axis)
+        safe = jnp.maximum(atoms_per_graph, 1.0)
+        energy = e_ext / safe if cfg.is_intensive else e_ext
+        if "composition" in params:
+            site_ref = params["composition"]["weight"][
+                jnp.clip(sb.atomic_numbers - 1, 0, cfg.max_num_elements - 1)
+            ] * sb.atom_mask
+            atom_scatter = jnp.where(
+                sb.atom_mask > 0, sb.atom_owner, n_graphs
+            ).astype(jnp.int32)
+            comp_ext = jax.lax.psum(
+                segment_sum(site_ref[:, None], atom_scatter, n_graphs
+                            ).reshape(-1),
+                axis,
+            )
+            energy = energy + (
+                comp_ext / safe if cfg.atom_ref_is_intensive else comp_ext
+            )
+        out["e"] = energy
+        out["atoms_per_graph"] = atoms_per_graph
+        if compute_magmom:
+            out["m"] = (
+                jnp.abs(
+                    linear_apply(params["site_wise"], aux["atom_feas_mid"])
+                ).reshape(-1)
+                * sb.atom_mask
+            )[None]
+        return out
+
+    out_specs = {"e": P(), "atoms_per_graph": P()}
+    if compute_force:
+        out_specs["f"] = P(axis)
+    if compute_stress:
+        out_specs["s"] = P()
+    if compute_magmom:
+        out_specs["m"] = P(axis)
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(), sharded_spec, halo_spec, P(axis), P()),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    strains0 = jnp.zeros((n_graphs, 3, 3), jnp.float32)
+    return fn(
+        params,
+        jax.tree.map(jnp.asarray, sbatch),
+        jax.tree.map(jnp.asarray, halo),
+        jnp.asarray(sbatch.frac_coords),
+        strains0,
+    )

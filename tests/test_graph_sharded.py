@@ -288,3 +288,39 @@ def test_graph_sharded_training_efsm(model, struct):
         assert float(metrics[key]) == pytest.approx(
             float(ref_metrics[key]), rel=1e-4, abs=1e-6
         ), key
+
+
+@pytest.mark.parametrize("n_devices", [2, 4, 8])
+def test_halo_exchange_matches_single_device(model, struct, n_devices):
+    """Boundary halo exchange (all_to_all of referenced border rows — the
+    BASELINE north-star mechanism) reproduces the single-device forward
+    exactly, including forces/stress through the collective transposes."""
+    from chgnet_tpu.parallel.graph_sharded import (
+        compute_batch_sharded_halo,
+        shard_batch_halo,
+    )
+
+    big = struct.make_supercell(2).perturb(0.05, seed=0)
+    batch = batch_graphs([model.graph_converter(big)])
+    ref = _reference(model, batch)
+
+    mesh = make_mesh(n_devices, axis_name="graph")
+    sbatch, halo = shard_batch_halo(batch, n_devices)
+    out = compute_batch_sharded_halo(
+        model.params, sbatch, halo,
+        config=model.config, mesh=mesh,
+        compute_force=True, compute_stress=True, compute_magmom=True,
+    )
+    n = len(big)
+    np.testing.assert_allclose(
+        np.asarray(out["e"]), np.asarray(ref["e"]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        unshard_atoms(out["f"])[:n], np.asarray(ref["f"])[:n], atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["s"]), np.asarray(ref["s"]), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        unshard_atoms(out["m"])[:n], np.asarray(ref["m"])[:n], atol=1e-5
+    )
