@@ -567,6 +567,7 @@ def make_graph_sharded_train_step(
     force_loss_ratio: float = 1.0,
     stress_loss_ratio: float = 0.1,
     mag_loss_ratio: float = 0.1,
+    halo: bool = False,
 ):
     """Training over the graph-partitioned forward: per-device loss terms
     with psum'ed reductions, parameter gradients via shard_map autodiff
@@ -574,7 +575,10 @@ def make_graph_sharded_train_step(
     replicated optimizer update.
 
     Step signature: (params, opt_state, sbatch, sharded_targets) ->
-    (params, opt_state, metrics). Targets come from :func:`shard_targets`.
+    (params, opt_state, metrics) — or with ``halo=True``:
+    (params, opt_state, (sbatch, halo_batch), sharded_targets), using the
+    boundary halo exchange instead of all-gathers for the feature flow.
+    Targets come from :func:`shard_targets`.
     Loss = weighted MSE over the requested targets ("ef"/"efs"/"efsm",
     like the reference CombinedLoss) with NaN-masked labels; stress flows
     through the strain gradient (psum'ed virial), magmoms through the
@@ -602,7 +606,7 @@ def make_graph_sharded_train_step(
             sharded_spec,
         )
 
-    def local_loss(params, sb, tgt):
+    def local_loss(params, sb, hb, tgt):
         n_graphs = sb.lattices.shape[0]
         targets_e = tgt["e"]
         graph_mask = tgt["graph_mask"]
@@ -613,9 +617,14 @@ def make_graph_sharded_train_step(
 
         def e_of(cart, strains):
             with jax.default_matmul_precision(cfg.matmul_precision):
-                e_partial, aux = _energy_sharded(
-                    params, cfg, sb, cart, strains, axis
-                )
+                if hb is not None:
+                    e_partial, aux = _energy_sharded_halo(
+                        params, cfg, sb, hb, cart, strains, axis
+                    )
+                else:
+                    e_partial, aux = _energy_sharded(
+                        params, cfg, sb, cart, strains, axis
+                    )
             return e_partial.sum(), (e_partial, aux)
 
         argnums = (0, 1) if "s" in targets else (0,)
@@ -705,10 +714,15 @@ def make_graph_sharded_train_step(
         metrics["loss"] = loss
         return loss, metrics
 
-    def local_step(params, opt_state, sbatch_l, tgt):
-        sb = strip(sbatch_l)
+    def local_step(params, opt_state, batch_l, tgt):
+        if halo:
+            sb = strip(batch_l[0])
+            hb = jax.tree.map(lambda leaf: leaf[0], batch_l[1])
+        else:
+            sb = strip(batch_l)
+            hb = None
         grads, metrics = jax.grad(
-            lambda p: local_loss(p, sb, tgt), has_aux=True
+            lambda p: local_loss(p, sb, hb, tgt), has_aux=True
         )(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -719,10 +733,15 @@ def make_graph_sharded_train_step(
         target_spec["s"] = P()
     if "m" in targets:
         target_spec["m"] = P(axis)
+    if halo:
+        halo_spec = HaloBatch(**{name: P(axis) for name in HaloBatch._fields})
+        batch_spec = (sharded_spec, halo_spec)
+    else:
+        batch_spec = sharded_spec
     fn = shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(P(), P(), sharded_spec, target_spec),
+        in_specs=(P(), P(), batch_spec, target_spec),
         out_specs=(P(), P(), P()),
     )
     return jax.jit(fn)

@@ -324,3 +324,52 @@ def test_halo_exchange_matches_single_device(model, struct, n_devices):
     np.testing.assert_allclose(
         unshard_atoms(out["m"])[:n], np.asarray(ref["m"])[:n], atol=1e-5
     )
+
+
+def test_graph_sharded_training_halo(model, struct):
+    """Training through the halo-exchange forward matches the all-gather
+    path's loss and metrics exactly."""
+    import optax
+
+    from chgnet_tpu.parallel.graph_sharded import (
+        make_graph_sharded_train_step,
+        shard_batch_halo,
+        shard_targets,
+    )
+
+    big = struct.make_supercell(2).perturb(0.05, seed=5)
+    batch = batch_graphs([model.graph_converter(big)])
+    n, n_pad = len(big), batch.n_atoms_padded
+    teacher = CHGNet(seed=7, **SMALL)
+    pred = teacher.predict_structure(big, task="ef")
+    targets = {
+        "e": np.array([pred["e"]], np.float32),
+        "graph_mask": np.ones(1, np.float32),
+        "f": np.concatenate(
+            [np.asarray(pred["f"], np.float32),
+             np.full((n_pad - n, 3), np.nan, np.float32)]
+        ),
+    }
+    mesh = make_mesh(4, axis_name="graph")
+    sbatch, halo = shard_batch_halo(batch, 4)
+    st = shard_targets(targets, sbatch)
+    opt = optax.sgd(1.0)
+
+    step_ag = make_graph_sharded_train_step(
+        config=model.config, optimizer=opt, mesh=mesh
+    )
+    p_ag, _, m_ag = step_ag(model.params, opt.init(model.params), sbatch, st)
+    step_halo = make_graph_sharded_train_step(
+        config=model.config, optimizer=opt, mesh=mesh, halo=True
+    )
+    p_halo, _, m_halo = step_halo(
+        model.params, opt.init(model.params), (sbatch, halo), st
+    )
+    assert float(m_halo["loss"]) == pytest.approx(
+        float(m_ag["loss"]), rel=1e-5, abs=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(p_halo["atom_embedding"]["weight"]),
+        np.asarray(p_ag["atom_embedding"]["weight"]),
+        atol=1e-5,
+    )
