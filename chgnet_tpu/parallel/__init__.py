@@ -17,6 +17,7 @@ from chgnet_tpu.parallel.graph_sharded import (
     shard_targets,
     unshard_atoms,
 )
+from chgnet_tpu.parallel.distributed import initialize, make_hybrid_mesh
 from chgnet_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
 
 __all__ = [
@@ -25,8 +26,10 @@ __all__ = [
     "batch_sharding",
     "compute_batch_sharded",
     "compute_batch_sharded_halo",
+    "initialize",
     "make_dp_train_step",
     "make_graph_sharded_train_step",
+    "make_hybrid_mesh",
     "make_mesh",
     "make_single_device_train_step",
     "replicated",
