@@ -583,11 +583,12 @@ class CHGNet:
             warnings.warn(f"ignoring unknown model args {sorted(unknown)}")
         cfg_kwargs = {k: v for k, v in kwargs.items() if k in field_names}
         if "atom_ref_is_intensive" not in cfg_kwargs:
+            # The reference AtomRef's intensiveness is set by the DATASET the
+            # weights come from, not by the model flag: initialize_from_MPtrj
+            # and _mp_r2scan force True, _MPF forces False
+            # (/root/reference/chgnet/model/composition_model.py:320,425,532).
             comp = cfg_kwargs.get("composition_model", "MPtrj")
-            is_int = cfg_kwargs.get("is_intensive", True)
-            cfg_kwargs["atom_ref_is_intensive"] = (
-                False if comp == "MPF" else is_int
-            )
+            cfg_kwargs["atom_ref_is_intensive"] = comp != "MPF"
         self.config = CHGNetConfig(**cfg_kwargs)
         self.params = (
             params if params is not None else init_params(self.config, seed)

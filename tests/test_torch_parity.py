@@ -1,0 +1,368 @@
+"""Numerical parity vs the ACTUAL reference torch implementation.
+
+BASELINE.md's core correctness target is "match the reference PyTorch CHGNet
+activations (allclose)". The pretrained checkpoint blobs are absent from the
+mount (``/root/reference/.MISSING_LARGE_BLOBS``), but parity does not need
+them: we build the reference torch modules with random weights, export their
+``state_dict``, convert it with ``chgnet_tpu.models.checkpoint.convert_state_dict``
+and assert per-layer activations AND full E/F/S/M agree on identical graphs.
+
+The reference model is loaded via ``tests/_ref_torch.py`` (stubs out
+ase/pymatgen/pynvml, which are not installed; the model math itself is pure
+torch). Reference call stacks exercised: ``model.py:330-539`` (forward +
+force/stress autograd), ``layers.py:81-363``, ``functions.py:168-183``,
+``basis.py:43-116``, ``encoders.py:35-146``, ``composition_model.py:87-205``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from _ref_torch import (  # noqa: E402
+    load_reference,
+    make_ref_crystal_graph,
+    ref_module,
+    state_dict_to_numpy,
+)
+from chgnet_tpu.core.structure import Structure  # noqa: E402
+from chgnet_tpu.graph.converter import CrystalGraphConverter  # noqa: E402
+from chgnet_tpu.models import basis  # noqa: E402
+from chgnet_tpu.models.checkpoint import (  # noqa: E402
+    _take_gated_mlp,
+    _take_linear,
+    _take_mlp,
+    convert_state_dict,
+)
+from chgnet_tpu.models.chgnet import CHGNet  # noqa: E402
+from chgnet_tpu.models.functions import (  # noqa: E402
+    gated_mlp_apply,
+    gated_mlp_gather_apply,
+    mlp_apply,
+)
+from chgnet_tpu.models.layers import (  # noqa: E402
+    angle_update_apply,
+    atom_conv_apply,
+    bond_conv_apply,
+)
+from chgnet_tpu import ROOT  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def ref():
+    return load_reference()
+
+
+@pytest.fixture(scope="module")
+def li_mn_o2_graph():
+    struct = Structure.from_file(f"{ROOT}/examples/mp-18767-LiMnO2.cif")
+    conv = CrystalGraphConverter(atom_graph_cutoff=6.0, bond_graph_cutoff=3.0)
+    return conv(struct)
+
+
+def _np(x):
+    return x.detach().cpu().numpy()
+
+
+def _prefixed(module) -> dict:
+    """state_dict of a bare module, keyed as if it lived at attr 'x'."""
+    return {f"x.{k}": _np(v) for k, v in module.state_dict().items()}
+
+
+# ================================================================ per-layer
+class TestLayerParity:
+    def test_radial_bessel(self, ref):
+        rb = ref_module("basis").RadialBessel(
+            num_radial=31, cutoff=6.0, learnable=True, smooth_cutoff=8
+        )
+        dist = torch.tensor(
+            np.random.default_rng(0).uniform(0.5, 5.9, 257), dtype=torch.float32
+        )
+        want = _np(rb(dist))
+        got = np.asarray(
+            basis.radial_bessel(
+                dist.numpy(), _np(rb.frequencies), 6.0, 8.0
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=3e-6)
+
+    def test_radial_bessel_no_cutoff(self, ref):
+        rb = ref_module("basis").RadialBessel(
+            num_radial=9, cutoff=5.0, learnable=False, smooth_cutoff=None
+        )
+        dist = torch.tensor(
+            np.random.default_rng(1).uniform(0.5, 4.9, 64), dtype=torch.float32
+        )
+        want = _np(rb(dist))
+        got = np.asarray(
+            basis.radial_bessel(dist.numpy(), _np(rb.frequencies), 5.0, None)
+        )
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_fourier(self, ref):
+        fr = ref_module("basis").Fourier(order=15, learnable=True)
+        ang = torch.tensor(
+            np.random.default_rng(2).uniform(0, np.pi, 257), dtype=torch.float32
+        )
+        want = _np(fr(ang))
+        got = np.asarray(basis.fourier(ang.numpy(), _np(fr.frequencies)))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_gaussian_expansion(self, ref):
+        ge = ref_module("basis").GaussianExpansion(min=0.0, max=5.0, step=0.5)
+        x = torch.tensor(
+            np.random.default_rng(3).uniform(0, 5, 64), dtype=torch.float32
+        )
+        want = _np(ge.expand(x))
+        got = np.asarray(
+            basis.gaussian_expansion(x.numpy(), min_val=0.0, max_val=5.0, step=0.5)
+        )
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    @pytest.mark.parametrize("hidden", [None, 64, (64, 64)])
+    def test_mlp(self, ref, hidden):
+        torch.manual_seed(11)
+        m = ref_module("functions").MLP(
+            input_dim=48, output_dim=24, hidden_dim=hidden
+        )
+        m.eval()
+        x = torch.randn(37, 48)
+        want = _np(m(x))
+        params = _take_mlp(_prefixed(m), "x", hidden)
+        got = np.asarray(mlp_apply(params, x.numpy()))
+        np.testing.assert_allclose(got, want, atol=2e-6)
+
+    @pytest.mark.parametrize("norm", ["layer", None])
+    def test_gated_mlp(self, ref, norm):
+        torch.manual_seed(12)
+        m = ref_module("functions").GatedMLP(
+            input_dim=192, output_dim=64, hidden_dim=64, norm=norm
+        )
+        m.eval()
+        x = torch.randn(53, 192)
+        want = _np(m(x))
+        params = _take_gated_mlp(_prefixed(m), "x", 64, norm)
+        got = np.asarray(gated_mlp_apply(params, x.numpy()))
+        np.testing.assert_allclose(got, want, atol=2e-6)
+        # the lane-packed gather variant must agree with the plain one
+        got2 = np.asarray(gated_mlp_gather_apply(params, [(x.numpy(), None)]))
+        np.testing.assert_allclose(got2, want, atol=2e-6)
+
+    def test_atom_conv(self, ref, li_mn_o2_graph):
+        g = li_mn_o2_graph
+        torch.manual_seed(13)
+        conv = ref_module("layers").AtomConv(
+            atom_fea_dim=64, bond_fea_dim=64, hidden_dim=64, use_mlp_out=True,
+            resnet=True, gMLP_norm="layer",
+        )
+        conv.eval()
+        n, u, e = g.n_atoms, g.n_undirected, g.n_directed
+        atom_feas = torch.randn(n, 64)
+        bond_feas = torch.randn(u, 64)
+        bond_weights = torch.randn(u, 64)
+        atom_graph = torch.tensor(g.atom_graph, dtype=torch.int64)
+        d2u = torch.tensor(g.directed2undirected, dtype=torch.int64)
+        want = _np(conv(atom_feas, bond_feas, bond_weights, atom_graph, d2u))
+
+        sd = _prefixed(conv)
+        params = {
+            "gated_mlp": _take_gated_mlp(sd, "x.twoBody_atom", 64, "layer"),
+            "mlp_out": _take_mlp(sd, "x.mlp_out", 0),
+        }
+        got = np.asarray(
+            atom_conv_apply(
+                params,
+                atom_feas.numpy(),
+                bond_feas.numpy(),
+                bond_weights.numpy(),
+                g.atom_graph,
+                g.atom_graph[:, 0],
+                g.directed2undirected,
+                np.ones(e, np.float32),
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=5e-6)
+
+    def test_bond_conv(self, ref, li_mn_o2_graph):
+        g = li_mn_o2_graph
+        torch.manual_seed(14)
+        conv = ref_module("layers").BondConv(
+            atom_fea_dim=64, bond_fea_dim=64, angle_fea_dim=64, hidden_dim=64,
+            use_mlp_out=False, resnet=True, gMLP_norm="layer",
+        )
+        conv.eval()
+        n, u, a = g.n_atoms, g.n_undirected, g.n_angles
+        atom_feas = torch.randn(n, 64)
+        bond_feas = torch.randn(u, 64)
+        bond_weights = torch.randn(u, 64)
+        angle_feas = torch.randn(a, 64)
+        # the reference's _compute receives the BATCHED 3-column bond graph
+        # [center_atom, undirected_i, undirected_j] (model.py:873-877); the
+        # 5-column per-graph layout is only a container format
+        bond_graph3 = torch.tensor(
+            g.bond_graph[:, [0, 1, 3]], dtype=torch.int64
+        )
+        want = _np(
+            conv(atom_feas, bond_feas, bond_weights, angle_feas, bond_graph3)
+        )
+
+        sd = _prefixed(conv)
+        params = {"gated_mlp": _take_gated_mlp(sd, "x.twoBody_bond", 64, "layer")}
+        got = np.asarray(
+            bond_conv_apply(
+                params,
+                atom_feas.numpy(),
+                bond_feas.numpy(),
+                bond_weights.numpy(),
+                angle_feas.numpy(),
+                g.bond_graph,
+                g.bond_graph[:, 1],
+                np.ones(a, np.float32),
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=5e-6)
+
+    def test_angle_update(self, ref, li_mn_o2_graph):
+        g = li_mn_o2_graph
+        torch.manual_seed(15)
+        upd = ref_module("layers").AngleUpdate(
+            atom_fea_dim=64, bond_fea_dim=64, angle_fea_dim=64, hidden_dim=0,
+            resnet=True, gMLP_norm="layer",
+        )
+        upd.eval()
+        n, u, a = g.n_atoms, g.n_undirected, g.n_angles
+        atom_feas = torch.randn(n, 64)
+        bond_feas = torch.randn(u, 64)
+        angle_feas = torch.randn(a, 64)
+        bond_graph3 = torch.tensor(
+            g.bond_graph[:, [0, 1, 3]], dtype=torch.int64
+        )
+        want = _np(upd(atom_feas, bond_feas, angle_feas, bond_graph3))
+
+        sd = _prefixed(upd)
+        params = {"gated_mlp": _take_gated_mlp(sd, "x.twoBody_bond", 0, "layer")}
+        got = np.asarray(
+            angle_update_apply(
+                params,
+                atom_feas.numpy(),
+                bond_feas.numpy(),
+                angle_feas.numpy(),
+                g.bond_graph,
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=5e-6)
+
+    def test_atom_ref(self, ref, li_mn_o2_graph):
+        """Frozen AtomRef site energies match (composition_model.py:193-205)."""
+        from chgnet_tpu.models.composition import AtomRef
+
+        ref_ar = ref_module("composition_model").AtomRef(is_intensive=True)
+        ref_ar.initialize_from("MPtrj")
+        tg = make_ref_crystal_graph(li_mn_o2_graph)
+        want_e = float(ref_ar([tg]))
+        want_sites = _np(ref_ar.get_site_energies([tg])[0])
+
+        ours = AtomRef(is_intensive=True)
+        ours.initialize_from("MPtrj")
+        got_sites = ours.weight[li_mn_o2_graph.atomic_number - 1]
+        np.testing.assert_allclose(got_sites, want_sites, atol=1e-6)
+        got_e = got_sites.sum() / li_mn_o2_graph.n_atoms
+        np.testing.assert_allclose(got_e, want_e, atol=1e-6)
+
+
+# ================================================================ full model
+def _build_pair(ref, seed: int, **model_kwargs):
+    """Random-weight reference CHGNet + our converted equivalent."""
+    torch.manual_seed(seed)
+    net = ref.CHGNet(composition_model="MPtrj", **model_kwargs)
+    net.eval()
+    model_args = dict(net.model_args)
+    params = convert_state_dict(state_dict_to_numpy(net), model_args)
+    ours = CHGNet(params=params, **model_args)
+    return net, ours
+
+
+def _assert_efsm_close(out_ref, out, n_graphs, *, atol_scale=1.0):
+    e_ref = _np(out_ref["e"]).reshape(-1)
+    np.testing.assert_allclose(
+        np.asarray(out["e"]), e_ref, atol=5e-6 * atol_scale
+    )
+    for i in range(n_graphs):
+        np.testing.assert_allclose(
+            out["f"][i], _np(out_ref["f"][i]), atol=5e-6 * atol_scale
+        )
+        np.testing.assert_allclose(
+            out["s"][i], _np(out_ref["s"][i]), atol=5e-5 * atol_scale
+        )
+        np.testing.assert_allclose(
+            out["m"][i], _np(out_ref["m"][i]), atol=5e-6 * atol_scale
+        )
+
+
+def test_full_model_parity_v030(ref, li_mn_o2_graph):
+    """Default (v0.3.0) architecture: E/F/S/M match the torch reference."""
+    net, ours = _build_pair(ref, seed=0)
+    assert sum(p.numel() for p in net.parameters()) == 412_525
+    assert ours.n_params == 412_525
+
+    tg = make_ref_crystal_graph(li_mn_o2_graph)
+    out_ref = net.forward([tg], task="efsm")
+    out = ours.forward([li_mn_o2_graph], task="efsm")
+    _assert_efsm_close(out_ref, out, 1)
+
+
+def test_full_model_parity_v020_mlp_out_bias(ref, li_mn_o2_graph):
+    """v0.2.0-era checkpoints carry mlp_out biases (model.py:730-735)."""
+    net, ours = _build_pair(ref, seed=1, mlp_out_bias=True)
+    assert sum(p.numel() for p in net.parameters()) == ours.n_params
+
+    tg = make_ref_crystal_graph(li_mn_o2_graph)
+    out_ref = net.forward([tg], task="efsm")
+    out = ours.forward([li_mn_o2_graph], task="efsm")
+    _assert_efsm_close(out_ref, out, 1)
+
+
+def test_full_model_parity_batched(ref, li_mn_o2_graph):
+    """Multi-graph batch: offsets, per-graph strain, segment readout."""
+    struct = Structure.from_file(f"{ROOT}/examples/mp-18767-LiMnO2.cif")
+    rng = np.random.default_rng(7)
+    perturbed = Structure(
+        lattice=struct.lattice.matrix * 1.03,
+        species=[int(z) for z in struct.atomic_numbers],
+        frac_coords=np.mod(
+            struct.frac_coords + rng.normal(0, 0.01, (len(struct), 3)), 1.0
+        ),
+    )
+    conv = CrystalGraphConverter(atom_graph_cutoff=6.0, bond_graph_cutoff=3.0)
+    graphs = [li_mn_o2_graph, conv(perturbed)]
+
+    net, ours = _build_pair(ref, seed=2)
+    out_ref = net.forward(
+        [make_ref_crystal_graph(g) for g in graphs], task="efsm"
+    )
+    out = ours.forward(graphs, task="efsm")
+    _assert_efsm_close(out_ref, out, 2)
+
+
+def test_full_model_parity_extensive_readout(ref, li_mn_o2_graph):
+    """is_intensive=False + mlp_first readout variant."""
+    net, ours = _build_pair(ref, seed=3, is_intensive=False)
+    tg = make_ref_crystal_graph(li_mn_o2_graph)
+    out_ref = net.forward([tg], task="efsm")
+    out = ours.forward([li_mn_o2_graph], task="efsm")
+    # extensive energies are ~8x larger; scale tolerance accordingly
+    _assert_efsm_close(out_ref, out, 1, atol_scale=8.0)
+
+
+def test_site_energies_parity(ref, li_mn_o2_graph):
+    net, ours = _build_pair(ref, seed=4)
+    tg = make_ref_crystal_graph(li_mn_o2_graph)
+    out_ref = net.forward([tg], task="e", return_site_energies=True)
+    out = ours.predict_graph(
+        [li_mn_o2_graph], task="e", return_site_energies=True
+    )
+    want = _np(out_ref["site_energies"][0])
+    got = np.asarray(out["site_energies"]).reshape(-1)
+    np.testing.assert_allclose(got, want, atol=5e-6)
