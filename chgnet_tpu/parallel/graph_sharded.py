@@ -33,6 +33,7 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from chgnet_tpu.graph.batching import GraphBatch, round_up
+from chgnet_tpu.utils.native import fast_gather
 from chgnet_tpu.models import basis
 from chgnet_tpu.models.chgnet import EV_A3_TO_GPA, CHGNetConfig
 from chgnet_tpu.models.functions import (
@@ -94,6 +95,65 @@ class ShardedGraphBatch(NamedTuple):
         return self.lattices.shape[0]
 
 
+def _device_order(dev: np.ndarray) -> np.ndarray | None:
+    """Stable device-major ordering of rows; ``None`` if already sorted.
+
+    Replaces the round-1 per-row Python loops (minutes of interpreter time
+    at the 100k-atom / 10M-edge BASELINE scale). Batched edges are center-
+    sorted with graph offsets, so ``dev`` is almost always non-decreasing
+    already and the argsort is skipped entirely."""
+    if dev.size == 0 or bool((np.diff(dev) >= 0).all()):
+        return None
+    return np.argsort(dev, kind="stable")
+
+
+class _Packer:
+    """Pack device-major-sorted rows into padded [D, cap, ...] arrays.
+
+    Per-device slice copies (plain memcpy) instead of 10M-element 2-D
+    fancy-index scatters — the difference between ~18 s and <1 s of host
+    prep at the BASELINE 100k-atom scale on this machine."""
+
+    def __init__(self, counts: np.ndarray, cap: int) -> None:
+        self.counts = [int(c) for c in counts]
+        self.starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        self.cap = cap
+        self.d = len(self.counts)
+
+    def slots(self) -> np.ndarray:
+        """Per-row global slot id ``dev * cap + within-device index`` for
+        rows in device-major order."""
+        out = np.empty(int(np.sum(self.counts)), np.int64)
+        pos = 0
+        for i, c in enumerate(self.counts):
+            out[pos: pos + c] = np.arange(
+                i * self.cap, i * self.cap + c, dtype=np.int64
+            )
+            pos += c
+        return out
+
+    def pack(self, vals: np.ndarray, fill=0, dtype=None) -> np.ndarray:
+        # np.empty + targeted fills: every byte is touched exactly once
+        # (np.full would fault-in and write the whole buffer twice)
+        out = np.empty(
+            (self.d, self.cap) + vals.shape[1:], dtype or vals.dtype
+        )
+        pos = 0
+        for i, c in enumerate(self.counts):
+            out[i, :c] = vals[pos: pos + c]
+            if c < self.cap:
+                out[i, c:] = fill
+            pos += c
+        return out
+
+    def mask(self) -> np.ndarray:
+        out = np.empty((self.d, self.cap), np.float32)
+        for i, c in enumerate(self.counts):
+            out[i, :c] = 1.0
+            out[i, c:] = 0.0
+        return out
+
+
 def shard_batch(batch: GraphBatch, n_devices: int) -> ShardedGraphBatch:
     """Host-side re-layout of a padded GraphBatch onto D devices."""
     d = n_devices
@@ -119,27 +179,50 @@ def shard_batch(batch: GraphBatch, n_devices: int) -> ShardedGraphBatch:
 
     # --- undirected bonds -> device of their first directed edge's center
     u_valid = np.nonzero(batch.und_mask > 0)[0]
-    u_first_dir = batch.undirected2directed[u_valid]
-    u_center = batch.atom_graph[u_first_dir, 0]
-    u_nbr = batch.atom_graph[u_first_dir, 1]
-    u_img = batch.images[u_first_dir]
-    u_owner_g = batch.edge_owner[u_first_dir]
+    u_first_dir = fast_gather(batch.undirected2directed, u_valid)
+    u_ag = fast_gather(batch.atom_graph, u_first_dir)
+    u_center = u_ag[:, 0]
+    u_nbr = u_ag[:, 1]
+    u_img = fast_gather(batch.images, u_first_dir)
+    u_owner_g = fast_gather(batch.edge_owner, u_first_dir)
     u_dev = u_center // n_loc
     u_counts = np.bincount(u_dev, minlength=d)
     u_loc = round_up(int(u_counts.max()), base=8)
-    # new global id for each old undirected id
+    # new global id for each old undirected id: slot = running count within
+    # its device, preserving original order
+    u_order = _device_order(u_dev)
+    u_pack = _Packer(u_counts, u_loc)
     new_uid = np.full(batch.undirected2directed.shape[0], -1, np.int64)
-    slot_ctr = np.zeros(d, np.int64)
-    for old_u, dev in zip(u_valid, u_dev):
-        new_uid[old_u] = dev * u_loc + slot_ctr[dev]
-        slot_ctr[dev] += 1
+    u_valid_sorted = u_valid if u_order is None else u_valid[u_order]
+    new_uid[u_valid_sorted] = u_pack.slots()
 
     # --- angle rows -> device of bond_i
     a_valid = np.nonzero(batch.angle_mask > 0)[0]
-    bg = batch.bond_graph[a_valid]
-    a_dev = new_uid[bg[:, 1]] // u_loc
+    bg = fast_gather(batch.bond_graph, a_valid)
+    a_dev = fast_gather(new_uid, bg[:, 1]) // u_loc
     a_counts = np.bincount(a_dev, minlength=d)
     a_loc = round_up(int(max(a_counts.max(), 1)), base=8)
+
+    # per-device slice copies of device-major-sorted rows (see _Packer);
+    # padded edge images are (1,0,0) so padded distances stay > 0
+    def img_pack(pk: _Packer, vals: np.ndarray) -> np.ndarray:
+        out = pk.pack(vals)
+        for i, c in enumerate(pk.counts):
+            out[i, c:, 0] = 1.0
+        return out
+
+    e_order = _device_order(e_dev)
+    e_src = e_valid if e_order is None else e_valid[e_order]
+    e_pack = _Packer(e_counts, e_loc)
+    eg = fast_gather(batch.atom_graph, e_src)
+    a_order = _device_order(a_dev)
+    rows = bg if a_order is None else fast_gather(bg, a_order)
+    a_pack = _Packer(a_counts, a_loc)
+    uid_i = fast_gather(new_uid, rows[:, 1])
+    ag_i = fast_gather(batch.atom_graph, rows[:, 2])
+    img_i = fast_gather(batch.images, rows[:, 2])
+    ag_j = fast_gather(batch.atom_graph, rows[:, 4])
+    img_j = fast_gather(batch.images, rows[:, 4])
 
     out = ShardedGraphBatch(
         atomic_numbers=atomic_numbers.reshape(d, n_loc),
@@ -147,71 +230,44 @@ def shard_batch(batch: GraphBatch, n_devices: int) -> ShardedGraphBatch:
         atom_owner=atom_owner.reshape(d, n_loc),
         atom_mask=atom_mask.reshape(d, n_loc),
         lattices=np.asarray(batch.lattices, np.float32),
-        edge_center=np.zeros((d, e_loc), np.int32),
-        edge_neighbor=np.zeros((d, e_loc), np.int32),
-        edge_image=np.zeros((d, e_loc, 3), np.float32),
-        edge_owner=np.zeros((d, e_loc), np.int32),
-        edge_bond=np.zeros((d, e_loc), np.int32),
-        edge_mask=np.zeros((d, e_loc), np.float32),
-        und_center=np.zeros((d, u_loc), np.int32),
-        und_neighbor=np.zeros((d, u_loc), np.int32),
-        und_image=np.zeros((d, u_loc, 3), np.float32),
-        und_owner=np.zeros((d, u_loc), np.int32),
-        und_mask=np.zeros((d, u_loc), np.float32),
-        ang_center=np.zeros((d, a_loc), np.int32),
-        ang_nbr_i=np.zeros((d, a_loc), np.int32),
-        ang_img_i=np.zeros((d, a_loc, 3), np.float32),
-        ang_nbr_j=np.zeros((d, a_loc), np.int32),
-        ang_img_j=np.zeros((d, a_loc, 3), np.float32),
-        ang_bond_i_local=np.full((d, a_loc), u_loc, np.int32),
-        ang_bond_i=np.zeros((d, a_loc), np.int32),
-        ang_bond_j=np.zeros((d, a_loc), np.int32),
-        ang_owner=np.zeros((d, a_loc), np.int32),
-        ang_mask=np.zeros((d, a_loc), np.float32),
+        edge_center=e_pack.pack(np.ascontiguousarray(eg[:, 0])),
+        edge_neighbor=e_pack.pack(np.ascontiguousarray(eg[:, 1])),
+        edge_image=img_pack(e_pack, fast_gather(batch.images, e_src)),
+        edge_owner=e_pack.pack(fast_gather(batch.edge_owner, e_src)),
+        edge_bond=e_pack.pack(
+            fast_gather(
+                new_uid, fast_gather(batch.directed2undirected, e_src)
+            ).astype(np.int32)
+        ),
+        edge_mask=e_pack.mask(),
+        und_center=u_pack.pack(
+            u_center if u_order is None else u_center[u_order]
+        ),
+        und_neighbor=u_pack.pack(
+            u_nbr if u_order is None else u_nbr[u_order]
+        ),
+        und_image=img_pack(
+            u_pack, u_img if u_order is None else u_img[u_order]
+        ),
+        und_owner=u_pack.pack(
+            u_owner_g if u_order is None else u_owner_g[u_order]
+        ),
+        und_mask=u_pack.mask(),
+        ang_center=a_pack.pack(np.ascontiguousarray(ag_i[:, 0])),
+        ang_nbr_i=a_pack.pack(np.ascontiguousarray(ag_i[:, 1])),
+        ang_img_i=img_pack(a_pack, img_i),
+        ang_nbr_j=a_pack.pack(np.ascontiguousarray(ag_j[:, 1])),
+        ang_img_j=img_pack(a_pack, img_j),
+        ang_bond_i_local=a_pack.pack(
+            (uid_i % u_loc).astype(np.int32), fill=u_loc
+        ),
+        ang_bond_i=a_pack.pack(uid_i.astype(np.int32)),
+        ang_bond_j=a_pack.pack(
+            fast_gather(new_uid, rows[:, 3]).astype(np.int32)
+        ),
+        ang_owner=a_pack.pack(fast_gather(batch.edge_owner, rows[:, 2])),
+        ang_mask=a_pack.mask(),
     )
-    # padded edge images default to (1,0,0) so padded distances stay > 0
-    out.edge_image[:, :, 0] = 1.0
-    out.und_image[:, :, 0] = 1.0
-    out.ang_img_i[:, :, 0] = 1.0
-    out.ang_img_j[:, :, 0] = 1.0
-
-    cursor = np.zeros(d, np.int64)
-    for e, dev in zip(e_valid, e_dev):
-        s = cursor[dev]
-        out.edge_center[dev, s] = batch.atom_graph[e, 0]
-        out.edge_neighbor[dev, s] = batch.atom_graph[e, 1]
-        out.edge_image[dev, s] = batch.images[e]
-        out.edge_owner[dev, s] = batch.edge_owner[e]
-        out.edge_bond[dev, s] = new_uid[batch.directed2undirected[e]]
-        out.edge_mask[dev, s] = 1.0
-        cursor[dev] += 1
-
-    cursor[:] = 0
-    for idx, (old_u, dev) in enumerate(zip(u_valid, u_dev)):
-        s = cursor[dev]
-        assert new_uid[old_u] == dev * u_loc + s
-        out.und_center[dev, s] = u_center[idx]
-        out.und_neighbor[dev, s] = u_nbr[idx]
-        out.und_image[dev, s] = u_img[idx]
-        out.und_owner[dev, s] = u_owner_g[idx]
-        out.und_mask[dev, s] = 1.0
-        cursor[dev] += 1
-
-    cursor[:] = 0
-    for idx, dev in enumerate(a_dev):
-        s = cursor[dev]
-        row = bg[idx]
-        out.ang_center[dev, s] = batch.atom_graph[row[2], 0]
-        out.ang_nbr_i[dev, s] = batch.atom_graph[row[2], 1]
-        out.ang_img_i[dev, s] = batch.images[row[2]]
-        out.ang_nbr_j[dev, s] = batch.atom_graph[row[4], 1]
-        out.ang_img_j[dev, s] = batch.images[row[4]]
-        out.ang_bond_i_local[dev, s] = new_uid[row[1]] % u_loc
-        out.ang_bond_i[dev, s] = new_uid[row[1]]
-        out.ang_bond_j[dev, s] = new_uid[row[3]]
-        out.ang_owner[dev, s] = batch.edge_owner[row[2]]
-        out.ang_mask[dev, s] = 1.0
-        cursor[dev] += 1
     return out
 
 
@@ -781,103 +837,83 @@ def shard_batch_halo(
     n_loc = sb.atomic_numbers.shape[1]
     u_loc = sb.und_mask.shape[1]
 
-    def build_plan(ref_arrays_per_dev, block_size):
-        """For each device: remap references into [own | halo] and build
-        per-peer send lists. ref_arrays_per_dev[dev] = list of (array,
-        valid_mask) with GLOBAL ids (block layout: owner = id // block).
-        Returns (send [D, D, H], remapped arrays in input order)."""
-        needed = [[] for _ in range(d)]
+    def build_plan(ref_arrays, masks, block_size):
+        """Remap global-id references into [own | halo] positions and build
+        per-peer send lists. ``ref_arrays``/``masks`` are parallel lists of
+        stacked [D, cap_k] arrays (block layout: owner = id // block_size).
+        Returns (send [D, D, H], remapped [D, cap_k] arrays in order)."""
+        needed = []
         for dev in range(d):
             refs = np.concatenate(
-                [arr[mask].ravel() for arr, mask in ref_arrays_per_dev[dev]]
-            ) if ref_arrays_per_dev[dev] else np.zeros(0, np.int64)
+                [arr[dev][m[dev]] for arr, m in zip(ref_arrays, masks)]
+            ) if ref_arrays else np.zeros(0, np.int64)
             remote = refs[(refs // block_size) != dev]
-            needed[dev] = np.unique(remote)
+            needed.append(np.unique(remote))
         h_cap = max(
             [1]
             + [
-                int(((ids // block_size) == p).sum())
-                for dev in range(d)
-                for p, ids in [(p, needed[dev]) for p in range(d)]
+                int(np.bincount(ids // block_size, minlength=d).max())
+                for ids in needed
+                if ids.size
             ]
         )
         h_cap = round_up(h_cap, base=8)
         send = np.zeros((d, d, h_cap), np.int32)
-        # recv layout on dev: halo pos = n_loc... + p * h_cap + slot
-        remap = [dict() for _ in range(d)]  # global id -> halo position
+        # recv layout on dev: halo pos = block_size + p * h_cap + slot.
+        # Vectorized global-id -> local/halo position via one lookup table
+        # per device (replaces the former per-element Python loop).
+        own = np.tile(np.arange(block_size, dtype=np.int32), d)
+        lookup = np.empty((d, d * block_size), np.int32)
         for dev in range(d):
+            lookup[dev] = own  # own rows: gid - dev * block_size
             for p in range(d):
                 if p == dev:
                     continue
                 ids = needed[dev][(needed[dev] // block_size) == p]
                 send[p, dev, : len(ids)] = ids - p * block_size
-                for slot, gid in enumerate(ids):
-                    remap[dev][int(gid)] = block_size + p * h_cap + slot
-
-        def remap_array(dev, arr, mask):
-            out = np.zeros_like(arr, dtype=np.int32)
-            flat = arr.ravel()
-            mflat = np.asarray(mask).ravel()
-            oflat = out.ravel()
-            for i in range(flat.size):
-                gid = int(flat[i])
-                if not mflat[i]:
-                    oflat[i] = 0
-                elif gid // block_size == dev:
-                    oflat[i] = gid - dev * block_size
-                else:
-                    oflat[i] = remap[dev][gid]
-            return out
+                lookup[dev, ids] = block_size + p * h_cap + np.arange(
+                    len(ids), dtype=np.int32
+                )
 
         remapped = []
-        for dev in range(d):
-            remapped.append(
-                [
-                    remap_array(dev, arr, mask)
-                    for arr, mask in ref_arrays_per_dev[dev]
-                ]
-            )
+        for arr, m in zip(ref_arrays, masks):
+            out = np.empty(arr.shape, np.int32)
+            for dev in range(d):
+                out[dev] = np.where(
+                    m[dev], fast_gather(lookup[dev], arr[dev].ravel()), 0
+                )
+            remapped.append(out)
         return send, remapped
 
-    atom_refs = [
-        [
-            (sb.edge_neighbor[dev], sb.edge_mask[dev] > 0),
-            (sb.und_center[dev], sb.und_mask[dev] > 0),
-            (sb.und_neighbor[dev], sb.und_mask[dev] > 0),
-            (sb.ang_center[dev], sb.ang_mask[dev] > 0),
-            (sb.ang_nbr_i[dev], sb.ang_mask[dev] > 0),
-            (sb.ang_nbr_j[dev], sb.ang_mask[dev] > 0),
-        ]
-        for dev in range(d)
-    ]
-    atom_send, atom_remapped = build_plan(atom_refs, n_loc)
+    e_mask = sb.edge_mask > 0
+    u_mask = sb.und_mask > 0
+    a_mask = sb.ang_mask > 0
+    atom_send, atom_remapped = build_plan(
+        [sb.edge_neighbor, sb.und_center, sb.und_neighbor,
+         sb.ang_center, sb.ang_nbr_i, sb.ang_nbr_j],
+        [e_mask, u_mask, u_mask, a_mask, a_mask, a_mask],
+        n_loc,
+    )
+    bond_send, bond_remapped = build_plan(
+        [sb.edge_bond, sb.ang_bond_j], [e_mask, a_mask], u_loc
+    )
 
-    bond_refs = [
-        [
-            (sb.edge_bond[dev], sb.edge_mask[dev] > 0),
-            (sb.ang_bond_j[dev], sb.ang_mask[dev] > 0),
-        ]
-        for dev in range(d)
-    ]
-    bond_send, bond_remapped = build_plan(bond_refs, u_loc)
-
-    stack = lambda idx, group: np.stack([group[dev][idx] for dev in range(d)])
     halo = HaloBatch(
-        atom_send=atom_send.transpose(0, 1, 2),
+        atom_send=atom_send,
         bond_send=bond_send,
         edge_center_local=np.where(
-            sb.edge_mask > 0,
+            e_mask,
             sb.edge_center - (np.arange(d) * n_loc)[:, None],
             n_loc,
         ).astype(np.int32),
-        edge_neighbor_h=stack(0, atom_remapped),
-        und_center_h=stack(1, atom_remapped),
-        und_neighbor_h=stack(2, atom_remapped),
-        ang_center_h=stack(3, atom_remapped),
-        ang_nbr_i_h=stack(4, atom_remapped),
-        ang_nbr_j_h=stack(5, atom_remapped),
-        edge_bond_h=stack(0, bond_remapped),
-        ang_bond_j_h=stack(1, bond_remapped),
+        edge_neighbor_h=atom_remapped[0],
+        und_center_h=atom_remapped[1],
+        und_neighbor_h=atom_remapped[2],
+        ang_center_h=atom_remapped[3],
+        ang_nbr_i_h=atom_remapped[4],
+        ang_nbr_j_h=atom_remapped[5],
+        edge_bond_h=bond_remapped[0],
+        ang_bond_j_h=bond_remapped[1],
     )
     return sb, halo
 
