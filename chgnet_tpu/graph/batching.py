@@ -27,6 +27,9 @@ from typing import NamedTuple, Sequence
 import numpy as np
 
 from chgnet_tpu.graph.crystalgraph import CrystalGraph
+from chgnet_tpu.ops.scatter import GatherPlan, make_plan
+
+_NO_PLAN = GatherPlan(np.zeros(0, np.int32), np.zeros(0, np.int32))
 
 
 class GraphBatch(NamedTuple):
@@ -58,6 +61,15 @@ class GraphBatch(NamedTuple):
     dense_nbr: np.ndarray = np.zeros((0, 0), np.int32)  # i32 [N, K]
     dense_bond: np.ndarray = np.zeros((0, 0), np.int32)  # i32 [N, K]
     dense_mask: np.ndarray = np.zeros((0, 0), np.float32)  # f32 [N, K]
+    # backward gather plans (ops/scatter.py): turn every grad-of-gather
+    # scatter into a permutation gather + SORTED segment sum
+    plan_nbr: GatherPlan = _NO_PLAN  # atom_graph[:, 1] -> atom table
+    plan_d2u: GatherPlan = _NO_PLAN  # directed2undirected -> bond table
+    plan_u2d: GatherPlan = _NO_PLAN  # undirected2directed -> edge stream
+    plan_ang_vi: GatherPlan = _NO_PLAN  # bond_graph[:, 2] -> edge stream
+    plan_ang_vj: GatherPlan = _NO_PLAN  # bond_graph[:, 4] -> edge stream
+    plan_ang_c: GatherPlan = _NO_PLAN  # bond_graph[:, 0] -> atom table
+    plan_ang_bj: GatherPlan = _NO_PLAN  # bond_graph[:, 3] -> bond table
 
     @property
     def n_graphs(self) -> int:
@@ -192,19 +204,24 @@ def batch_graphs(
         dense_nbr = np.zeros((cap_n, cap_k), np.int32)
         dense_bond = np.zeros((cap_n, cap_k), np.int32)
         dense_mask = np.zeros((cap_n, cap_k), np.float32)
-        slot = np.zeros(cap_n, np.int64)
-        for e in np.nonzero(edge_mask > 0)[0]:
-            center = edge_scatter[e]
-            dense_nbr[center, slot[center]] = atom_graph[e, 1]
-            dense_bond[center, slot[center]] = directed2undirected[e]
-            dense_mask[center, slot[center]] = 1.0
-            slot[center] += 1
+        # edges are center-sorted, so the K slot of each edge is its
+        # running index within its center's contiguous run (vectorized)
+        valid = np.nonzero(edge_mask > 0)[0]
+        v_centers = edge_scatter[valid]
+        v_counts = np.bincount(v_centers, minlength=cap_n)
+        starts = np.concatenate([[0], np.cumsum(v_counts)[:-1]])
+        slots = np.arange(len(valid)) - np.repeat(starts, v_counts)
+        dense_nbr[v_centers, slots] = atom_graph[valid, 1]
+        dense_bond[v_centers, slots] = directed2undirected[valid]
+        dense_mask[v_centers, slots] = 1.0
         dense = {
             "dense_nbr": dense_nbr,
             "dense_bond": dense_bond,
             "dense_mask": dense_mask,
         }
 
+    e_valid = edge_mask > 0
+    a_valid = angle_mask > 0
     return GraphBatch(
         atomic_numbers=atomic_numbers,
         frac_coords=frac_coords,
@@ -222,5 +239,17 @@ def batch_graphs(
         bond_graph=bond_graph,
         angle_scatter=angle_scatter,
         angle_mask=angle_mask,
+        plan_nbr=make_plan(atom_graph[:, 1], e_valid, cap_n),
+        plan_d2u=make_plan(directed2undirected, e_valid, cap_u),
+        # undirected2directed is sorted by construction (undirected ids
+        # assigned by first appearance along center-sorted edges); angle
+        # rows are sorted only in bond_i (angle_scatter covers that plan)
+        plan_u2d=make_plan(
+            undirected2directed, und_mask > 0, cap_e, assume_sorted=True
+        ),
+        plan_ang_vi=make_plan(bond_graph[:, 2], a_valid, cap_e),
+        plan_ang_vj=make_plan(bond_graph[:, 4], a_valid, cap_e),
+        plan_ang_c=make_plan(bond_graph[:, 0], a_valid, cap_n),
+        plan_ang_bj=make_plan(bond_graph[:, 3], a_valid, cap_u),
         **dense,
     )

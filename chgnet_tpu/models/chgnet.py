@@ -63,6 +63,7 @@ from chgnet_tpu.models.layers import (
     bond_conv_init,
     graph_pool,
 )
+from chgnet_tpu.ops.scatter import plan_gather
 from chgnet_tpu.utils.common import count_params, load_params, save_params
 
 module_dir = os.path.dirname(os.path.abspath(__file__))
@@ -115,6 +116,9 @@ class CHGNetConfig:
     # _energy_core) — ~2x less HBM traffic on bandwidth-bound TPUs at the
     # cost of ~1e-2-relative feature precision; geometry/readout stay f32
     fused_kernels: bool = False  # Pallas fused gated-message kernels
+    sorted_grads: bool = True  # backward scatters as sorted segment sums
+    # via host-precomputed permutation plans (ops/scatter.py); False falls
+    # back to XLA's default random scatter-add transpose
     remat: bool = False  # checkpoint conv blocks (large-system memory)
     dense_atom_conv: bool = False  # [N, K] dense edge layout for AtomConv
     # (requires batches built with dense_k; K-reduce replaces the scatter)
@@ -249,9 +253,27 @@ def _energy_core(
     lat = jnp.einsum("bij,bjk->bik", batch.lattices, deform)
     pos = jnp.einsum("ni,nij->nj", cart, deform[batch.atom_owner])
 
+    # backward gather plans: grad-of-gather becomes a sorted segment sum
+    # instead of a random scatter-add (ops/scatter.py). The center-atom and
+    # bond_i streams are sorted by construction and reuse the existing
+    # scatter index arrays as their (identity-permutation) plans.
+    if cfg.sorted_grads and batch.plan_nbr.dst.shape[0] > 0:
+        from chgnet_tpu.ops.scatter import GatherPlan
+
+        _empty = np.zeros(0, np.int32)
+        p_center = GatherPlan(_empty, batch.edge_scatter)
+        p_ang_bi = GatherPlan(_empty, batch.angle_scatter)
+        atom_plans = (p_center, batch.plan_d2u, batch.plan_nbr)
+        bond_plans = (p_ang_bi, batch.plan_ang_bj, batch.plan_ang_c)
+        p_nbr, p_u2d = batch.plan_nbr, batch.plan_u2d
+        p_ang_vi, p_ang_vj = batch.plan_ang_vi, batch.plan_ang_vj
+    else:
+        atom_plans = bond_plans = None
+        p_center = p_nbr = p_u2d = p_ang_vi = p_ang_vj = None
+
     # bond vectors: center - (neighbor + image @ lattice)   (encoders.py:98-102)
-    center_pos = pos[batch.atom_graph[:, 0]]
-    nbr_pos = pos[batch.atom_graph[:, 1]] + jnp.einsum(
+    center_pos = plan_gather(pos, batch.atom_graph[:, 0], p_center)
+    nbr_pos = plan_gather(pos, batch.atom_graph[:, 1], p_nbr) + jnp.einsum(
         "ei,eij->ej", batch.images, lat[batch.edge_owner]
     )
     vec = center_pos - nbr_pos
@@ -259,7 +281,7 @@ def _energy_core(
     unit = vec / dist[:, None]
 
     # undirected bond bases (both expansions on atom-graph bond lengths)
-    und_dist = dist[batch.undirected2directed]
+    und_dist = plan_gather(dist, batch.undirected2directed, p_u2d)
     rbf_ag = basis.radial_bessel(
         und_dist,
         params["bond_basis"]["freq_ag"],
@@ -274,8 +296,8 @@ def _energy_core(
     )
 
     # angle basis from directed unit bond vectors (encoders.py:133-146)
-    vec_i = unit[batch.bond_graph[:, 2]]
-    vec_j = unit[batch.bond_graph[:, 4]]
+    vec_i = plan_gather(unit, batch.bond_graph[:, 2], p_ang_vi)
+    vec_j = plan_gather(unit, batch.bond_graph[:, 4], p_ang_vj)
     cos_ij = jnp.sum(vec_i * vec_j, axis=1) * (1 - 1e-6)
     angles = jnp.arccos(cos_ij)
     angle_bases = basis.fourier(angles, params["angle_basis"]["freq"])
@@ -348,6 +370,7 @@ def _energy_core(
                 edge_mask,
                 activation=act,
                 fused=cfg.fused_kernels,
+                plans=atom_plans,
             )
         if bond_p is not None:
             bond_feas = bond_conv_apply(
@@ -361,6 +384,7 @@ def _energy_core(
                 angle_mask,
                 activation=act,
                 fused=cfg.fused_kernels,
+                plans=bond_plans,
             )
         if angle_p is not None:
             angle_feas = angle_update_apply(
@@ -370,6 +394,7 @@ def _energy_core(
                 angle_feas,
                 batch.bond_graph,
                 activation=act,
+                plans=bond_plans,
             )
         return atom_feas, bond_feas, angle_feas
 
@@ -416,6 +441,7 @@ def _energy_core(
             edge_mask,
             activation=act,
             fused=cfg.fused_kernels,
+            plans=atom_plans,
         )
     atom_feas = atom_feas.astype(jnp.float32)  # readout stays float32
     if "readout_norm" in params:

@@ -200,22 +200,33 @@ def gated_mlp_apply(params: Params, x: jnp.ndarray, *, activation: str = "silu")
     return act(core) * jax.nn.sigmoid(gate)
 
 
+def _split_part(part):
+    """parts entries are (table, idx) or (table, idx, GatherPlan)."""
+    if len(part) == 3:
+        return part
+    table, idx = part
+    return table, idx, None
+
+
 def first_layer_acc_joint(
     layers_c: Sequence[Params],
     layers_g: Sequence[Params],
-    parts: Sequence[tuple[jnp.ndarray, jnp.ndarray | None]],
+    parts: Sequence[tuple],
 ) -> jnp.ndarray:
     """Joint [E, 2D] first-Linear output (core | gate lane-packed) over an
     implicit concat of gathered blocks: each block projected on its table
     BEFORE gathering (see ``gated_mlp_gather_apply``)."""
+    from chgnet_tpu.ops.scatter import plan_gather
+
     first_w = jnp.concatenate([layers_c[0]["w"], layers_g[0]["w"]], axis=1)
     offset = 0
     acc = None
-    for table, idx in parts:
+    for part in parts:
+        table, idx, plan = _split_part(part)
         d_k = table.shape[1]
         proj = jnp.dot(table, first_w[offset: offset + d_k])
         if idx is not None:
-            proj = proj[idx]
+            proj = plan_gather(proj, idx, plan)
         acc = proj if acc is None else acc + proj
         offset += d_k
     if "b" in layers_c[0]:
@@ -285,18 +296,7 @@ def gated_mlp_gather_apply(
     dim = layers_c[-1]["w"].shape[1]
 
     # joint first layer: [d_in, 2D] = [W1_core | W1_gate]
-    first_w = jnp.concatenate([layers_c[0]["w"], layers_g[0]["w"]], axis=1)
-    offset = 0
-    acc = None
-    for table, idx in parts:
-        d_k = table.shape[1]
-        proj = jnp.dot(table, first_w[offset: offset + d_k])
-        if idx is not None:
-            proj = proj[idx]
-        acc = proj if acc is None else acc + proj
-        offset += d_k
-    if "b" in layers_c[0]:
-        acc = acc + jnp.concatenate([layers_c[0]["b"], layers_g[0]["b"]])
+    acc = first_layer_acc_joint(layers_c, layers_g, parts)
 
     n_layers = len(layers_c)
     if n_layers != len(layers_g):

@@ -35,6 +35,7 @@ from chgnet_tpu.models.functions import (
     segment_mean,
     segment_sum,
 )
+from chgnet_tpu.ops.scatter import plan_gather
 
 
 # ------------------------------------------------------------------ AtomConv
@@ -84,18 +85,22 @@ def atom_conv_apply(
     activation: str = "silu",
     resnet: bool = True,
     fused: bool = False,
+    plans: tuple | None = None,  # (center, d2u, nbr) GatherPlans
 ) -> jnp.ndarray:
     """Gated-MLP messages over directed edges -> bond-weight scaling ->
     sorted segment-sum into center atoms (``layers.py:81-137``). The
     [E, 3d] concat of the reference is replaced by split first-layer
     projections on the atom/bond tables (see ``gated_mlp_gather_apply``);
-    with ``fused`` the message tail runs as one Pallas kernel.
+    with ``fused`` the message tail runs as one Pallas kernel; ``plans``
+    turn the backward scatters into sorted segment sums (ops/scatter.py).
     """
+    p_center, p_d2u, p_nbr = plans if plans is not None else (None,) * 3
     parts = [
-        (atom_feas, atom_graph[:, 0]),
-        (bond_feas, directed2undirected),
-        (atom_feas, atom_graph[:, 1]),
+        (atom_feas, atom_graph[:, 0], p_center),
+        (bond_feas, directed2undirected, p_d2u),
+        (atom_feas, atom_graph[:, 1], p_nbr),
     ]
+    weights_e = plan_gather(bond_weights, directed2undirected, p_d2u)
     gmlp = params["gated_mlp"]
     if fused and gated_mlp_fusable(gmlp, activation):
         from chgnet_tpu.ops.gated_message import fused_gated_message
@@ -104,13 +109,13 @@ def atom_conv_apply(
             first_layer_acc_joint(
                 gmlp["core"]["layers"], gmlp["gate"]["layers"], parts
             ),
-            bond_weights[directed2undirected],
+            weights_e,
             edge_mask,
             gated_mlp_fused_pack(gmlp),
         )
     else:
         messages = gated_mlp_gather_apply(gmlp, parts, activation=activation)
-        messages = messages * bond_weights[directed2undirected]
+        messages = messages * weights_e
         messages = messages * edge_mask[:, None]
 
     new_atom_feas = segment_sum(
@@ -244,14 +249,18 @@ def bond_conv_apply(
     activation: str = "silu",
     resnet: bool = True,
     fused: bool = False,
+    plans: tuple | None = None,  # (bond_i, bond_j, center) GatherPlans
 ) -> jnp.ndarray:
     """Line-graph update of undirected-bond features (``layers.py:208-265``)."""
+    p_bi, p_bj, p_c = plans if plans is not None else (None,) * 3
     parts = [
-        (bond_feas, bond_graph[:, 1]),
-        (bond_feas, bond_graph[:, 3]),
+        (bond_feas, bond_graph[:, 1], p_bi),
+        (bond_feas, bond_graph[:, 3], p_bj),
         (angle_feas, None),
-        (atom_feas, bond_graph[:, 0]),
+        (atom_feas, bond_graph[:, 0], p_c),
     ]
+    weights_a = plan_gather(bond_weights, bond_graph[:, 1], p_bi) * \
+        plan_gather(bond_weights, bond_graph[:, 3], p_bj)
     gmlp = params["gated_mlp"]
     if fused and gated_mlp_fusable(gmlp, activation):
         from chgnet_tpu.ops.gated_message import fused_gated_message
@@ -260,18 +269,13 @@ def bond_conv_apply(
             first_layer_acc_joint(
                 gmlp["core"]["layers"], gmlp["gate"]["layers"], parts
             ),
-            bond_weights[bond_graph[:, 1]] * bond_weights[bond_graph[:, 3]],
+            weights_a,
             angle_mask,
             gated_mlp_fused_pack(gmlp),
         )
     else:
         update = gated_mlp_gather_apply(gmlp, parts, activation=activation)
-        update = (
-            update
-            * bond_weights[bond_graph[:, 1]]
-            * bond_weights[bond_graph[:, 3]]
-            * angle_mask[:, None]
-        )
+        update = update * weights_a * angle_mask[:, None]
     new_bond_feas = segment_sum(
         update, angle_scatter, bond_feas.shape[0], indices_are_sorted=True
     )
@@ -322,15 +326,17 @@ def angle_update_apply(
     *,
     activation: str = "silu",
     resnet: bool = True,
+    plans: tuple | None = None,  # (bond_i, bond_j, center) GatherPlans
 ) -> jnp.ndarray:
     """Per-angle feature update, no aggregation (``layers.py:321-363``)."""
+    p_bi, p_bj, p_c = plans if plans is not None else (None,) * 3
     new_angle_feas = gated_mlp_gather_apply(
         params["gated_mlp"],
         [
-            (bond_feas, bond_graph[:, 1]),
-            (bond_feas, bond_graph[:, 3]),
+            (bond_feas, bond_graph[:, 1], p_bi),
+            (bond_feas, bond_graph[:, 3], p_bj),
             (angle_feas, None),
-            (atom_feas, bond_graph[:, 0]),
+            (atom_feas, bond_graph[:, 0], p_c),
         ],
         activation=activation,
     )

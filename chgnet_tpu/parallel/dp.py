@@ -35,13 +35,17 @@ __all__ = [
 
 def stack_batches(batches: Sequence[GraphBatch]) -> GraphBatch:
     """Stack same-capacity GraphBatches on a new leading device axis."""
+    import jax
+
     first = batches[0]
+    first_leaves = jax.tree.leaves(first)
     for b in batches[1:]:
         if any(
-            np.shape(x) != np.shape(y) for x, y in zip(first, b)
+            np.shape(x) != np.shape(y)
+            for x, y in zip(first_leaves, jax.tree.leaves(b))
         ):
             raise ValueError("all stacked batches must share capacities")
-    return GraphBatch(*[np.stack(leaves) for leaves in zip(*batches)])
+    return jax.tree.map(lambda *xs: np.stack(xs), *batches)
 
 
 def stack_targets(targets: Sequence[dict]) -> dict:
