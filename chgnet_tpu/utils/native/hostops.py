@@ -72,11 +72,22 @@ def _load() -> ctypes.CDLL | None:
 
 def fast_gather(src: np.ndarray, idx: np.ndarray) -> np.ndarray:
     """``src[idx]`` (rows) with a threaded, prefetching native kernel."""
+    if os.environ.get("CHGNET_TPU_NO_HOSTOPS") == "1":
+        return np.ascontiguousarray(src)[idx]
     lib = _load()
     src = np.ascontiguousarray(src)
     if lib is None or src.ndim > 2:
         return src[idx]
     idx64 = np.ascontiguousarray(idx, dtype=np.int64)
+    if idx64.size:
+        # numpy-equivalent bounds semantics (minus negative wrapping):
+        # the native kernel would silently read wild memory on a bad index
+        lo, hi = int(idx64.min()), int(idx64.max())
+        if lo < 0 or hi >= src.shape[0]:
+            raise IndexError(
+                f"fast_gather: index range [{lo}, {hi}] out of bounds "
+                f"for {src.shape[0]} rows"
+            )
     out = np.empty((idx64.shape[0],) + src.shape[1:], src.dtype)
     row = src.dtype.itemsize * (src.shape[1] if src.ndim == 2 else 1)
     lib.hostops_gather_rows(
