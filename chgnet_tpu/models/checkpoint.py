@@ -55,14 +55,34 @@ def _take_layer_norm(sd: dict, torch_prefix: str) -> dict:
     }
 
 
+def _take_batch_norm(sd: dict, torch_prefix: str) -> dict:
+    """BatchNorm1d incl. running statistics (eval semantics)."""
+    return {
+        "scale": np.asarray(sd[f"{torch_prefix}.weight"], dtype=np.float32),
+        "bias": np.asarray(sd[f"{torch_prefix}.bias"], dtype=np.float32),
+        "mean": np.asarray(
+            sd[f"{torch_prefix}.running_mean"], dtype=np.float32
+        ),
+        "var": np.asarray(
+            sd[f"{torch_prefix}.running_var"], dtype=np.float32
+        ),
+    }
+
+
+def _take_norm(sd: dict, torch_prefix: str, norm) -> dict:
+    if norm == "batch":
+        return _take_batch_norm(sd, torch_prefix)
+    return _take_layer_norm(sd, torch_prefix)
+
+
 def _take_gated_mlp(sd: dict, torch_prefix: str, hidden_dim, norm) -> dict:
     params = {
         "core": _take_mlp(sd, f"{torch_prefix}.mlp_core", hidden_dim),
         "gate": _take_mlp(sd, f"{torch_prefix}.mlp_gate", hidden_dim),
     }
-    if norm == "layer":
-        params["norm_core"] = _take_layer_norm(sd, f"{torch_prefix}.bn1")
-        params["norm_gate"] = _take_layer_norm(sd, f"{torch_prefix}.bn2")
+    if norm in ("layer", "batch"):
+        params["norm_core"] = _take_norm(sd, f"{torch_prefix}.bn1", norm)
+        params["norm_gate"] = _take_norm(sd, f"{torch_prefix}.bn2", norm)
     return params
 
 
@@ -136,7 +156,8 @@ def convert_state_dict(state_dict: dict, model_args: dict) -> dict:
         ]
 
     if "readout_norm.weight" in sd:
-        params["readout_norm"] = _take_layer_norm(sd, "readout_norm")
+        kind = "batch" if "readout_norm.running_mean" in sd else "layer"
+        params["readout_norm"] = _take_norm(sd, "readout_norm", kind)
     if "composition_model.fc.weight" in sd:
         params["composition"] = {
             "weight": np.asarray(

@@ -127,8 +127,10 @@ class CHGNetConfig:
     def __post_init__(self) -> None:
         if self.num_angular % 2 != 1:
             raise ValueError(f"num_angular={self.num_angular} must be odd")
-        if self.conv_dropout or self.mlp_dropout:
-            raise NotImplementedError("dropout > 0 is not implemented yet")
+        if self.conv_dropout and self.dense_atom_conv:
+            raise NotImplementedError(
+                "conv_dropout with dense_atom_conv is not supported"
+            )
         for name in ("atom_conv_hidden_dim", "bond_conv_hidden_dim",
                      "angle_layer_hidden_dim", "mlp_hidden_dims"):
             val = getattr(self, name)
@@ -240,11 +242,14 @@ def _energy_core(
     batch: GraphBatch,
     cart: jnp.ndarray,  # [N, 3] unstrained cartesian coords
     strains: jnp.ndarray,  # [B, 3, 3]
+    dropout_rng: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, dict]:
     """Extensive GNN energy per graph [B] plus auxiliary features.
 
     Differentiable in (cart, strains); all padded lanes contribute exactly
-    zero and stay NaN-free (see batching module docstring).
+    zero and stay NaN-free (see batching module docstring). ``dropout_rng``
+    enables train-mode dropout at the configured conv/mlp rates
+    (reference ``model.py:59-64``); ``None`` = eval mode.
     """
     n_graphs = batch.lattices.shape[0]
     n_atoms_padded = batch.atomic_numbers.shape[0]
@@ -344,6 +349,14 @@ def _energy_core(
         batch.dense_mask.astype(conv_dtype) if use_dense else None
     )
 
+    conv_rate = float(cfg.conv_dropout)
+    if dropout_rng is not None:
+        block_rngs = list(jax.random.split(dropout_rng, 3 * cfg.n_conv + 1))
+        mlp_rng = block_rngs.pop()
+    else:
+        block_rngs = [None] * (3 * cfg.n_conv)
+        mlp_rng = None
+
     def conv_block(idx, layer_params, atom_feas, bond_feas, angle_feas,
                    bond_weights_ag, bond_weights_bg):
         atom_p, bond_p, angle_p = layer_params
@@ -371,6 +384,8 @@ def _energy_core(
                 activation=act,
                 fused=cfg.fused_kernels,
                 plans=atom_plans,
+                dropout=conv_rate,
+                rng=block_rngs[3 * idx],
             )
         if bond_p is not None:
             bond_feas = bond_conv_apply(
@@ -385,6 +400,8 @@ def _energy_core(
                 activation=act,
                 fused=cfg.fused_kernels,
                 plans=bond_plans,
+                dropout=conv_rate,
+                rng=block_rngs[3 * idx + 1],
             )
         if angle_p is not None:
             angle_feas = angle_update_apply(
@@ -395,6 +412,8 @@ def _energy_core(
                 batch.bond_graph,
                 activation=act,
                 plans=bond_plans,
+                dropout=conv_rate,
+                rng=block_rngs[3 * idx + 2],
             )
         return atom_feas, bond_feas, angle_feas
 
@@ -442,6 +461,8 @@ def _energy_core(
             activation=act,
             fused=cfg.fused_kernels,
             plans=atom_plans,
+            dropout=conv_rate,
+            rng=block_rngs[3 * (cfg.n_conv - 1)],
         )
     atom_feas = atom_feas.astype(jnp.float32)  # readout stays float32
     if "readout_norm" in params:
@@ -461,7 +482,10 @@ def _energy_core(
         "atoms_per_graph": atoms_per_graph,
     }
     if cfg.mlp_first:
-        site_energies = mlp_apply(params["mlp"], atom_feas, activation=act)
+        site_energies = mlp_apply(
+            params["mlp"], atom_feas, activation=act,
+            dropout=float(cfg.mlp_dropout), rng=mlp_rng,
+        )
         site_energies = site_energies * batch.atom_mask[:, None]
         energy_ext = segment_sum(
             site_energies, atom_scatter, n_graphs, indices_are_sorted=True
@@ -489,7 +513,10 @@ def _energy_core(
                 average=True,
             )
         energy_ext = (
-            mlp_apply(params["mlp"], crystal_feas, activation=act).reshape(-1)
+            mlp_apply(
+                params["mlp"], crystal_feas, activation=act,
+                dropout=float(cfg.mlp_dropout), rng=mlp_rng,
+            ).reshape(-1)
             * atoms_per_graph
         )
         aux["crystal_fea"] = crystal_feas
@@ -514,12 +541,14 @@ def compute_batch(
     compute_force: bool = False,
     compute_stress: bool = False,
     compute_magmom: bool = False,
+    dropout_rng: jnp.ndarray | None = None,
 ) -> dict[str, jnp.ndarray]:
     """Jitted batched prediction over padded arrays.
 
     Returns padded device arrays: e [B] (eV/atom if intensive), f [N, 3],
     s [B, 3, 3] (GPa), m [N], site_energies [N], crystal_fea [B, d],
-    atoms_per_graph [B].
+    atoms_per_graph [B]. ``dropout_rng`` activates train-mode dropout at
+    the configured ``conv_dropout`` / ``mlp_dropout`` rates.
     """
     cfg = config
     with jax.default_matmul_precision(cfg.matmul_precision):
@@ -529,7 +558,9 @@ def compute_batch(
         strains0 = jnp.zeros((n_graphs, 3, 3), dtype=cart0.dtype)
 
         def energy_of(cart, strains):
-            energy_ext, aux = _energy_core(params, cfg, batch, cart, strains)
+            energy_ext, aux = _energy_core(
+                params, cfg, batch, cart, strains, dropout_rng
+            )
             return energy_ext.sum(), (energy_ext, aux)
 
         prediction: dict[str, jnp.ndarray] = {}
@@ -546,7 +577,9 @@ def compute_batch(
                     grads[-1] * EV_A3_TO_GPA / volumes[:, None, None]
                 )
         else:
-            energy_ext, aux = _energy_core(params, cfg, batch, cart0, strains0)
+            energy_ext, aux = _energy_core(
+                params, cfg, batch, cart0, strains0, dropout_rng
+            )
 
         atoms_per_graph = aux["atoms_per_graph"]
         safe_counts = jnp.maximum(atoms_per_graph, 1.0)

@@ -111,9 +111,30 @@ def layer_norm_init(dim: int) -> Params:
 
 
 def layer_norm_apply(params: Params, x: jnp.ndarray, *, eps: float = 1e-5):
+    if "mean" in params:  # batch norm (see batch_norm_init)
+        return batch_norm_apply(params, x, eps=eps)
     mean = x.mean(axis=-1, keepdims=True)
     var = ((x - mean) ** 2).mean(axis=-1, keepdims=True)
     out = (x - mean) * jax.lax.rsqrt(var + eps)
+    return out * params["scale"] + params["bias"]
+
+
+def batch_norm_init(dim: int) -> Params:
+    """BatchNorm1d parameters (reference ``find_normalization('batch')``,
+    ``functions.py:200-223``). Inference semantics: normalize with the
+    stored running statistics (identity at init). Running-stat UPDATES are
+    a training-state concern; fold converted torch stats in via the
+    checkpoint converter."""
+    return {
+        "scale": np.ones(dim, dtype=np.float32),
+        "bias": np.zeros(dim, dtype=np.float32),
+        "mean": np.zeros(dim, dtype=np.float32),
+        "var": np.ones(dim, dtype=np.float32),
+    }
+
+
+def batch_norm_apply(params: Params, x: jnp.ndarray, *, eps: float = 1e-5):
+    out = (x - params["mean"]) * jax.lax.rsqrt(params["var"] + eps)
     return out * params["scale"] + params["bias"]
 
 
@@ -122,10 +143,20 @@ def norm_init(name: str | None, dim: int) -> Params | None:
         return None
     if name.lower() == "layer":
         return layer_norm_init(dim)
-    raise NotImplementedError(
-        f"normalization {name!r} (only 'layer'/None are supported; the "
-        "reference's 'batch' option is unused by all released models)"
-    )
+    if name.lower() == "batch":
+        return batch_norm_init(dim)
+    raise NotImplementedError(f"normalization {name!r}")
+
+
+def dropout_apply(
+    x: jnp.ndarray, rate: float, rng: jax.Array | None
+) -> jnp.ndarray:
+    """Inverted dropout (train mode only: ``rng`` given and rate > 0)."""
+    if rate <= 0.0 or rng is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
 
 
 # -------------------------------------------------------------------- MLP
@@ -155,11 +186,21 @@ def mlp_init(
     }
 
 
-def mlp_apply(params: Params, x: jnp.ndarray, *, activation: str = "silu"):
+def mlp_apply(
+    params: Params,
+    x: jnp.ndarray,
+    *,
+    activation: str = "silu",
+    dropout: float = 0.0,
+    rng: jax.Array | None = None,
+):
+    """Reference MLP layout: Dropout sits before the LAST Linear
+    (``functions.py:72-96``); active only when ``rng`` is provided."""
     act = find_activation(activation)
     layers = params["layers"]
     for layer in layers[:-1]:
         x = act(linear_apply(layer, x))
+    x = dropout_apply(x, dropout, rng)
     return linear_apply(layers[-1], x)
 
 
@@ -188,12 +229,26 @@ def gated_mlp_init(
     return params
 
 
-def gated_mlp_apply(params: Params, x: jnp.ndarray, *, activation: str = "silu"):
+def gated_mlp_apply(
+    params: Params,
+    x: jnp.ndarray,
+    *,
+    activation: str = "silu",
+    dropout: float = 0.0,
+    rng: jax.Array | None = None,
+):
     """core * gate with optional norms before the nonlinearities
     (``functions.py:168-183``)."""
     act = find_activation(activation)
-    core = mlp_apply(params["core"], x, activation=activation)
-    gate = mlp_apply(params["gate"], x, activation=activation)
+    rng_c = rng_g = None
+    if rng is not None and dropout > 0.0:
+        rng_c, rng_g = jax.random.split(rng)
+    core = mlp_apply(
+        params["core"], x, activation=activation, dropout=dropout, rng=rng_c
+    )
+    gate = mlp_apply(
+        params["gate"], x, activation=activation, dropout=dropout, rng=rng_g
+    )
     if "norm_core" in params:
         core = layer_norm_apply(params["norm_core"], core)
         gate = layer_norm_apply(params["norm_gate"], gate)
@@ -267,9 +322,11 @@ def gated_mlp_fused_pack(params: Params) -> Params:
 
 def gated_mlp_gather_apply(
     params: Params,
-    parts: Sequence[tuple[jnp.ndarray, jnp.ndarray | None]],
+    parts: Sequence[tuple],
     *,
     activation: str = "silu",
+    dropout: float = 0.0,
+    rng: jax.Array | None = None,
 ) -> jnp.ndarray:
     """GatedMLP over an implicit concatenation of gathered feature blocks.
 
@@ -302,10 +359,18 @@ def gated_mlp_gather_apply(
     if n_layers != len(layers_g):
         raise ValueError("core/gate layer counts differ")
     if n_layers == 1:
-        both = acc
+        # single-Linear MLP: the reference drops the INPUT (layout
+        # [Dropout, Linear]); the split-projection form never materializes
+        # that input, so drop the linear output instead (same expectation,
+        # different noise correlation across output features)
+        both = dropout_apply(acc, dropout, rng)
     else:
         x = act(acc)
         for lc, lg in zip(layers_c[1:], layers_g[1:]):
+            if lc is layers_c[-1]:
+                # reference layout: Dropout before the last Linear; the
+                # packed halves get elementwise-independent masks
+                x = dropout_apply(x, dropout, rng)
             # block-diagonal joint layer: halves stay independent
             w = jax.scipy.linalg.block_diag(lc["w"], lg["w"])
             x = jnp.dot(x, w)
@@ -316,16 +381,21 @@ def gated_mlp_gather_apply(
         both = x
 
     if "norm_core" in params:
-        # per-half layer norm without splitting the stream
-        h = both.reshape(-1, 2, dim)
-        mean = h.mean(axis=-1, keepdims=True)
-        var = ((h - mean) ** 2).mean(axis=-1, keepdims=True)
-        h = (h - mean) * jax.lax.rsqrt(var + 1e-5)
-        scale = jnp.stack(
-            [params["norm_core"]["scale"], params["norm_gate"]["scale"]]
-        )
-        bias = jnp.stack(
-            [params["norm_core"]["bias"], params["norm_gate"]["bias"]]
-        )
-        both = (h * scale + bias).reshape(-1, 2 * dim)
+        nc, ng = params["norm_core"], params["norm_gate"]
+        if "mean" in nc:
+            # batch norm: per-feature running stats, packed per half
+            mean = jnp.concatenate([nc["mean"], ng["mean"]])
+            var = jnp.concatenate([nc["var"], ng["var"]])
+            scale = jnp.concatenate([nc["scale"], ng["scale"]])
+            bias = jnp.concatenate([nc["bias"], ng["bias"]])
+            both = (both - mean) * jax.lax.rsqrt(var + 1e-5) * scale + bias
+        else:
+            # per-half layer norm without splitting the stream
+            h = both.reshape(-1, 2, dim)
+            mean = h.mean(axis=-1, keepdims=True)
+            var = ((h - mean) ** 2).mean(axis=-1, keepdims=True)
+            h = (h - mean) * jax.lax.rsqrt(var + 1e-5)
+            scale = jnp.stack([nc["scale"], ng["scale"]])
+            bias = jnp.stack([nc["bias"], ng["bias"]])
+            both = (h * scale + bias).reshape(-1, 2 * dim)
     return act(both[:, :dim]) * jax.nn.sigmoid(both[:, dim:])

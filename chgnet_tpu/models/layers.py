@@ -32,6 +32,7 @@ from chgnet_tpu.models.functions import (
     linear_init,
     mlp_apply,
     mlp_init,
+    norm_init,
     segment_mean,
     segment_sum,
 )
@@ -64,11 +65,9 @@ def atom_conv_init(
         params["mlp_out"] = mlp_init(
             rng, atom_fea_dim, output_dim=atom_fea_dim, hidden_dim=0, bias=mlp_out_bias
         )
-    if norm == "layer":
-        params["norm"] = {
-            "scale": np.ones(atom_fea_dim, dtype=np.float32),
-            "bias": np.zeros(atom_fea_dim, dtype=np.float32),
-        }
+    ln = norm_init(norm, atom_fea_dim)
+    if ln is not None:
+        params["norm"] = ln
     return params
 
 
@@ -86,6 +85,8 @@ def atom_conv_apply(
     resnet: bool = True,
     fused: bool = False,
     plans: tuple | None = None,  # (center, d2u, nbr) GatherPlans
+    dropout: float = 0.0,
+    rng: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Gated-MLP messages over directed edges -> bond-weight scaling ->
     sorted segment-sum into center atoms (``layers.py:81-137``). The
@@ -102,6 +103,8 @@ def atom_conv_apply(
     ]
     weights_e = plan_gather(bond_weights, directed2undirected, p_d2u)
     gmlp = params["gated_mlp"]
+    if rng is not None and dropout > 0.0:
+        fused = False  # the Pallas tail has no dropout support
     if fused and gated_mlp_fusable(gmlp, activation):
         from chgnet_tpu.ops.gated_message import fused_gated_message
 
@@ -114,7 +117,9 @@ def atom_conv_apply(
             gated_mlp_fused_pack(gmlp),
         )
     else:
-        messages = gated_mlp_gather_apply(gmlp, parts, activation=activation)
+        messages = gated_mlp_gather_apply(
+            gmlp, parts, activation=activation, dropout=dropout, rng=rng
+        )
         messages = messages * weights_e
         messages = messages * edge_mask[:, None]
 
@@ -228,11 +233,9 @@ def bond_conv_init(
         params["mlp_out"] = mlp_init(
             rng, bond_fea_dim, output_dim=bond_fea_dim, hidden_dim=0, bias=mlp_out_bias
         )
-    if norm == "layer":
-        params["norm"] = {
-            "scale": np.ones(bond_fea_dim, dtype=np.float32),
-            "bias": np.zeros(bond_fea_dim, dtype=np.float32),
-        }
+    ln = norm_init(norm, bond_fea_dim)
+    if ln is not None:
+        params["norm"] = ln
     return params
 
 
@@ -250,6 +253,8 @@ def bond_conv_apply(
     resnet: bool = True,
     fused: bool = False,
     plans: tuple | None = None,  # (bond_i, bond_j, center) GatherPlans
+    dropout: float = 0.0,
+    rng: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Line-graph update of undirected-bond features (``layers.py:208-265``)."""
     p_bi, p_bj, p_c = plans if plans is not None else (None,) * 3
@@ -262,6 +267,8 @@ def bond_conv_apply(
     weights_a = plan_gather(bond_weights, bond_graph[:, 1], p_bi) * \
         plan_gather(bond_weights, bond_graph[:, 3], p_bj)
     gmlp = params["gated_mlp"]
+    if rng is not None and dropout > 0.0:
+        fused = False  # the Pallas tail has no dropout support
     if fused and gated_mlp_fusable(gmlp, activation):
         from chgnet_tpu.ops.gated_message import fused_gated_message
 
@@ -274,7 +281,9 @@ def bond_conv_apply(
             gated_mlp_fused_pack(gmlp),
         )
     else:
-        update = gated_mlp_gather_apply(gmlp, parts, activation=activation)
+        update = gated_mlp_gather_apply(
+            gmlp, parts, activation=activation, dropout=dropout, rng=rng
+        )
         update = update * weights_a * angle_mask[:, None]
     new_bond_feas = segment_sum(
         update, angle_scatter, bond_feas.shape[0], indices_are_sorted=True
@@ -309,11 +318,9 @@ def angle_update_init(
             norm=gmlp_norm,
         )
     }
-    if norm == "layer":
-        params["norm"] = {
-            "scale": np.ones(angle_fea_dim, dtype=np.float32),
-            "bias": np.zeros(angle_fea_dim, dtype=np.float32),
-        }
+    ln = norm_init(norm, angle_fea_dim)
+    if ln is not None:
+        params["norm"] = ln
     return params
 
 
@@ -327,6 +334,8 @@ def angle_update_apply(
     activation: str = "silu",
     resnet: bool = True,
     plans: tuple | None = None,  # (bond_i, bond_j, center) GatherPlans
+    dropout: float = 0.0,
+    rng: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Per-angle feature update, no aggregation (``layers.py:321-363``)."""
     p_bi, p_bj, p_c = plans if plans is not None else (None,) * 3
@@ -339,6 +348,8 @@ def angle_update_apply(
             (atom_feas, bond_graph[:, 0], p_c),
         ],
         activation=activation,
+        dropout=dropout,
+        rng=rng,
     )
     if resnet:
         new_angle_feas = new_angle_feas + angle_feas

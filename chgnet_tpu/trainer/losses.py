@@ -124,7 +124,9 @@ class CombinedLoss:
         return out
 
 
-def loss_and_metrics(params, batch, targets, *, config, loss_fn):
+def loss_and_metrics(
+    params, batch, targets, *, config, loss_fn, dropout_rng=None
+):
     """Scalar combined loss + metric dict for one padded batch (shared by
     the single-device and data-parallel train steps)."""
     from chgnet_tpu.models.chgnet import compute_batch
@@ -136,6 +138,7 @@ def loss_and_metrics(params, batch, targets, *, config, loss_fn):
         compute_force="f" in loss_fn.target_str,
         compute_stress="s" in loss_fn.target_str,
         compute_magmom="m" in loss_fn.target_str,
+        dropout_rng=dropout_rng,
     )
     graph_mask = targets.get("graph_mask", jnp.ones_like(prediction["e"]))
     # atoms of masked (filler) graphs must not enter force/magmom losses

@@ -186,6 +186,7 @@ class Trainer:
             scheduler, learning_rate, epochs, dict(scheduler_params)
         )
         self.scheduler_step = 0
+        self._global_step = 0  # drives the per-step dropout rng fold-in
 
         self.criterion = CombinedLoss(
             target_str=self.targets,
@@ -270,12 +271,21 @@ class Trainer:
         config = self.model.config
         loss_fn = self.criterion
         optimizer = self._optimizer
+        use_dropout = (
+            float(config.conv_dropout) > 0 or float(config.mlp_dropout) > 0
+        )
 
         @jax.jit
-        def train_step(params, opt_state, batch, targets):
+        def train_step(params, opt_state, batch, targets, step):
+            rng = (
+                jax.random.fold_in(jax.random.key(0), step)
+                if use_dropout
+                else None
+            )
             grads, metrics = jax.grad(
                 lambda p: loss_and_metrics(
-                    p, batch, targets, config=config, loss_fn=loss_fn
+                    p, batch, targets, config=config, loss_fn=loss_fn,
+                    dropout_rng=rng,
                 ),
                 has_aux=True,
             )(params)
@@ -300,16 +310,18 @@ class Trainer:
         val_loader,
         test_loader=None,
         *,
-        save_dir: str | None = None,
+        save_dir: str | None = "auto",
         save_test_result: bool = False,
         train_composition_model: bool = False,
         wandb_log_freq: LogFreq = "batch",
     ) -> None:
         """Train over padded-batch loaders (same contract as the reference
-        ``train``, ``trainer.py:253-357``)."""
+        ``train``, ``trainer.py:253-357``). ``save_dir`` defaults to a
+        UTC-date directory as in the reference; pass ``None`` to disable
+        checkpoint writing entirely."""
         if self.model is None:
             raise ValueError("Model needs to be initialized")
-        if save_dir is None:
+        if save_dir == "auto":
             save_dir = f"{datetime.datetime.now(tz=datetime.timezone.utc):%m-%d-%Y}"
 
         print(f"Begin Training: using {jax.devices()[0].platform} device")
@@ -334,6 +346,14 @@ class Trainer:
             if "e" in val_mae and val_mae["e"] != val_mae["e"]:
                 print("Exit due to NaN")
                 break
+            if "e" in val_mae and val_mae["e"] == min(
+                self.training_history["e"]["val"]
+            ):
+                # snapshot params (the live model keeps training; an alias
+                # would silently return the latest weights instead)
+                self.best_model_params = jax.tree.map(
+                    np.asarray, self.model.params
+                )
             if save_dir:
                 self.save_checkpoint(epoch, val_mae, save_dir=save_dir)
             if (
@@ -350,7 +370,7 @@ class Trainer:
         if test_loader is not None:
             print("---------Evaluate Model on Test Set---------------")
             best_file = None
-            for file in os.listdir(save_dir):
+            for file in os.listdir(save_dir) if save_dir else ():
                 if file.startswith("bestE_"):
                     best_file = os.path.join(save_dir, file)
             if best_file is not None:
@@ -414,7 +434,8 @@ class Trainer:
         losses = AverageMeter()
         mae_errors = {t: AverageMeter() for t in self.targets}
         if self.mesh is not None:
-            train_step = self._dp_step()
+            dp_step = self._dp_step()
+            train_step = lambda p, o, b, t, step: dp_step(p, o, b, t)  # noqa: E731
             n_batches = len(train_loader) // self.mesh.devices.size
         else:
             train_step, _ = self._steps(
@@ -429,8 +450,10 @@ class Trainer:
         ):
             data_time.update(time.perf_counter() - start)
             params, self.opt_state, metrics = train_step(
-                self.model.params, self.opt_state, batch, targets
+                self.model.params, self.opt_state, batch, targets,
+                np.int32(self._global_step),
             )
+            self._global_step += 1
             self.model.params = params
             loss = float(metrics["loss"])
             losses.update(loss, int(np.sum(targets["graph_mask"])))
@@ -594,11 +617,6 @@ class Trainer:
         self.save(filename=filename)
 
         if mae_error["e"] == min(self.training_history["e"]["val"]):
-            # snapshot params (the live model keeps training; an alias
-            # would silently return the latest weights instead)
-            self.best_model_params = jax.tree.map(
-                np.asarray, self.model.params
-            )
             for fname in os.listdir(save_dir):
                 if fname.startswith("bestE"):
                     os.remove(os.path.join(save_dir, fname))

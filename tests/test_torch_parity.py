@@ -356,6 +356,35 @@ def test_full_model_parity_extensive_readout(ref, li_mn_o2_graph):
     _assert_efsm_close(out_ref, out, 1, atol_scale=8.0)
 
 
+def test_gated_mlp_batch_norm_parity(ref):
+    """gMLP_norm='batch' (eval semantics: running stats) matches torch."""
+    torch.manual_seed(21)
+    m = ref_module("functions").GatedMLP(
+        input_dim=96, output_dim=64, hidden_dim=64, norm="batch"
+    )
+    # give the running stats non-trivial values via a training pass
+    m.train()
+    _ = m(torch.randn(257, 96))
+    m.eval()
+    x = torch.randn(41, 96)
+    want = _np(m(x))
+    params = _take_gated_mlp(_prefixed(m), "x", 64, "batch")
+    got = np.asarray(gated_mlp_apply(params, x.numpy()))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=2e-6)
+    got2 = np.asarray(gated_mlp_gather_apply(params, [(x.numpy(), None)]))
+    np.testing.assert_allclose(got2, want, rtol=1e-5, atol=2e-6)
+
+
+def test_full_model_parity_batch_norm(ref, li_mn_o2_graph):
+    """Full model with gMLP_norm='batch' (eval) converts and matches."""
+    net, ours = _build_pair(ref, seed=5, gMLP_norm="batch")
+    net.eval()
+    tg = make_ref_crystal_graph(li_mn_o2_graph)
+    out_ref = net.forward([tg], task="efsm")
+    out = ours.forward([li_mn_o2_graph], task="efsm")
+    _assert_efsm_close(out_ref, out, 1)
+
+
 def test_site_energies_parity(ref, li_mn_o2_graph):
     net, ours = _build_pair(ref, seed=4)
     tg = make_ref_crystal_graph(li_mn_o2_graph)
