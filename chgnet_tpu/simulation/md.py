@@ -10,8 +10,9 @@ ensemble/thermostat matrix, ``dynamics.py:553-720``):
 
 * ``nve``                — velocity Verlet
 * ``nvt``  + Berendsen / Nose-Hoover
-* ``npt``  + Berendsen (isotropic) / Berendsen_inhomogeneous (per-axis),
-  both on top of a Berendsen or Nose-Hoover thermostat.
+* ``npt``  + Berendsen (isotropic) / Berendsen_inhomogeneous (per-axis) /
+  Nose-Hoover (isotropic MTK) / Nose-Hoover-full a.k.a. Parrinello-Rahman
+  (anisotropic full-cell MTK: shear relaxes too).
 
 Units: fs, eV, Angstrom, amu, K, GPa (see ``simulation/units.py``).
 """
@@ -48,6 +49,8 @@ class MDState(NamedTuple):
     stress: jnp.ndarray  # [B, 3, 3] potential stress, GPa
     zeta: jnp.ndarray  # [B] Nose-Hoover thermostat variable, 1/fs
     eps_dot: jnp.ndarray  # [B] isotropic barostat strain rate, 1/fs (MTK)
+    cell_rate: jnp.ndarray  # [B, 3, 3] full-cell barostat strain-rate
+    # matrix (symmetric, 1/fs) for the anisotropic Parrinello-Rahman NPT
 
 
 class MDParams(NamedTuple):
@@ -93,7 +96,14 @@ def md_chunk(
     n_graphs = batch.n_graphs
     owner = batch.atom_owner
     atom_mask = batch.atom_mask[:, None]
-    nose_hoover = thermostat.lower().startswith("nose")
+    thermo = thermostat.lower()
+    nose_hoover = thermo.startswith("nose") or thermo.startswith("parrinello")
+    # anisotropic Parrinello-Rahman cell dynamics (reference flagship NPT:
+    # ASE NPT with full upper-triangular cell DOF,
+    # /root/reference/chgnet/model/dynamics.py:553-720,754-780)
+    full_cell = nose_hoover and (
+        "full" in thermo or thermo.startswith("parrinello")
+    )
     # Nose-Hoover mass Q = dof * kB * T0 * taut^2  [eV fs^2]
     q_nh = dof * units.KB * md.temperature * md.taut**2
 
@@ -170,6 +180,7 @@ def md_chunk(
             stress=out["s"],
             zeta=zeta,
             eps_dot=state.eps_dot,
+            cell_rate=state.cell_rate,
         )
 
         # --- Berendsen velocity rescale (nvt/npt with Berendsen thermostat)
@@ -185,7 +196,57 @@ def md_chunk(
             temp = 2.0 * ke / jnp.maximum(dof * units.KB, 1e-30)
 
         # --- barostat (npt)
-        if ensemble == "npt" and nose_hoover:
+        if ensemble == "npt" and full_cell:
+            # Full-cell (anisotropic) Nose-Hoover-Parrinello-Rahman / MTK
+            # barostat: the cell strain-rate is a symmetric 3x3 matrix G
+            # driven by the full internal stress tensor, so shear relaxes
+            # too (reference behavior: ASE NPT upper-triangular dynamics,
+            # dynamics.py:553-720,754-780).
+            #   dG/dt = V (P_int - P0 I) / W + (2 KE / Nf) I / W
+            #   cell:  h <- h (I + dt G)        (row-vector lattice)
+            #   vel:   v <- v - dt (G + tr(G)/Nf I) v
+            volume = jnp.abs(jnp.linalg.det(state.lat))
+            eye3 = jnp.eye(3, dtype=state.lat.dtype)
+            # kinetic stress sum(m v v^T) / V, eV/A^3
+            kin_outer = jax.ops.segment_sum(
+                masses[:, None, None]
+                * state.vel[:, :, None]
+                * state.vel[:, None, :],
+                owner,
+                num_segments=n_graphs,
+                indices_are_sorted=True,
+            ) * units.AMU_A2_FS2_TO_EV / volume[:, None, None]
+            # potential stress: state.stress is +dE/dstrain/V (GPa), i.e.
+            # the NEGATIVE of the internal pressure tensor
+            p_int = -state.stress * units.GPA_TO_EV_A3 + kin_outer
+            p_int = 0.5 * (p_int + jnp.swapaxes(p_int, 1, 2))
+            w_baro = (dof + 3.0) * units.KB * md.temperature * md.taup**2
+            drive = volume[:, None, None] * (
+                p_int - md.pressure * units.GPA_TO_EV_A3 * eye3
+            ) + (2.0 * ke / jnp.maximum(dof, 1.0))[:, None, None] * eye3
+            cell_rate = state.cell_rate + dt * drive / jnp.maximum(
+                w_baro, 1e-30
+            )[:, None, None]
+            # bound the per-step deformation for stability
+            cell_rate = jnp.clip(cell_rate, -0.02 / dt, 0.02 / dt)
+            tr_g = jnp.trace(cell_rate, axis1=1, axis2=2)
+            drag = cell_rate + (
+                tr_g / jnp.maximum(dof, 1.0)
+            )[:, None, None] * eye3
+            vel_new = state.vel - dt * jnp.einsum(
+                "nij,nj->ni", drag[owner], state.vel
+            )
+            lat_new = jnp.einsum(
+                "bij,bjk->bik", state.lat, eye3[None] + dt * cell_rate
+            )
+            state = state._replace(
+                cell_rate=cell_rate,
+                vel=vel_new * atom_mask,
+                lat=lat_new,
+            )
+            ke = kinetic_energy(state.vel, masses, owner, n_graphs)
+            temp = 2.0 * ke / jnp.maximum(dof * units.KB, 1e-30)
+        elif ensemble == "npt" and nose_hoover:
             # MTK-style isotropic Nose-Hoover-Parrinello-Rahman barostat:
             # d(eps_dot)/dt = 3 V (P - P0) / W, W = (dof + 3) kB T0 taup^2
             volume = jnp.abs(jnp.linalg.det(state.lat))
@@ -395,6 +456,7 @@ class MolecularDynamics:
             stress=out["s"],
             zeta=jnp.zeros(batch.n_graphs, jnp.float32),
             eps_dot=jnp.zeros(batch.n_graphs, jnp.float32),
+            cell_rate=jnp.zeros((batch.n_graphs, 3, 3), jnp.float32),
         )
 
         self.observers: list[TrajectoryObserver] | None = None

@@ -303,7 +303,9 @@ def _init_lbfgs_state(batch: GraphBatch, lbfgs: LBFGS) -> LbfgsState:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "lbfgs", "n_steps", "relax_cell", "record"),
+    static_argnames=(
+        "config", "lbfgs", "n_steps", "relax_cell", "record", "line_search"
+    ),
 )
 def lbfgs_chunk(
     params,
@@ -317,9 +319,16 @@ def lbfgs_chunk(
     cell_factor: jnp.ndarray,  # [B]
     relax_cell: bool,
     record: bool,
+    line_search: bool = False,
 ):
     """Batched limited-memory BFGS over (positions, scaled strain) DOF;
-    per-graph two-loop recursion with masked circular histories."""
+    per-graph two-loop recursion with masked circular histories.
+
+    ``line_search`` adds a per-graph Armijo backtracking search along the
+    L-BFGS direction (the reference's ``LBFGSLineSearch`` /
+    ``BFGSLineSearch`` variants, ``dynamics.py:46-55``): each step tries
+    shrinking trial factors and keeps the largest that achieves sufficient
+    decrease, at the cost of a few extra energy-only evaluations."""
     n_graphs = batch.n_graphs
     owner = batch.atom_owner
     atom_mask = batch.atom_mask[:, None]
@@ -465,15 +474,54 @@ def lbfgs_chunk(
         scale = jnp.minimum(1.0, lbfgs.maxstep / longest)
         active = scale * jnp.where(converged, 0.0, 1.0)
         dr = dr * active[owner][:, None]
-        d_strain = dr_cell * (active / cell_factor)[:, None, None]
+        dr_cell_active = dr_cell * active[:, None, None]
 
-        deform = jnp.eye(3, dtype=state.lat.dtype)[None] + d_strain
-        lat_new = jnp.einsum("bij,bjk->bik", state.lat, deform)
-        cart = jnp.einsum("ni,nij->nj", state.frac, state.lat[owner]) + dr
-        cart = jnp.einsum("ni,nij->nj", cart, deform[owner])
-        frac_new = jnp.einsum(
-            "ni,nij->nj", cart, jnp.linalg.inv(lat_new)[owner]
-        )
+        def apply_step(alpha_b):
+            """Per-graph step fraction alpha_b [B] along (dr, dr_cell)."""
+            d_strain = (
+                dr_cell_active * (alpha_b / cell_factor)[:, None, None]
+            )
+            deform = jnp.eye(3, dtype=state.lat.dtype)[None] + d_strain
+            lat_n = jnp.einsum("bij,bjk->bik", state.lat, deform)
+            cart = jnp.einsum(
+                "ni,nij->nj", state.frac, state.lat[owner]
+            ) + dr * alpha_b[owner][:, None]
+            cart = jnp.einsum("ni,nij->nj", cart, deform[owner])
+            return (
+                jnp.einsum("ni,nij->nj", cart, jnp.linalg.inv(lat_n)[owner]),
+                lat_n,
+            )
+
+        if line_search:
+            # Armijo backtracking: largest trial factor with sufficient
+            # decrease E(a) <= E0 + c1 a g.d, per graph; fallback = smallest
+            g_dot_d = dot(grad, grad_cell, dr, dr_cell_active)  # [B] (< 0)
+            c1 = 1e-4
+            alpha_sel = jnp.full((n_graphs,), 0.25, e_total.dtype)
+            accepted = jnp.zeros((n_graphs,), bool)
+            for trial in (1.0, 0.5, 0.25):
+                frac_t, lat_t = apply_step(
+                    jnp.full((n_graphs,), trial, e_total.dtype)
+                )
+                out_t = compute_batch_dynamic(
+                    params,
+                    batch._replace(frac_coords=frac_t, lattices=lat_t),
+                    config=config,
+                )
+                n_at = jnp.maximum(out_t["atoms_per_graph"], 1.0)
+                e_t = out_t["e"] * (n_at if config.is_intensive else 1.0)
+                ok = (~accepted) & (
+                    e_t <= e_total + c1 * trial * g_dot_d
+                )
+                alpha_sel = jnp.where(ok, trial, alpha_sel)
+                accepted = accepted | ok
+            frac_new, lat_new = apply_step(alpha_sel)
+            dr = dr * alpha_sel[owner][:, None]
+            dr_cell_active = dr_cell_active * alpha_sel[:, None, None]
+        else:
+            frac_new, lat_new = apply_step(
+                jnp.ones((n_graphs,), e_total.dtype)
+            )
 
         new_state = LbfgsState(
             frac=frac_new,
@@ -486,7 +534,7 @@ def lbfgs_chunk(
             prev_grad=grad,
             prev_grad_cell=grad_cell,
             prev_dr=dr,
-            prev_dr_cell=dr_cell * active[:, None, None],
+            prev_dr_cell=dr_cell_active,
             n_hist=jnp.where(converged, state.n_hist, state.n_hist + 1),
             converged=converged,
         )
@@ -528,16 +576,25 @@ class StructOptimizer:
         import warnings
 
         optimizer_class = optimizer_class or "FIRE"
-        if optimizer_class in {"BFGS", "BFGSLineSearch", "LBFGSLineSearch"}:
+        if optimizer_class == "BFGS":
             warnings.warn(
-                f"{optimizer_class} maps to the batched limited-memory "
-                "BFGS (no line search) in chgnet-tpu"
+                "BFGS maps to the batched limited-memory BFGS in chgnet-tpu"
             )
             optimizer_class = "LBFGS"
-        if optimizer_class not in {"FIRE", "LBFGS", "MDMin"}:
+        elif optimizer_class == "BFGSLineSearch":
+            warnings.warn(
+                "BFGSLineSearch maps to the batched limited-memory BFGS "
+                "with Armijo line search in chgnet-tpu"
+            )
+            optimizer_class = "LBFGSLineSearch"
+        supported = {
+            "FIRE", "LBFGS", "LBFGSLineSearch", "MDMin",
+            "SciPyFminCG", "SciPyFminBFGS",
+        }
+        if optimizer_class not in supported:
             raise NotImplementedError(
                 f"{optimizer_class=}: the TPU-native relaxer implements "
-                "batched FIRE, LBFGS and MDMin"
+                f"{sorted(supported)}"
             )
         self.optimizer_class = optimizer_class
         if model is None:
@@ -584,6 +641,18 @@ class StructOptimizer:
         """
         single = isinstance(atoms, Structure)
         structures = [atoms] if single else list(atoms)
+        if self.optimizer_class.startswith("SciPyFmin"):
+            results = self._relax_scipy(
+                structures,
+                fmax=fmax,
+                steps=steps,
+                relax_cell=relax_cell,
+                save_path=save_path,
+                assign_magmoms=assign_magmoms,
+                skin=skin,
+                verbose=verbose,
+            )
+            return results[0] if single else results
         runtime = GraphRuntime(
             self.model.config,
             structures,
@@ -599,7 +668,7 @@ class StructOptimizer:
                 "unit-cell-filter strain parameterization"
             )
         record = loginterval is not None or crystal_feas_save_path is not None
-        use_lbfgs = self.optimizer_class == "LBFGS"
+        use_lbfgs = self.optimizer_class in {"LBFGS", "LBFGSLineSearch"}
         state = (
             _init_lbfgs_state(runtime.batch, self.lbfgs)
             if use_lbfgs
@@ -631,6 +700,7 @@ class StructOptimizer:
                     cell_factor=cell_factor,
                     relax_cell=relax_cell,
                     record=record,
+                    line_search=self.optimizer_class == "LBFGSLineSearch",
                 )
             else:
                 state, traj = fire_chunk(
@@ -698,6 +768,132 @@ class StructOptimizer:
                 }
             )
         return results[0] if single else results
+
+    def _relax_scipy(
+        self,
+        structures: list[Structure],
+        *,
+        fmax: float,
+        steps: int,
+        relax_cell: bool,
+        save_path: str | None,
+        assign_magmoms: bool,
+        skin: float,
+        verbose: bool,
+    ) -> list[dict]:
+        """SciPyFminCG / SciPyFminBFGS: host-driven ``scipy.optimize``
+        over flattened (cartesian, scaled-strain) DOF, one structure at a
+        time — the reference wraps ASE's SciPy optimizers the same way
+        (``dynamics.py:46-55``)."""
+        from scipy.optimize import minimize
+
+        method = "CG" if self.optimizer_class.endswith("CG") else "BFGS"
+        results = []
+        for s_idx, struct in enumerate(structures):
+            runtime = GraphRuntime(
+                self.model.config,
+                [struct],
+                skin=skin,
+                on_isolated_atoms=self.on_isolated_atoms,
+            )
+            n = len(struct)
+            cell_factor = float(max(n, 1))
+            lat0 = np.asarray(runtime.batch.lattices[0], np.float64)
+            observer = TrajectoryObserver(
+                atomic_numbers=struct.atomic_numbers
+            )
+
+            def unpack(x):
+                cart = x[: 3 * n].reshape(n, 3)
+                strain = (
+                    x[3 * n:].reshape(3, 3) / cell_factor
+                    if relax_cell
+                    else np.zeros((3, 3))
+                )
+                lat = lat0 @ (np.eye(3) + strain)
+                return cart @ np.linalg.inv(lat), lat
+
+            def fun(x):
+                frac, lat = unpack(x)
+                batch = runtime.batch
+                cap = batch.frac_coords.shape[0]
+                frac_pad = np.zeros((cap, 3), np.float32)
+                frac_pad[:n] = frac
+                out = compute_batch_dynamic(
+                    self.model.params,
+                    batch._replace(
+                        frac_coords=jnp.asarray(frac_pad),
+                        lattices=jnp.asarray(lat[None], jnp.float32),
+                    ),
+                    config=self.model.config,
+                    compute_stress=True,
+                    compute_magmom=False,
+                )
+                e = float(out["e"][0]) * (
+                    n if self.model.config.is_intensive else 1.0
+                )
+                forces = np.asarray(out["f"])[:n]
+                grad = [-forces.ravel().astype(np.float64)]
+                if relax_cell:
+                    volume = abs(np.linalg.det(lat))
+                    virial = (
+                        np.asarray(out["s"][0]) * GPA_TO_EV_A3 * volume
+                    )
+                    grad.append(
+                        (virial / cell_factor).ravel().astype(np.float64)
+                    )
+                observer.record(
+                    energy=e,
+                    forces=forces,
+                    stress=voigt_6(np.asarray(out["s"][0])) * GPA_TO_EV_A3,
+                    magmoms=None,
+                    positions=frac @ lat,
+                    cell=lat,
+                )
+                return e, np.concatenate(grad)
+
+            x0 = [
+                (
+                    np.asarray(runtime.batch.frac_coords[:n], np.float64)
+                    @ lat0
+                ).ravel()
+            ]
+            if relax_cell:
+                x0.append(np.zeros(9))
+            res = minimize(
+                fun,
+                np.concatenate(x0),
+                jac=True,
+                method=method,
+                options={"maxiter": steps, "gtol": fmax},
+            )
+            frac, lat = unpack(res.x)
+            final = Structure(
+                lattice=lat,
+                species=[int(z) for z in struct.atomic_numbers],
+                frac_coords=np.mod(frac, 1.0),
+            )
+            if assign_magmoms:
+                pred = self.model.predict_structure(final, task="em")
+                final.site_properties["magmom"] = list(
+                    np.asarray(pred["m"], dtype=float)
+                )
+            if verbose:
+                print(
+                    f"SciPyFmin{method} [{s_idx}]: E = {res.fun:.4f} eV "
+                    f"({res.nit} iterations, success={res.success})"
+                )
+            if save_path is not None:
+                suffix = "" if len(structures) == 1 else f".{s_idx}"
+                observer.save(f"{save_path}{suffix}")
+            results.append(
+                {
+                    "final_structure": final,
+                    "trajectory": observer,
+                    "final_energy": float(res.fun),
+                }
+            )
+        return results
 
     @staticmethod
     def _record(observers, runtime, traj, step_offset, loginterval):

@@ -426,6 +426,82 @@ def test_md_npt_nose_hoover(model, struct):
     assert np.isfinite(np.asarray(md.state.eps_dot)).all()
 
 
+def test_md_npt_full_cell_parrinello_rahman(model, struct):
+    """npt + Nose-Hoover-full: anisotropic Parrinello-Rahman/MTK cell
+    dynamics (reference flagship NPT: ASE NPT with upper-triangular cell
+    DOF, dynamics.py:553-720,754-780). A sheared start must drive an
+    opposing off-diagonal cell strain rate — shear responds, which the
+    isotropic MTK barostat cannot do."""
+    from chgnet_tpu.core.structure import Structure
+
+    lat = struct.lattice.matrix.copy()
+    shear0 = 0.03
+    lat[1, 0] += shear0 * lat[1, 1]
+    sheared = Structure(
+        lattice=lat,
+        species=[int(z) for z in struct.atomic_numbers],
+        frac_coords=struct.frac_coords,
+    )
+    md = MolecularDynamics(
+        sheared,
+        model=model,
+        ensemble="npt",
+        thermostat="Nose-Hoover-full",
+        temperature=20.0,
+        starting_temperature=20.0,
+        timestep=1.0,
+        taut=50.0,
+        taup=100.0,
+        pressure=0.0,
+        bulk_modulus=100.0,
+        seed=0,
+    )
+    s_init = np.asarray(md.state.stress[0])
+    sxy0 = s_init[0, 1]
+    assert abs(sxy0) > 1e-3  # the sheared cell carries shear stress
+    # few steps: the stress drive dominates the fresh barostat momentum,
+    # so the xy strain rate must oppose the internal xy shear stress
+    # (p_int_xy = -s_xy drives G_xy)
+    md.run(3)
+    rate = np.asarray(md.state.cell_rate[0])
+    assert np.isfinite(rate).all()
+    assert abs(rate[0, 1]) > 1e-9
+    assert np.sign(rate[0, 1]) == -np.sign(sxy0)
+    md.run(27)
+    rate = np.asarray(md.state.cell_rate[0])
+    assert np.isfinite(rate).all()
+    assert np.isfinite(md.get_temperature())
+    # anisotropic: off-diagonal cell DOF engaged, diagonals differ
+    assert abs(rate[0, 1]) > 1e-9
+    assert not np.allclose(rate[0, 0], rate[1, 1], rtol=1e-3)
+    # volume stays sane over this short window
+    v_ratio = abs(np.linalg.det(np.asarray(md.state.lat[0]))) / abs(
+        np.linalg.det(lat)
+    )
+    assert 0.5 < v_ratio < 2.0
+
+    # the isotropic MTK barostat keeps the cell shape fixed (control)
+    md_iso = MolecularDynamics(
+        sheared,
+        model=model,
+        ensemble="npt",
+        thermostat="Nose-Hoover",
+        temperature=20.0,
+        starting_temperature=20.0,
+        timestep=1.0,
+        taut=50.0,
+        taup=100.0,
+        pressure=0.0,
+        bulk_modulus=100.0,
+        seed=0,
+    )
+    md_iso.run(10)
+    lat_iso = np.asarray(md_iso.state.lat[0])
+    np.testing.assert_allclose(
+        lat_iso[1, 0] / lat_iso[1, 1], shear0, rtol=1e-4
+    )
+
+
 def test_relax_lbfgs(model, struct):
     """optimizer_class='LBFGS': batched limited-memory BFGS descends and
     respects the reference optimizer-name aliases."""
@@ -443,7 +519,47 @@ def test_relax_lbfgs(model, struct):
     with pytest.warns(UserWarning, match="maps to"):
         StructOptimizer(model=model, optimizer_class="BFGS")
     with pytest.raises(NotImplementedError):
-        StructOptimizer(model=model, optimizer_class="SciPyFminCG")
+        StructOptimizer(model=model, optimizer_class="NoSuchOptimizer")
+
+
+def test_relax_lbfgs_line_search(model, struct):
+    """LBFGSLineSearch: Armijo backtracking along the L-BFGS direction
+    (reference variant, dynamics.py:46-55); BFGSLineSearch aliases it."""
+    relaxer = StructOptimizer(
+        model=model, optimizer_class="LBFGSLineSearch"
+    )
+    result = relaxer.relax(
+        struct.perturb(0.1, seed=0), relax_cell=True, fmax=0.02, steps=60,
+        assign_magmoms=False,
+    )
+    traj = result["trajectory"]
+    assert traj.energies[-1] < traj.energies[0]
+
+    with pytest.warns(UserWarning, match="line search"):
+        aliased = StructOptimizer(
+            model=model, optimizer_class="BFGSLineSearch"
+        )
+    assert aliased.optimizer_class == "LBFGSLineSearch"
+
+
+@pytest.mark.parametrize("opt", ["SciPyFminCG", "SciPyFminBFGS"])
+def test_relax_scipy(model, struct, opt, tmp_path):
+    """SciPy host optimizers over flattened DOF (reference wraps ASE's
+    SciPy optimizers the same way)."""
+    relaxer = StructOptimizer(model=model, optimizer_class=opt)
+    result = relaxer.relax(
+        struct.perturb(0.1, seed=0),
+        relax_cell=True,
+        fmax=0.02,
+        steps=80,
+        assign_magmoms=True,
+        save_path=str(tmp_path / "scipy_traj.pkl"),
+    )
+    traj = result["trajectory"]
+    assert traj.energies[-1] <= traj.energies[0]
+    assert np.isfinite(result["final_energy"])
+    assert "magmom" in result["final_structure"].site_properties
+    assert (tmp_path / "scipy_traj.pkl").exists()
 
 
 def test_relax_lbfgs_cell_batched(model, struct):
