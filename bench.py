@@ -25,6 +25,45 @@ import numpy as np
 
 BASELINE_EDGES_PER_S = 1.0e6
 
+# Effective HBM bandwidth bound for roofline accounting. Through the dev
+# environment's device tunnel we measure ~37 GB/s on large streaming
+# gathers (far below v5e spec, which would be ~819 GB/s); override with
+# CHGNET_TPU_HBM_GBPS on real hardware.
+HBM_GBPS = float(__import__("os").environ.get("CHGNET_TPU_HBM_GBPS", 37.0))
+
+
+def roofline_bytes(batch, config) -> int:
+    """Approximate LOWER BOUND on HBM bytes moved per E+F+S+M iteration.
+
+    Counts each hot feature stream once per touch (gather read + message
+    write + segment-sum read/write) across the conv stack, forward plus
+    ~2x for the backward (grad-of-gather = gather + sorted segment-sum,
+    see ops/scatter.py), at the configured stream dtype. Fused/elementwise
+    traffic, basis tables and weight tensors are ignored, so the model
+    understates true traffic: achieved_gbps computed against it is a
+    floor on the real bandwidth utilisation.
+    """
+    import numpy as np  # local: keep module import light
+
+    n_atoms = int(batch.atomic_numbers.shape[0])
+    n_dir = int(batch.atom_graph.shape[0])
+    n_und = int(batch.undirected2directed.shape[0])
+    n_ang = int(batch.bond_graph.shape[0])
+    d = int(config.atom_fea_dim)
+    s = 2 if config.compute_dtype == "bfloat16" else 4
+    n_conv = int(config.n_conv)
+
+    # AtomConv (n_conv layers): center + neighbor gathers [E,d], message
+    # write [E,d], segment-sum read [E,d] -> write [N,d]
+    atom_conv = n_conv * (2 * n_dir * d + 2 * n_dir * d + n_atoms * d)
+    # BondConv (n_conv-1): 3 gathers over angle rows [A,d] + update write
+    # + segment-sum into bonds [U,d]
+    bond_conv = (n_conv - 1) * (4 * n_ang * d + n_und * d)
+    # AngleUpdate (n_conv-1): 3 gathers + write, all [A,d]
+    angle_upd = (n_conv - 1) * 4 * n_ang * d
+    fwd = (atom_conv + bond_conv + angle_upd) * s
+    return int(fwd * 3)  # forward + ~2x backward
+
 
 def main() -> None:
     from chgnet_tpu import ROOT
@@ -93,11 +132,21 @@ def main() -> None:
         best = min(best, time.perf_counter() - start)
 
     edges_per_s = n_edges * n_iters / best
+    # roofline: achieved HBM GB/s against the measured effective bound
+    # (makes the "speed-of-light" target falsifiable; see roofline_bytes)
+    bytes_per_iter = roofline_bytes(batch, model.config)
+    achieved_gbps = bytes_per_iter * n_iters / best / 1e9
     result = {
         "metric": "edges/s per chip (batched graphs, E+F+S+M inference)",
         "value": round(edges_per_s, 1),
         "unit": "directed edges/s",
         "vs_baseline": round(edges_per_s / BASELINE_EDGES_PER_S, 4),
+        "roofline": {
+            "stream_bytes_per_iter": bytes_per_iter,
+            "achieved_gbps_floor": round(achieved_gbps, 2),
+            "hbm_bound_gbps": HBM_GBPS,
+            "fraction_of_bound": round(achieved_gbps / HBM_GBPS, 3),
+        },
     }
     print(json.dumps(result))
 

@@ -16,6 +16,7 @@ it as a numerical oracle, nothing more.
 from __future__ import annotations
 
 import importlib.util
+import os
 import sys
 import types
 
@@ -34,6 +35,10 @@ def _load(name: str, path: str) -> types.ModuleType:
 
 def load_reference() -> types.ModuleType:
     """Return the reference ``chgnet.model.model`` module (cached)."""
+    if not os.path.isdir(REF):  # CI / user machines: no reference mount
+        import pytest
+
+        pytest.skip("reference torch implementation not available")
     if "model" in _cache:
         return _cache["model"]
 
