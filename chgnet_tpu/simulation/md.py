@@ -97,7 +97,12 @@ def md_chunk(
     owner = batch.atom_owner
     atom_mask = batch.atom_mask[:, None]
     thermo = thermostat.lower()
-    nose_hoover = thermo.startswith("nose") or thermo.startswith("parrinello")
+    # NVE is plain velocity Verlet: the thermostat argument is inert there
+    # (reference behavior: ensemble="nve" -> VelocityVerlet regardless,
+    # dynamics.py:553-575)
+    nose_hoover = ensemble in ("nvt", "npt") and (
+        thermo.startswith("nose") or thermo.startswith("parrinello")
+    )
     # anisotropic Parrinello-Rahman cell dynamics (reference flagship NPT:
     # ASE NPT with full upper-triangular cell DOF,
     # /root/reference/chgnet/model/dynamics.py:553-720,754-780)
