@@ -510,7 +510,12 @@ def compute_batch_sharded(
         # undeformed local cartesians are the differentiation variable,
         # exactly like compute_batch (model.py:517-535 semantics)
         cart0 = jnp.einsum("ni,nij->nj", frac, sb.lattices[sb.atom_owner])
-        strains0 = strains
+        # pvary: strains arrive replicated; each device differentiates
+        # its OWN partial energy wrt them, so the cotangent must stay
+        # per-device (the virial psum below does the cross-device sum).
+        # Without this, check_vma's transpose inserts an extra psum and
+        # the stress comes out D-fold inflated.
+        strains0 = jax.lax.pvary(strains, (axis,))
         out = {}
         if compute_force or compute_stress:
             argnums = (0, 1) if compute_stress else (0,)
@@ -573,7 +578,7 @@ def compute_batch_sharded(
         mesh=mesh,
         in_specs=(P(), sharded_spec, P(axis), P()),
         out_specs=out_specs,
-        check_vma=False,
+        check_vma=True,
     )
     strains0 = jnp.zeros((n_graphs, 3, 3), jnp.float32)
     return fn(
@@ -1141,7 +1146,12 @@ def compute_batch_sharded_halo(
 
         frac = frac_l[0]
         cart0 = jnp.einsum("ni,nij->nj", frac, sb.lattices[sb.atom_owner])
-        strains0 = strains
+        # pvary: strains arrive replicated; each device differentiates
+        # its OWN partial energy wrt them, so the cotangent must stay
+        # per-device (the virial psum below does the cross-device sum).
+        # Without this, check_vma's transpose inserts an extra psum and
+        # the stress comes out D-fold inflated.
+        strains0 = jax.lax.pvary(strains, (axis,))
         out = {}
         if compute_force or compute_stress:
             argnums = (0, 1) if compute_stress else (0,)
@@ -1200,7 +1210,7 @@ def compute_batch_sharded_halo(
         mesh=mesh,
         in_specs=(P(), sharded_spec, halo_spec, P(axis), P()),
         out_specs=out_specs,
-        check_vma=False,
+        check_vma=True,
     )
     strains0 = jnp.zeros((n_graphs, 3, 3), jnp.float32)
     return fn(
