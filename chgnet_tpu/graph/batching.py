@@ -28,6 +28,7 @@ import numpy as np
 
 from chgnet_tpu.graph.crystalgraph import CrystalGraph
 from chgnet_tpu.ops.scatter import GatherPlan, make_plan
+from chgnet_tpu.ops.stream_ops import C as _STREAM_CHUNK
 
 _NO_PLAN = GatherPlan(np.zeros(0, np.int32), np.zeros(0, np.int32))
 
@@ -70,6 +71,10 @@ class GraphBatch(NamedTuple):
     plan_ang_vj: GatherPlan = _NO_PLAN  # bond_graph[:, 4] -> edge stream
     plan_ang_c: GatherPlan = _NO_PLAN  # bond_graph[:, 0] -> atom table
     plan_ang_bj: GatherPlan = _NO_PLAN  # bond_graph[:, 3] -> bond table
+    # forward-scatter plans (sorted by construction): dst equals
+    # edge_scatter / angle_scatter, block plans feed the streaming kernel
+    plan_center: GatherPlan = _NO_PLAN  # atom_graph[:, 0]; dst == edge_scatter
+    plan_ang_bi: GatherPlan = _NO_PLAN  # bond_graph[:, 1]; dst == angle_scatter
 
     @property
     def n_graphs(self) -> int:
@@ -124,6 +129,13 @@ def batch_graphs(
         cap_a = round_up(max(tot_angles, 1))
     else:
         cap_n, cap_e, cap_a = tot_atoms, tot_edges, max(tot_angles, 1)
+    if capacities is not None or bucket:
+        # align stream capacities to the streaming-kernel chunk size so
+        # the E/U/A streams are Pallas-eligible (ops/stream_ops.py):
+        # E and A multiples of 2C keep U = E/2 and A on the C grid
+        chunk = 2 * _STREAM_CHUNK
+        cap_e = -(-cap_e // chunk) * chunk
+        cap_a = -(-cap_a // chunk) * chunk
     cap_e += cap_e % 2  # keep U = E / 2 exact
     cap_u = cap_e // 2
     if cap_n < tot_atoms or cap_e < tot_edges or cap_a < tot_angles:
@@ -251,5 +263,11 @@ def batch_graphs(
         plan_ang_vj=make_plan(bond_graph[:, 4], a_valid, cap_e),
         plan_ang_c=make_plan(bond_graph[:, 0], a_valid, cap_n),
         plan_ang_bj=make_plan(bond_graph[:, 3], a_valid, cap_u),
+        plan_center=make_plan(
+            atom_graph[:, 0], e_valid, cap_n, assume_sorted=True
+        ),
+        plan_ang_bi=make_plan(
+            bond_graph[:, 1], a_valid, cap_u, assume_sorted=True
+        ),
         **dense,
     )

@@ -266,8 +266,16 @@ def _energy_core(
         from chgnet_tpu.ops.scatter import GatherPlan
 
         _empty = np.zeros(0, np.int32)
-        p_center = GatherPlan(_empty, batch.edge_scatter)
-        p_ang_bi = GatherPlan(_empty, batch.angle_scatter)
+        p_center = (
+            batch.plan_center
+            if batch.plan_center.dst.shape[0] > 0
+            else GatherPlan(_empty, batch.edge_scatter)
+        )
+        p_ang_bi = (
+            batch.plan_ang_bi
+            if batch.plan_ang_bi.dst.shape[0] > 0
+            else GatherPlan(_empty, batch.angle_scatter)
+        )
         atom_plans = (p_center, batch.plan_d2u, batch.plan_nbr)
         bond_plans = (p_ang_bi, batch.plan_ang_bj, batch.plan_ang_c)
         p_nbr, p_u2d = batch.plan_nbr, batch.plan_u2d
@@ -277,9 +285,18 @@ def _energy_core(
         p_center = p_nbr = p_u2d = p_ang_vi = p_ang_vj = None
 
     # bond vectors: center - (neighbor + image @ lattice)   (encoders.py:98-102)
+    # The per-edge lattice rows go through a one-hot matmul instead of
+    # lat[edge_owner]: the gather's transpose is a [E,3,3] -> [B,3,3]
+    # scatter that runs at ~3/128 lane utilization on TPU (measured 34 ms
+    # per E+F iteration at 650k edges), while the matmul transpose is a
+    # [B,9] x [9,E]-shaped MXU contraction (sub-ms).
+    owner_onehot = (
+        batch.edge_owner[:, None] == jnp.arange(n_graphs)[None, :]
+    ).astype(cart.dtype)
+    lat_edges = (owner_onehot @ lat.reshape(n_graphs, 9)).reshape(-1, 3, 3)
     center_pos = plan_gather(pos, batch.atom_graph[:, 0], p_center)
     nbr_pos = plan_gather(pos, batch.atom_graph[:, 1], p_nbr) + jnp.einsum(
-        "ei,eij->ej", batch.images, lat[batch.edge_owner]
+        "ei,eij->ej", batch.images, lat_edges
     )
     vec = center_pos - nbr_pos
     dist = jnp.linalg.norm(vec, axis=1)  # padded edges: |a| > 0, finite grads
@@ -300,10 +317,17 @@ def _energy_core(
         cfg.cutoff_coeff,
     )
 
-    # angle basis from directed unit bond vectors (encoders.py:133-146)
-    vec_i = plan_gather(unit, batch.bond_graph[:, 2], p_ang_vi)
-    vec_j = plan_gather(unit, batch.bond_graph[:, 4], p_ang_vj)
-    cos_ij = jnp.sum(vec_i * vec_j, axis=1) * (1 - 1e-6)
+    # angle basis from directed unit bond vectors (encoders.py:133-146).
+    # Componentwise (structure-of-arrays): gathering [A,3] vectors makes
+    # the backward a 3-lane-wide [A,3] -> [E,3] scatter (T(4,128) layout,
+    # 3/128 lanes busy — measured 2 x 35 ms per E+F iteration at 800k
+    # angle rows). Per-component 1-D gathers transpose to full-lane 1-D
+    # sorted segment sums instead.
+    cos_ij = sum(
+        plan_gather(unit[:, c], batch.bond_graph[:, 2], p_ang_vi)
+        * plan_gather(unit[:, c], batch.bond_graph[:, 4], p_ang_vj)
+        for c in range(3)
+    ) * (1 - 1e-6)
     angles = jnp.arccos(cos_ij)
     angle_bases = basis.fourier(angles, params["angle_basis"]["freq"])
 

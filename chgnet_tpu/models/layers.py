@@ -36,7 +36,7 @@ from chgnet_tpu.models.functions import (
     segment_mean,
     segment_sum,
 )
-from chgnet_tpu.ops.scatter import plan_gather
+from chgnet_tpu.ops.scatter import plan_gather, plan_segment_sum
 
 
 # ------------------------------------------------------------------ AtomConv
@@ -123,8 +123,8 @@ def atom_conv_apply(
         messages = messages * weights_e
         messages = messages * edge_mask[:, None]
 
-    new_atom_feas = segment_sum(
-        messages, edge_scatter, atom_feas.shape[0], indices_are_sorted=True
+    new_atom_feas = plan_segment_sum(
+        messages, edge_scatter, atom_feas.shape[0], p_center
     )
     if "mlp_out" in params:
         new_atom_feas = mlp_apply(params["mlp_out"], new_atom_feas)
@@ -285,8 +285,8 @@ def bond_conv_apply(
             gmlp, parts, activation=activation, dropout=dropout, rng=rng
         )
         update = update * weights_a * angle_mask[:, None]
-    new_bond_feas = segment_sum(
-        update, angle_scatter, bond_feas.shape[0], indices_are_sorted=True
+    new_bond_feas = plan_segment_sum(
+        update, angle_scatter, bond_feas.shape[0], p_bi
     )
     if "mlp_out" in params:
         new_bond_feas = mlp_apply(params["mlp_out"], new_bond_feas)

@@ -1,23 +1,31 @@
-"""Gathers with sorted-scatter backward plans.
+"""Gathers and segment sums with host-precomputed streaming plans.
 
 The hot loop gathers rows from small tables into long edge/angle streams
-(``layers.py``, ``chgnet.py:_energy_core``). Under ``jax.grad`` each gather
-transposes to a scatter-add with the SAME index array — and for the
-neighbor / bond-j / d2u streams those indices are unsorted, which on TPU
-lowers to a serialized random-RMW scatter that dominates the E+F+S+M
-backward (the reference hits the same wall through torch ``index_add_``,
+(``layers.py``, ``chgnet.py:_energy_core``) and scatter-sums them back.
+Under ``jax.grad`` each gather transposes to a scatter-add with the SAME
+index array. XLA's TPU gather/scatter emitter runs row-at-a-time (~12-15
+GB/s physical, two orders below HBM), so both directions need structure
+(the reference hits the same wall through torch ``index_add_``,
 ``/root/reference/chgnet/model/functions.py:10-40``).
 
-Indices are host-built constants per batch, so the fix is free at trace
-time: precompute, per index stream, the stable permutation that sorts it.
-The custom-VJP gather then backpropagates as
+Indices are host-built constants per batch, so the structure is free at
+trace time. Each stream carries a :class:`GatherPlan`:
 
-    dtable = segment_sum(ct[perm], idx_sorted, N, indices_are_sorted=True)
-
-i.e. one bandwidth-bound permutation gather plus one SORTED segment sum —
-no random scatter anywhere. Padded rows keep the sorted invariant by
-mapping to ``num_segments`` (dropped by XLA's out-of-bounds scatter
-semantics), and their cotangents are exactly zero anyway (masked tails).
+* ``perm``/``dst`` — the stable permutation sorting the stream by
+  destination id and the sorted ids (padding mapped >= ``num_segments``).
+  The backward then runs as a permutation gather + SORTED segment sum —
+  no random scatter anywhere.
+* ``blk_lo``/``blk_cnt`` — a block plan for the Pallas streaming
+  segment-sum kernel (``ops/stream_ops.py``): per output block, the input
+  chunk range to stream through one-hot MXU reductions. On TPU this
+  replaces the XLA scatter emitter entirely.
+* ``raw`` — when the UNSORTED stream is block-local (destinations of a
+  contiguous stream segment land in few output blocks — true for
+  center/neighbor/d2u/angle-center streams because edges and angles are
+  graph- and center-sorted), the kernel consumes the raw stream directly
+  and the block plan covers the per-block chunk RANGE. This skips the
+  backward permutation gather too. ``raw`` non-empty selects this mode;
+  off-TPU the ``perm`` fallback keeps bit-identical CPU numerics.
 
 ``GatherPlan`` rides inside ``GraphBatch`` (see ``graph/batching.py``).
 """
@@ -31,21 +39,31 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from chgnet_tpu.ops import stream_ops
+
 
 class GatherPlan(NamedTuple):
-    """Backward plan for one gather stream (host-precomputed).
+    """Backward/streaming plan for one index stream (host-precomputed).
 
-    ``perm`` stably sorts the stream by destination id; ``dst`` is the
-    sorted destination ids with padding mapped out-of-range (dropped).
-    ``perm.shape == (0,)`` means the stream is already sorted and only
-    ``dst`` is needed (identity permutation).
+    ``perm.shape == (0,)`` means the stream is sorted by construction and
+    ``dst`` is the key stream itself. ``blk_lo/blk_cnt`` empty disables
+    the streaming kernel. ``raw`` non-empty holds the unsorted key stream
+    and marks the block plan as covering it (block-local mode).
     """
 
     perm: np.ndarray  # i32 [L] or [0]
-    dst: np.ndarray  # i32 [L]
+    dst: np.ndarray  # i32 [L] sorted keys (padding >= num_segments)
+    blk_lo: np.ndarray = np.zeros(0, np.int32)  # i32 [n_blocks] or [0]
+    blk_cnt: np.ndarray = np.zeros(0, np.int32)  # i32 [n_blocks] or [0]
+    raw: np.ndarray = np.zeros(0, np.int32)  # i32 [L] or [0]
 
 
 _EMPTY = np.zeros(0, np.int32)
+
+# accept the block-local plan when its chunk-visit total is within this
+# factor of the minimum sequential pass (it removes a whole permutation
+# gather from the backward, so a modest over-read still wins)
+_LOCAL_VISIT_FACTOR = 3.0
 
 
 def make_plan(
@@ -58,72 +76,115 @@ def make_plan(
     """Build a GatherPlan for stream ``idx`` with validity mask ``valid``.
 
     ``assume_sorted`` marks streams sorted BY CONSTRUCTION (identity
-    permutation, checked); other streams always carry a full permutation so
-    plan shapes are data-independent (stable jit caches / DP stacking).
+    permutation, checked); other streams always carry a full permutation
+    so CPU-fallback numerics and plan shapes stay stable. Block plans are
+    attached whenever the stream length is kernel-aligned
+    (``L % stream_ops.C == 0``).
     """
     idx = np.asarray(idx)
-    key = np.where(valid, idx, num_segments)
+    key = np.where(valid, idx, num_segments).astype(np.int32)
+    aligned = key.shape[0] > 0 and key.shape[0] % stream_ops.C == 0
     if assume_sorted:
         if not bool((np.diff(key) >= 0).all()):
             raise ValueError("assume_sorted plan over an unsorted stream")
-        return GatherPlan(perm=_EMPTY, dst=key.astype(np.int32))
-    perm = np.argsort(key, kind="stable")
-    return GatherPlan(
-        perm=perm.astype(np.int32), dst=key[perm].astype(np.int32)
+        if not aligned:
+            return GatherPlan(perm=_EMPTY, dst=key)
+        blk_lo, blk_cnt = stream_ops.build_block_plan(key, num_segments)
+        return GatherPlan(perm=_EMPTY, dst=key, blk_lo=blk_lo, blk_cnt=blk_cnt)
+    perm = np.argsort(key, kind="stable").astype(np.int32)
+    dst = key[perm]
+    if not aligned:
+        return GatherPlan(perm=perm, dst=dst)
+    lo_l, cnt_l, visits = stream_ops.build_block_plan_local(
+        key, perm, num_segments
     )
+    min_chunks = max(int(np.count_nonzero(key < num_segments)) // stream_ops.C, 1)
+    if visits <= max(_LOCAL_VISIT_FACTOR * min_chunks, min_chunks + 16):
+        return GatherPlan(
+            perm=perm, dst=dst, blk_lo=lo_l, blk_cnt=cnt_l, raw=key
+        )
+    blk_lo, blk_cnt = stream_ops.build_block_plan(dst, num_segments)
+    return GatherPlan(perm=perm, dst=dst, blk_lo=blk_lo, blk_cnt=blk_cnt)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _gather_perm(table, idx, perm, dst, num_segments):
-    return table[idx]
+def _stream_eligible(x, plan_blk_lo, n_out: int) -> bool:
+    return stream_ops.stream_segsum_ok(x, plan_blk_lo, n_out)
 
 
-def _gather_perm_fwd(table, idx, perm, dst, num_segments):
-    return table[idx], (idx, perm, dst)
-
-
-def _gather_perm_bwd(num_segments, res, ct):
-    idx, perm, dst = res
-    dtable = jax.ops.segment_sum(
-        ct[perm], dst, num_segments, indices_are_sorted=True
-    )
-    return (dtable, None, None, None)
-
-
-_gather_perm.defvjp(_gather_perm_fwd, _gather_perm_bwd)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _gather_sorted(table, idx, dst, num_segments):
-    return table[idx]
-
-
-def _gather_sorted_fwd(table, idx, dst, num_segments):
-    return table[idx], (idx, dst)
-
-
-def _gather_sorted_bwd(num_segments, res, ct):
-    idx, dst = res
-    dtable = jax.ops.segment_sum(
+def _planned_segsum(ct, perm, dst, blk_lo, blk_cnt, raw, num_segments):
+    """Segment-sum of stream cotangents into ``num_segments`` rows,
+    picking the fastest correct path for this plan at trace time."""
+    if raw.shape[0] > 0 and _stream_eligible(ct, blk_lo, num_segments):
+        return stream_ops.segment_sum_sorted(
+            ct, raw, blk_lo, blk_cnt, num_segments
+        )
+    if perm.shape[0] > 0:
+        ct = ct[perm]
+    if raw.shape[0] == 0 and _stream_eligible(ct, blk_lo, num_segments):
+        return stream_ops.segment_sum_sorted(
+            ct, dst, blk_lo, blk_cnt, num_segments
+        )
+    return jax.ops.segment_sum(
         ct, dst, num_segments, indices_are_sorted=True
     )
-    return (dtable, None, None)
 
 
-_gather_sorted.defvjp(_gather_sorted_fwd, _gather_sorted_bwd)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _gather_planned(table, idx, perm, dst, blk_lo, blk_cnt, raw, num_segments):
+    return table[idx]
+
+
+def _gather_planned_fwd(table, idx, perm, dst, blk_lo, blk_cnt, raw, num_segments):
+    return table[idx], (perm, dst, blk_lo, blk_cnt, raw)
+
+
+def _gather_planned_bwd(num_segments, res, ct):
+    perm, dst, blk_lo, blk_cnt, raw = res
+    dtable = _planned_segsum(ct, perm, dst, blk_lo, blk_cnt, raw, num_segments)
+    return (dtable, None, None, None, None, None, None)
+
+
+_gather_planned.defvjp(_gather_planned_fwd, _gather_planned_bwd)
 
 
 def plan_gather(
     table: jnp.ndarray, idx: jnp.ndarray, plan: GatherPlan | None
 ) -> jnp.ndarray:
-    """``table[idx]`` whose backward is a sorted segment sum per ``plan``.
+    """``table[idx]`` whose backward follows ``plan`` (sorted segment sum,
+    or the Pallas streaming kernel when the plan carries a block plan).
 
     ``plan=None`` (or an empty plan) falls back to the plain gather with
     XLA's default scatter-add transpose.
     """
     if plan is None or plan.dst.shape[0] == 0:
         return table[idx]
-    n = table.shape[0]
-    if plan.perm.shape[0] == 0:
-        return _gather_sorted(table, idx, plan.dst, n)
-    return _gather_perm(table, idx, plan.perm, plan.dst, n)
+    return _gather_planned(
+        table, idx, plan.perm, plan.dst, plan.blk_lo, plan.blk_cnt,
+        plan.raw, table.shape[0],
+    )
+
+
+# ------------------------------------------------------- forward scatters
+def plan_segment_sum(
+    data: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    plan: GatherPlan | None,
+) -> jnp.ndarray:
+    """Sorted scatter-sum of ``data`` by ``segment_ids`` (padding mapped to
+    ``num_segments``, dropped), through the streaming kernel when ``plan``
+    carries an aligned sorted block plan. ``plan.dst`` must equal
+    ``segment_ids`` (it does for the center/bond-i scatter plans built in
+    ``graph/batching.py``)."""
+    if (
+        plan is not None
+        and plan.perm.shape[0] == 0
+        and plan.raw.shape[0] == 0
+        and _stream_eligible(data, plan.blk_lo, num_segments)
+    ):
+        return stream_ops.segment_sum_sorted(
+            data, plan.dst, plan.blk_lo, plan.blk_cnt, num_segments
+        )
+    return jax.ops.segment_sum(
+        data, segment_ids, num_segments, indices_are_sorted=True
+    )

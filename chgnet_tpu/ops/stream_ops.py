@@ -1,0 +1,276 @@
+"""Streaming Pallas kernels for SORTED gather/segment-sum streams.
+
+XLA's TPU gather/scatter emitter processes ~one row per step (~15 ns/row
+measured on v5e: a [808k,128] bf16 sorted segment-sum runs at ~12 GB/s
+physical, two orders below HBM). But every hot scatter in this model is a
+SORTED segment sum (``ops/scatter.py`` plans guarantee it), and a sorted
+stream needs no scatter at all: input rows for each output block form a
+contiguous range. The kernel streams input chunks HBM->VMEM with
+double-buffered DMA and reduces each chunk with a one-hot MXU matmul
+
+    acc[BO, d] += (iota[BO,1] == dst[1,C]) @ x[C, d]
+
+so the whole op is sequential DMA + a few matmul FLOPs — no per-row
+control flow anywhere. Out-of-block and padding rows (dst out of range)
+match no one-hot row and drop out for free, which also makes the
+chunk-alignment overlap at stream tails self-masking.
+
+The reference hits the same wall through torch ``index_add_``
+(``/root/reference/chgnet/model/functions.py:10-40``); this kernel is the
+TPU-native answer.
+
+Host-side: ``build_block_plan`` precomputes, per output block, the first
+input chunk and chunk count (numpy searchsorted over the sorted dst ids —
+the ids are host-built batch constants, so this is free at trace time).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import os
+
+C = int(os.environ.get("CHGNET_TPU_STREAM_C", 512))  # input chunk rows per DMA
+BO = int(os.environ.get("CHGNET_TPU_STREAM_BO", 512))  # output block rows per grid step
+
+
+def tpu_backend() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover - backend probing
+        return False
+
+
+def build_block_plan(
+    dst: np.ndarray, n_out: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per output block of ``BO`` rows: first input chunk start (multiple
+    of ``C``) and number of ``C``-chunks overlapping the block's input
+    range. ``dst`` must be sorted with padding mapped >= ``n_out``
+    (the padded tail is excluded from every block's range)."""
+    dst = np.asarray(dst)
+    n_blocks = -(-n_out // BO)
+    edges = np.minimum(np.arange(n_blocks + 1) * BO, n_out)
+    bounds = np.searchsorted(dst, edges, side="left")
+    starts, ends = bounds[:-1], bounds[1:]
+    chunk_lo = (starts // C) * C
+    n_chunks = np.where(ends > starts, -(-(ends - chunk_lo) // C), 0)
+    return chunk_lo.astype(np.int32), n_chunks.astype(np.int32)
+
+
+def build_block_plan_local(
+    key: np.ndarray,  # [L] UNSORTED destination ids, padding >= n_out
+    perm: np.ndarray,  # [L] stable argsort of key (reused from GatherPlan)
+    n_out: int,
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Block plan over an UNSORTED destination stream.
+
+    For each output block, covers the contiguous chunk RANGE
+    [min row, max row] whose rows land in the block — correct for any
+    order (the kernel's one-hot match drops out-of-block rows for free),
+    and cheap when the stream is block-local (graph-sorted batches are:
+    rows targeting one output block come from a few graphs' contiguous
+    stream segments). Returns ``(chunk_lo, n_chunks, total_visits)`` so
+    the caller can cost it against the sorted-permutation path.
+    """
+    key = np.asarray(key)
+    n_blocks = -(-n_out // BO)
+    key_sorted = key[perm]
+    n_valid = int(np.searchsorted(key_sorted, n_out, side="left"))
+    edges = np.minimum(np.arange(n_blocks + 1) * BO, n_out)
+    bounds = np.searchsorted(key_sorted, edges, side="left")
+    starts, ends = bounds[:-1], np.minimum(bounds[1:], n_valid)
+    chunk_lo = np.zeros(n_blocks, np.int64)
+    n_chunks = np.zeros(n_blocks, np.int64)
+    nonempty = ends > starts
+    if nonempty.any():
+        pv = perm[:n_valid]
+        # min/max original row per block via reduceat over the sorted view
+        s = starts[nonempty]
+        lo_rows = np.minimum.reduceat(pv, s)
+        hi_rows = np.maximum.reduceat(pv, s)
+        # reduceat segments run to the next start (or array end): trim
+        # each to its own block by re-reducing is unnecessary — starts of
+        # CONSECUTIVE nonempty blocks partition pv exactly, and the final
+        # segment ends at n_valid by construction of pv.
+        chunk_lo[nonempty] = (lo_rows // C) * C
+        n_chunks[nonempty] = -(-(hi_rows + 1 - chunk_lo[nonempty]) // C)
+    return (
+        chunk_lo.astype(np.int32),
+        n_chunks.astype(np.int32),
+        int(n_chunks.sum()),
+    )
+
+
+def _segsum_kernel(chunk_lo_ref, n_chunks_ref, dstp_ref, xp_hbm, out_ref,
+                   xbuf, dbuf, acc, xsem, dsem, *, n_rows, d, prec):
+    """One output block of BO rows. Packed layout: P = 128 // d logical
+    rows per 128-lane physical row, so every DMA slice is lane-aligned
+    (Mosaic requires minor dims in multiples of 128). ``xp_hbm`` is
+    ``x.reshape(L // P, P * d)``; ``dstp_ref`` is ``dst`` as [P, L // P].
+    Chunk geometry: C logical rows == C2 = C // P packed rows per DMA."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    P = 128 // d
+    C2 = C // P
+    j = pl.program_id(0)
+    acc[...] = jnp.zeros_like(acc)
+    lo = chunk_lo_ref[j]  # logical row, multiple of C
+    n_chunks = n_chunks_ref[j]
+    lo2 = lo // P
+    n2 = n_rows // P
+
+    def dmas(slot, k):
+        start2 = pl.multiple_of(jnp.minimum(lo2 + k * C2, n2 - C2), C2)
+        return (
+            pltpu.make_async_copy(
+                xp_hbm.at[pl.ds(start2, C2), :], xbuf.at[slot], xsem.at[slot]
+            ),
+            pltpu.make_async_copy(
+                dstp_ref.at[:, pl.ds(start2, C2)], dbuf.at[slot], dsem.at[slot]
+            ),
+        )
+
+    @pl.when(n_chunks > 0)
+    def _():
+        for dma in dmas(0, 0):
+            dma.start()
+
+    def body(k, _):
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k + 1 < n_chunks)
+        def _():
+            for dma in dmas(1 - slot, k + 1):
+                dma.start()
+
+        for dma in dmas(slot, k):
+            dma.wait()
+
+        start2 = jnp.minimum(lo2 + k * C2, n2 - C2)
+        # tail chunks re-read earlier rows; mask them out of the one-hot
+        row_ok = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, C2), 1) + start2
+        ) >= (lo2 + k * C2)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (BO, 1), 0)
+        for p in range(P):
+            local = jnp.where(row_ok, dbuf[slot][p : p + 1, :] - j * BO, -1)
+            onehot = (iota == local).astype(xbuf.dtype)  # [BO, C2]
+            acc[p] += jax.lax.dot_general(
+                onehot,
+                xbuf[slot],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0, unroll=False)
+    # each packed lane group [p*d:(p+1)*d] of acc[p] holds the sums of
+    # logical rows with (row % P) == p; combine once per block
+    total = acc[0][:, :d]
+    for p in range(1, P):
+        total = total + acc[p][:, p * d : (p + 1) * d]
+    out_ref[...] = total.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_out", "interpret"))
+def _segsum_pallas(x, dst, chunk_lo, n_chunks, *, n_out, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_rows, d = x.shape
+    if 128 % d:
+        raise ValueError(f"feature dim {d} must divide 128")
+    P = 128 // d
+    C2 = C // P
+    n_blocks = -(-n_out // BO)
+    # exact f32 sums need full-precision MXU passes (default TPU matmul
+    # precision is one bf16 pass, which would quantize every summand);
+    # bf16 streams are exact either way and the op is DMA-bound
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if x.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    xp = x.reshape(n_rows // P, P * d)
+    dstp = dst.reshape(n_rows // P, P).T  # [P, L // P]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # dstp [P, L // P]
+            pl.BlockSpec(memory_space=pltpu.ANY),  # xp [L // P, 128]
+        ],
+        out_specs=pl.BlockSpec((BO, d), lambda j, *_: (j, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, C2, P * d), x.dtype),
+            pltpu.VMEM((2, P, C2), jnp.int32),
+            pltpu.VMEM((P, BO, P * d), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_segsum_kernel, n_rows=n_rows, d=d, prec=prec),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_out, d), x.dtype),
+        interpret=interpret,
+    )(chunk_lo, n_chunks, dstp, xp)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def segment_sum_sorted(
+    x: jnp.ndarray,
+    dst: jnp.ndarray,  # [L] block-plannable, padding >= n_out
+    blk_lo: jnp.ndarray,  # [ceil(n_out/BO)] from build_block_plan[_local]
+    blk_cnt: jnp.ndarray,
+    n_out: int,
+) -> jnp.ndarray:
+    """Segment sum via the streaming kernel.
+
+    Caller guarantees: ``(blk_lo, blk_cnt)`` is a block plan covering all
+    rows of ``dst`` with values ``< n_out`` (sorted streams via
+    :func:`build_block_plan`, block-local unsorted streams via
+    :func:`build_block_plan_local`), padded rows map ``>= n_out``, and
+    ``x.shape[0] % C == 0`` (graph batching aligns stream capacities; see
+    ``graph/batching.py``). Differentiable in ``x`` (training does
+    grad-of-grad through the force backward).
+    """
+    return _segsum_pallas(x, dst, blk_lo, blk_cnt, n_out=n_out)
+
+
+def _segsum_sorted_fwd(x, dst, blk_lo, blk_cnt, n_out):
+    out = _segsum_pallas(x, dst, blk_lo, blk_cnt, n_out=n_out)
+    return out, dst
+
+
+def _segsum_sorted_bwd(n_out, dst, ct):
+    # d x[i] = ct[dst[i]]; dropped rows (dst >= n_out) get zero
+    safe = jnp.minimum(dst, n_out - 1)
+    d_x = jnp.take(ct, safe, axis=0)
+    d_x = jnp.where((dst < n_out)[:, None], d_x, 0)
+    return (d_x.astype(ct.dtype), None, None, None)
+
+
+segment_sum_sorted.defvjp(_segsum_sorted_fwd, _segsum_sorted_bwd)
+
+
+def stream_segsum_ok(x: jnp.ndarray, blk_lo, n_out: int) -> bool:
+    """Static eligibility: kernel-aligned stream + nonempty block plan.
+
+    ``d`` must divide 128 with packed chunks no narrower than one lane
+    tile (d >= 32 keeps the dst DMA minor at >= 128 columns)."""
+    return (
+        blk_lo is not None
+        and getattr(blk_lo, "shape", (0,))[0] == -(-n_out // BO)
+        and x.ndim == 2
+        and x.shape[0] % C == 0
+        and x.shape[1] in (32, 64, 128)
+        and tpu_backend()
+    )

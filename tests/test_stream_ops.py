@@ -1,0 +1,133 @@
+"""Streaming segment-sum kernel: host-side block-plan logic (CPU-safe).
+
+The Pallas kernel itself only runs on TPU (``stream_segsum_ok`` gates on
+backend); its numerics are covered by the model-parity scripts and the
+TPU bench. Here we pin the host planning: block plans must cover exactly
+the rows each output block needs, and ``make_plan`` must pick the right
+variant (sorted / block-local raw / permutation).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from chgnet_tpu.ops import stream_ops as so
+from chgnet_tpu.ops.scatter import make_plan
+
+
+def _check_cover(dst_sorted, blk_lo, blk_cnt, n_out):
+    """Every row with dst < n_out lies inside its block's chunk range."""
+    for j in range(len(blk_lo)):
+        rows = np.nonzero(
+            (dst_sorted >= j * so.BO)
+            & (dst_sorted < min((j + 1) * so.BO, n_out))
+        )[0]
+        if rows.size == 0:
+            assert blk_cnt[j] == 0
+            continue
+        lo, hi = blk_lo[j], blk_lo[j] + blk_cnt[j] * so.C
+        assert lo <= rows.min() and rows.max() < hi
+        assert lo % so.C == 0
+
+
+def test_build_block_plan_sorted_covers_all_rows():
+    rng = np.random.default_rng(0)
+    n_out = 3 * so.BO - 17  # not a multiple of BO
+    L = 8 * so.C
+    dst = np.sort(rng.integers(0, n_out, L - 200)).astype(np.int32)
+    dst = np.concatenate([dst, np.full(200, n_out, np.int32)])
+    blk_lo, blk_cnt = so.build_block_plan(dst, n_out)
+    assert blk_lo.shape == (-(-n_out // so.BO),)
+    _check_cover(dst, blk_lo, blk_cnt, n_out)
+    # padded tail rows are excluded from the last block's range
+    last = np.searchsorted(dst, n_out, side="left")
+    j = len(blk_lo) - 1
+    assert blk_lo[j] + blk_cnt[j] * so.C <= -(-last // so.C) * so.C
+
+
+def test_build_block_plan_local_covers_unsorted_rows():
+    rng = np.random.default_rng(1)
+    n_out = 2 * so.BO
+    L = 6 * so.C
+    key = np.where(
+        rng.random(L) > 0.1, rng.integers(0, n_out, L), n_out
+    ).astype(np.int32)
+    perm = np.argsort(key, kind="stable").astype(np.int32)
+    blk_lo, blk_cnt, visits = so.build_block_plan_local(key, perm, n_out)
+    assert visits == int(blk_cnt.sum())
+    for j in range(len(blk_lo)):
+        rows = np.nonzero((key >= j * so.BO) & (key < (j + 1) * so.BO))[0]
+        if rows.size == 0:
+            assert blk_cnt[j] == 0
+            continue
+        lo, hi = blk_lo[j], blk_lo[j] + blk_cnt[j] * so.C
+        assert lo <= rows.min() and rows.max() < hi
+
+
+def test_build_block_plan_local_block_local_stream_is_cheap():
+    """Graph-local stream: rows for each output block are contiguous, so
+    the local plan's visit total stays near the sequential minimum."""
+    n_out = 4 * so.BO
+    L = 8 * so.C
+    # rows sorted into 4 contiguous graph segments, dst within segment
+    key = np.sort(
+        (np.arange(L) * n_out // L)
+        + np.random.default_rng(2).integers(-8, 9, L)
+    ).clip(0, n_out - 1).astype(np.int32)
+    perm = np.argsort(key, kind="stable").astype(np.int32)
+    _, _, visits = so.build_block_plan_local(key, perm, n_out)
+    assert visits <= 2 * (L // so.C)
+
+
+def test_make_plan_variant_selection():
+    rng = np.random.default_rng(3)
+    L = 4 * so.C
+    n = 600
+    # block-local stream -> raw variant with a block plan
+    local_idx = np.sort(rng.integers(0, n, L)).astype(np.int32)
+    p = make_plan(local_idx, np.ones(L, bool), n)
+    assert p.raw.shape == (L,) and p.blk_lo.shape[0] == -(-n // so.BO)
+    # scattered stream over many blocks -> perm variant, sorted block plan
+    n_big = 40 * so.BO
+    scat_idx = rng.integers(0, n_big, L).astype(np.int32)
+    p2 = make_plan(scat_idx, np.ones(L, bool), n_big)
+    assert p2.raw.shape == (0,)
+    assert p2.perm.shape == (L,)
+    assert p2.blk_lo.shape[0] == -(-n_big // so.BO)
+    # unaligned stream -> no block plan at all
+    p3 = make_plan(scat_idx[: so.C + 5], np.ones(so.C + 5, bool), n_big)
+    assert p3.blk_lo.shape == (0,)
+
+
+def test_make_plan_sorted_variant_matches_scatter_ids():
+    L = 2 * so.C
+    idx = np.sort(np.random.default_rng(4).integers(0, 500, L)).astype(
+        np.int32
+    )
+    valid = np.ones(L, bool)
+    valid[-37:] = False
+    idx[-37:] = 0  # padding gathers point at row 0; plan maps them to n
+    plan = make_plan(idx, valid, 500, assume_sorted=False)
+    # the sorted key stream ends with the dropped rows
+    assert (plan.dst[-37:] == 500).all()
+
+
+def test_batch_capacities_are_stream_aligned():
+    from chgnet_tpu import ROOT
+    from chgnet_tpu.core.structure import Structure
+    from chgnet_tpu.graph.batching import batch_graphs
+    from chgnet_tpu.graph.converter import CrystalGraphConverter
+
+    struct = Structure.from_file(f"{ROOT}/examples/mp-18767-LiMnO2.cif")
+    conv = CrystalGraphConverter(
+        atom_graph_cutoff=6.0, bond_graph_cutoff=3.0
+    )
+    batch = batch_graphs([conv(struct)])
+    assert batch.atom_graph.shape[0] % (2 * so.C) == 0
+    assert batch.bond_graph.shape[0] % (2 * so.C) == 0
+    assert batch.undirected2directed.shape[0] % so.C == 0
+    # forward-scatter plans carry sorted block plans
+    n_atoms = batch.atomic_numbers.shape[0]
+    assert batch.plan_center.blk_lo.shape[0] == -(-n_atoms // so.BO)
+    assert (batch.plan_center.dst == batch.edge_scatter).all()
+    assert (batch.plan_ang_bi.dst == batch.angle_scatter).all()
