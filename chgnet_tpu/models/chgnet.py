@@ -381,11 +381,9 @@ def _energy_core(
         block_rngs = [None] * (3 * cfg.n_conv)
         mlp_rng = None
 
-    def conv_block(idx, layer_params, atom_feas, bond_feas, angle_feas,
-                   bond_weights_ag, bond_weights_bg):
-        atom_p, bond_p, angle_p = layer_params
+    def atom_step(atom_p, atom_feas, bond_feas, bond_weights_ag, rng):
         if use_dense:
-            atom_feas = atom_conv_dense_apply(
+            return atom_conv_dense_apply(
                 atom_p,
                 atom_feas,
                 bond_feas,
@@ -395,57 +393,81 @@ def _energy_core(
                 dense_mask_c,
                 activation=act,
             )
-        else:
-            atom_feas = atom_conv_apply(
-                atom_p,
-                atom_feas,
-                bond_feas,
-                bond_weights_ag,
-                batch.atom_graph,
-                batch.edge_scatter,
-                batch.directed2undirected,
-                edge_mask,
-                activation=act,
-                fused=cfg.fused_kernels,
-                plans=atom_plans,
-                dropout=conv_rate,
-                rng=block_rngs[3 * idx],
-            )
-        if bond_p is not None:
-            bond_feas = bond_conv_apply(
-                bond_p,
-                atom_feas,
-                bond_feas,
-                bond_weights_bg,
-                angle_feas,
-                batch.bond_graph,
-                batch.angle_scatter,
-                angle_mask,
-                activation=act,
-                fused=cfg.fused_kernels,
-                plans=bond_plans,
-                dropout=conv_rate,
-                rng=block_rngs[3 * idx + 1],
-            )
-        if angle_p is not None:
-            angle_feas = angle_update_apply(
-                angle_p,
-                atom_feas,
-                bond_feas,
-                angle_feas,
-                batch.bond_graph,
-                activation=act,
-                plans=bond_plans,
-                dropout=conv_rate,
-                rng=block_rngs[3 * idx + 2],
-            )
-        return atom_feas, bond_feas, angle_feas
+        return atom_conv_apply(
+            atom_p,
+            atom_feas,
+            bond_feas,
+            bond_weights_ag,
+            batch.atom_graph,
+            batch.edge_scatter,
+            batch.directed2undirected,
+            edge_mask,
+            activation=act,
+            fused=cfg.fused_kernels,
+            plans=atom_plans,
+            dropout=conv_rate,
+            rng=rng,
+        )
+
+    def bond_step(bond_p, atom_feas, bond_feas, bond_weights_bg,
+                  angle_feas, rng):
+        return bond_conv_apply(
+            bond_p,
+            atom_feas,
+            bond_feas,
+            bond_weights_bg,
+            angle_feas,
+            batch.bond_graph,
+            batch.angle_scatter,
+            angle_mask,
+            activation=act,
+            fused=cfg.fused_kernels,
+            plans=bond_plans,
+            dropout=conv_rate,
+            rng=rng,
+        )
+
+    def angle_step(angle_p, atom_feas, bond_feas, angle_feas, rng):
+        return angle_update_apply(
+            angle_p,
+            atom_feas,
+            bond_feas,
+            angle_feas,
+            batch.bond_graph,
+            activation=act,
+            plans=bond_plans,
+            dropout=conv_rate,
+            rng=rng,
+        )
 
     if cfg.remat:
-        # trade recompute for memory: per-block rematerialization keeps
-        # the force backward from holding every [E,*]/[A,*] intermediate
-        # (10k-atom systems exceed one chip's HBM otherwise)
-        conv_block = jax.checkpoint(conv_block, static_argnums=(0,))
+        # trade recompute for memory: per-LAYER rematerialization. A
+        # whole-block checkpoint peaks at AtomConv + BondConv +
+        # AngleUpdate angle-stream temps simultaneously during the block
+        # backward (>16 GB at 10k atoms / 3.9M angle rows); checkpointing
+        # each layer caps the peak at one layer's [E,*]/[A,*] pipeline.
+        atom_step = jax.checkpoint(atom_step)
+        bond_step = jax.checkpoint(bond_step)
+        angle_step = jax.checkpoint(angle_step)
+
+    def conv_block(idx, layer_params, atom_feas, bond_feas, angle_feas,
+                   bond_weights_ag, bond_weights_bg):
+        atom_p, bond_p, angle_p = layer_params
+        atom_feas = atom_step(
+            atom_p, atom_feas, bond_feas, bond_weights_ag,
+            block_rngs[3 * idx],
+        )
+        if bond_p is not None:
+            bond_feas = bond_step(
+                bond_p, atom_feas, bond_feas, bond_weights_bg, angle_feas,
+                block_rngs[3 * idx + 1],
+            )
+        if angle_p is not None:
+            angle_feas = angle_step(
+                angle_p, atom_feas, bond_feas, angle_feas,
+                block_rngs[3 * idx + 2],
+            )
+        return atom_feas, bond_feas, angle_feas
 
     atom_feas_mid = atom_feas  # overwritten at block n_conv - 2
     for idx in range(cfg.n_conv - 1):
