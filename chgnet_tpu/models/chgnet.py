@@ -294,16 +294,28 @@ def _energy_core(
         batch.edge_owner[:, None] == jnp.arange(n_graphs)[None, :]
     ).astype(cart.dtype)
     lat_edges = (owner_onehot @ lat.reshape(n_graphs, 9)).reshape(-1, 3, 3)
-    center_pos = plan_gather(pos, batch.atom_graph[:, 0], p_center)
-    nbr_pos = plan_gather(pos, batch.atom_graph[:, 1], p_nbr) + jnp.einsum(
-        "ei,eij->ej", batch.images, lat_edges
+    # positions ride a 32-lane stream: a [*,3] f32 array occupies a full
+    # 128-lane tile anyway, so padding to 32 costs no extra HBM bytes but
+    # makes every geometry backward segment-sum eligible for the
+    # streaming kernel (ops/stream_ops.py accepts d in {32, 64, 128})
+    pos32 = jnp.pad(pos, ((0, 0), (0, 29)))
+    center_pos = plan_gather(pos32, batch.atom_graph[:, 0], p_center)[:, :3]
+    nbr_pos = plan_gather(pos32, batch.atom_graph[:, 1], p_nbr)[:, :3] + (
+        jnp.einsum("ei,eij->ej", batch.images, lat_edges)
     )
     vec = center_pos - nbr_pos
     dist = jnp.linalg.norm(vec, axis=1)  # padded edges: |a| > 0, finite grads
     unit = vec / dist[:, None]
 
+    # geometry stream for the angle/bond paths: unit vector + distance in
+    # one 32-lane row, so one gather per index stream serves both and the
+    # transposes run through the streaming kernel
+    geom = jnp.pad(
+        jnp.concatenate([unit, dist[:, None]], axis=1), ((0, 0), (0, 28))
+    )
+
     # undirected bond bases (both expansions on atom-graph bond lengths)
-    und_dist = plan_gather(dist, batch.undirected2directed, p_u2d)
+    und_dist = plan_gather(geom, batch.undirected2directed, p_u2d)[:, 3]
     rbf_ag = basis.radial_bessel(
         und_dist,
         params["bond_basis"]["freq_ag"],
@@ -317,17 +329,16 @@ def _energy_core(
         cfg.cutoff_coeff,
     )
 
-    # angle basis from directed unit bond vectors (encoders.py:133-146).
-    # Componentwise (structure-of-arrays): gathering [A,3] vectors makes
-    # the backward a 3-lane-wide [A,3] -> [E,3] scatter (T(4,128) layout,
-    # 3/128 lanes busy — measured 2 x 35 ms per E+F iteration at 800k
-    # angle rows). Per-component 1-D gathers transpose to full-lane 1-D
-    # sorted segment sums instead.
-    cos_ij = sum(
-        plan_gather(unit[:, c], batch.bond_graph[:, 2], p_ang_vi)
-        * plan_gather(unit[:, c], batch.bond_graph[:, 4], p_ang_vj)
-        for c in range(3)
-    ) * (1 - 1e-6)
+    # angle basis from directed unit bond vectors (encoders.py:133-146),
+    # gathered from the 32-lane geometry stream. (Per-component 1-D
+    # gathers were tried here and are a trap: XLA's T(1024) 1-D
+    # gather/scatter path runs at ~17 ns/row — six of them cost ~180 ms
+    # per iteration at 800k angle rows, a third of the whole E+F+S+M
+    # pass. The 32-lane rows gather at the same row rate as [A,3] and
+    # their backward is a kernel-eligible segment sum.)
+    gi = plan_gather(geom, batch.bond_graph[:, 2], p_ang_vi)
+    gj = plan_gather(geom, batch.bond_graph[:, 4], p_ang_vj)
+    cos_ij = jnp.sum(gi[:, :3] * gj[:, :3], axis=1) * (1 - 1e-6)
     angles = jnp.arccos(cos_ij)
     angle_bases = basis.fourier(angles, params["angle_basis"]["freq"])
 

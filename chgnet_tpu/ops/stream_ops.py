@@ -116,7 +116,7 @@ def _segsum_kernel(chunk_lo_ref, n_chunks_ref, dstp_ref, xp_hbm, out_ref,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    P = 128 // d
+    P = max(128 // d, 1)
     C2 = C // P
     j = pl.program_id(0)
     acc[...] = jnp.zeros_like(acc)
@@ -185,9 +185,11 @@ def _segsum_pallas(x, dst, chunk_lo, n_chunks, *, n_out, interpret=False):
     from jax.experimental.pallas import tpu as pltpu
 
     n_rows, d = x.shape
-    if 128 % d:
+    if d < 128 and 128 % d:
         raise ValueError(f"feature dim {d} must divide 128")
-    P = 128 // d
+    if d > 128 and d % 128:
+        raise ValueError(f"wide feature dim {d} must be a multiple of 128")
+    P = max(128 // d, 1)
     C2 = C // P
     n_blocks = -(-n_out // BO)
     # exact f32 sums need full-precision MXU passes (default TPU matmul
@@ -271,6 +273,6 @@ def stream_segsum_ok(x: jnp.ndarray, blk_lo, n_out: int) -> bool:
         and getattr(blk_lo, "shape", (0,))[0] == -(-n_out // BO)
         and x.ndim == 2
         and x.shape[0] % C == 0
-        and x.shape[1] in (32, 64, 128)
+        and (x.shape[1] in (32, 64) or x.shape[1] % 128 == 0)
         and tpu_backend()
     )
