@@ -25,11 +25,11 @@ import numpy as np
 
 BASELINE_EDGES_PER_S = 1.0e6
 
-# Effective HBM bandwidth bound for roofline accounting. Through the dev
-# environment's device tunnel we measure ~37 GB/s on large streaming
-# gathers (far below v5e spec, which would be ~819 GB/s); override with
-# CHGNET_TPU_HBM_GBPS on real hardware.
-HBM_GBPS = float(__import__("os").environ.get("CHGNET_TPU_HBM_GBPS", 37.0))
+# Effective HBM bandwidth bound for roofline accounting. Measured on this
+# chip with a large f32 elementwise loop: ~265 GB/s (the earlier ~37 GB/s
+# figure was XLA's row-at-a-time gather emitter, not the memory system —
+# see docs/performance.md). Override with CHGNET_TPU_HBM_GBPS.
+HBM_GBPS = float(__import__("os").environ.get("CHGNET_TPU_HBM_GBPS", 265.0))
 
 
 def roofline_bytes(batch, config) -> int:

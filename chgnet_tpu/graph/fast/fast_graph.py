@@ -139,15 +139,18 @@ def build(
         def copy(pointer, count, dtype):
             if count == 0:
                 return np.zeros(count, dtype=dtype)
+            # convert to the FINAL consumer dtype during the one required
+            # copy out of C-owned memory (CrystalGraph stores int32 ids;
+            # a second astype pass at 100k-atom scale costs seconds)
             return np.ctypeslib.as_array(pointer, shape=(count,)).astype(
                 dtype, copy=True
             )
 
-        atom_graph = copy(graph.atom_graph, 2 * n_dir, np.int64).reshape(-1, 2)
-        image = copy(graph.neighbor_image, 3 * n_dir, np.int64).reshape(-1, 3)
-        d2u = copy(graph.d2u, n_dir, np.int64)
-        u2d = copy(graph.u2d, n_und, np.int64)
-        bond_graph = copy(graph.bond_graph, 5 * n_ang, np.int64).reshape(-1, 5)
+        atom_graph = copy(graph.atom_graph, 2 * n_dir, np.int32).reshape(-1, 2)
+        image = copy(graph.neighbor_image, 3 * n_dir, np.float32).reshape(-1, 3)
+        d2u = copy(graph.d2u, n_dir, np.int32)
+        u2d = copy(graph.u2d, n_und, np.int32)
+        bond_graph = copy(graph.bond_graph, 5 * n_ang, np.int32).reshape(-1, 5)
         distances = copy(graph.distances, n_dir, np.float64)
     finally:
         lib.chgnet_free_graph(ptr)

@@ -91,7 +91,9 @@ def make_plan(
             return GatherPlan(perm=_EMPTY, dst=key)
         blk_lo, blk_cnt = stream_ops.build_block_plan(key, num_segments)
         return GatherPlan(perm=_EMPTY, dst=key, blk_lo=blk_lo, blk_cnt=blk_cnt)
-    perm = np.argsort(key, kind="stable").astype(np.int32)
+    from chgnet_tpu.utils.native.hostops import stable_argsort_i32
+
+    perm = stable_argsort_i32(key)
     dst = key[perm]
     if not aligned:
         return GatherPlan(perm=perm, dst=dst)

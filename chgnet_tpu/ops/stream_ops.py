@@ -54,7 +54,10 @@ def build_block_plan(
     (the padded tail is excluded from every block's range)."""
     dst = np.asarray(dst)
     n_blocks = -(-n_out // BO)
-    edges = np.minimum(np.arange(n_blocks + 1) * BO, n_out)
+    # match the key dtype: a mixed-dtype searchsorted silently PROMOTES
+    # (i.e. copies) the whole sorted array per call — ~0.2 s per call on
+    # 10M-row streams
+    edges = np.minimum(np.arange(n_blocks + 1) * BO, n_out).astype(dst.dtype)
     bounds = np.searchsorted(dst, edges, side="left")
     starts, ends = bounds[:-1], bounds[1:]
     chunk_lo = (starts // C) * C
@@ -80,8 +83,10 @@ def build_block_plan_local(
     key = np.asarray(key)
     n_blocks = -(-n_out // BO)
     key_sorted = key[perm]
-    n_valid = int(np.searchsorted(key_sorted, n_out, side="left"))
-    edges = np.minimum(np.arange(n_blocks + 1) * BO, n_out)
+    n_valid = int(
+        np.searchsorted(key_sorted, key.dtype.type(n_out), side="left")
+    )
+    edges = np.minimum(np.arange(n_blocks + 1) * BO, n_out).astype(key.dtype)
     bounds = np.searchsorted(key_sorted, edges, side="left")
     starts, ends = bounds[:-1], np.minimum(bounds[1:], n_valid)
     chunk_lo = np.zeros(n_blocks, np.int64)

@@ -64,6 +64,14 @@ def _load() -> ctypes.CDLL | None:
                 ctypes.c_int32,
             ]
             lib.hostops_gather_rows.restype = None
+            lib.hostops_argsort_i32.argtypes = [
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int32,
+            ]
+            lib.hostops_argsort_i32.restype = ctypes.c_int32
             _lib = lib
         except OSError:
             _load_failed = True
@@ -98,4 +106,36 @@ def fast_gather(src: np.ndarray, idx: np.ndarray) -> np.ndarray:
         row,
         _N_THREADS,
     )
+    return out
+
+
+def stable_argsort_i32(keys: np.ndarray) -> np.ndarray:
+    """Stable argsort of NON-NEGATIVE int32 keys (threaded LSD radix,
+    ~5-8x numpy's comparison sort at 10M rows). Falls back to numpy when
+    the native build is unavailable or preconditions don't hold."""
+    keys = np.asarray(keys)
+    lib = None
+    if (
+        os.environ.get("CHGNET_TPU_NO_HOSTOPS") != "1"
+        and keys.dtype == np.int32
+        and keys.ndim == 1
+        and keys.size > (1 << 15)
+    ):
+        lib = _load()
+    if lib is None:
+        return np.argsort(keys, kind="stable").astype(np.int32)
+    keys = np.ascontiguousarray(keys)
+    if keys.size and int(keys.min()) < 0:
+        return np.argsort(keys, kind="stable").astype(np.int32)
+    out = np.empty(keys.shape[0], np.int32)
+    scratch = np.empty(keys.shape[0], np.int32)
+    rc = lib.hostops_argsort_i32(
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        keys.shape[0],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        scratch.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        _N_THREADS,
+    )
+    if rc != 0:
+        return np.argsort(keys, kind="stable").astype(np.int32)
     return out
