@@ -33,7 +33,13 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from chgnet_tpu.graph.batching import GraphBatch, round_up
-from chgnet_tpu.utils.native import fast_gather
+from chgnet_tpu.utils import hostmem
+from chgnet_tpu.utils.native.hostops import (
+    fast_gather,
+    gather_col,
+    gather_col_into,
+    stable_argsort_i32,
+)
 from chgnet_tpu.models import basis
 from chgnet_tpu.models.chgnet import EV_A3_TO_GPA, CHGNetConfig
 from chgnet_tpu.models.functions import (
@@ -104,38 +110,45 @@ def _device_order(dev: np.ndarray) -> np.ndarray | None:
     already and the argsort is skipped entirely."""
     if dev.size == 0 or bool((np.diff(dev) >= 0).all()):
         return None
+    if dev.dtype == np.int32:
+        return stable_argsort_i32(dev)
     return np.argsort(dev, kind="stable")
 
 
 class _Packer:
     """Pack device-major-sorted rows into padded [D, cap, ...] arrays.
 
-    Per-device slice copies (plain memcpy) instead of 10M-element 2-D
-    fancy-index scatters — the difference between ~18 s and <1 s of host
-    prep at the BASELINE 100k-atom scale on this machine."""
+    ``pack_gather`` is the fused primitive: it gathers source rows (or one
+    column) STRAIGHT into each device's padded slice via the native
+    threaded gather — the intermediate "gathered then packed" array never
+    exists. On the dev host's slow-fault kernel that fusion (plus
+    pre-populated output pages, see utils/hostmem.py) is the difference
+    between ~23 s and ~1 s of prep at the BASELINE 100k-atom scale."""
 
-    def __init__(self, counts: np.ndarray, cap: int) -> None:
+    def __init__(self, counts: np.ndarray, cap: int, alloc=None) -> None:
         self.counts = [int(c) for c in counts]
         self.starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
         self.cap = cap
         self.d = len(self.counts)
+        self.alloc = alloc or hostmem.populated_empty
 
     def slots(self) -> np.ndarray:
         """Per-row global slot id ``dev * cap + within-device index`` for
-        rows in device-major order."""
-        out = np.empty(int(np.sum(self.counts)), np.int64)
+        rows in device-major order (int32: padded tables stay < 2^31)."""
+        out = self.alloc(int(np.sum(self.counts)), np.int32)
         pos = 0
         for i, c in enumerate(self.counts):
             out[pos: pos + c] = np.arange(
-                i * self.cap, i * self.cap + c, dtype=np.int64
+                i * self.cap, i * self.cap + c, dtype=np.int32
             )
             pos += c
         return out
 
     def pack(self, vals: np.ndarray, fill=0, dtype=None) -> np.ndarray:
-        # np.empty + targeted fills: every byte is touched exactly once
-        # (np.full would fault-in and write the whole buffer twice)
-        out = np.empty(
+        # pre-populated pages + targeted fills: the dev host's per-page
+        # fault path runs at ~0.13 GB/s, so np.empty/np.full first-touch
+        # dominates prep time at the 100k-atom scale
+        out = self.alloc(
             (self.d, self.cap) + vals.shape[1:], dtype or vals.dtype
         )
         pos = 0
@@ -146,8 +159,35 @@ class _Packer:
             pos += c
         return out
 
+    def pack_gather(
+        self, src: np.ndarray, idx: np.ndarray, col: int | None = None,
+        fill=0,
+    ) -> np.ndarray:
+        """``pack(src[idx, col])`` without materializing the gather:
+        ``idx`` (int32, device-major order) is gathered per device slice
+        directly into the padded output."""
+        tail = src.shape[1:] if col is None else ()
+        out = self.alloc((self.d, self.cap) + tail, src.dtype)
+        pos = 0
+        for i, c in enumerate(self.counts):
+            seg = idx[pos: pos + c]
+            if not gather_col_into(src, col, seg, out[i, :c]):
+                out[i, :c] = src[seg] if col is None else src[seg, col]
+            if c < self.cap:
+                out[i, c:] = fill
+            pos += c
+        return out
+
+    def pack_gather_img(self, src: np.ndarray, idx: np.ndarray) -> np.ndarray:
+        """pack_gather for [*, 3] image rows; padded rows get (1, 0, 0)
+        so padded bond lengths stay finite."""
+        out = self.pack_gather(src, idx)
+        for i, c in enumerate(self.counts):
+            out[i, c:, 0] = 1.0
+        return out
+
     def mask(self) -> np.ndarray:
-        out = np.empty((self.d, self.cap), np.float32)
+        out = self.alloc((self.d, self.cap), np.float32)
         for i, c in enumerate(self.counts):
             out[i, :c] = 1.0
             out[i, c:] = 0.0
@@ -170,21 +210,21 @@ def shard_batch(batch: GraphBatch, n_devices: int) -> ShardedGraphBatch:
     atom_mask = np.zeros(n_glob, np.float32)
     atom_mask[:cap_n] = batch.atom_mask
 
+    # Everything below runs on int32 index streams through the fused
+    # native gather (gather_col / pack_gather): intermediate "gathered
+    # rows" tables are never materialized.
+
     # --- directed edges -> device of center atom
-    e_valid = np.nonzero(batch.edge_mask > 0)[0]
-    centers = batch.atom_graph[e_valid, 0]
+    e_valid = np.nonzero(batch.edge_mask > 0)[0].astype(np.int32)
+    centers = gather_col(batch.atom_graph, 0, e_valid)
     e_dev = centers // n_loc
     e_counts = np.bincount(e_dev, minlength=d)
     e_loc = round_up(int(e_counts.max()), base=8)
 
     # --- undirected bonds -> device of their first directed edge's center
-    u_valid = np.nonzero(batch.und_mask > 0)[0]
-    u_first_dir = fast_gather(batch.undirected2directed, u_valid)
-    u_ag = fast_gather(batch.atom_graph, u_first_dir)
-    u_center = u_ag[:, 0]
-    u_nbr = u_ag[:, 1]
-    u_img = fast_gather(batch.images, u_first_dir)
-    u_owner_g = fast_gather(batch.edge_owner, u_first_dir)
+    u_valid = np.nonzero(batch.und_mask > 0)[0].astype(np.int32)
+    u_first_dir = gather_col(batch.undirected2directed, None, u_valid)
+    u_center = gather_col(batch.atom_graph, 0, u_first_dir)
     u_dev = u_center // n_loc
     u_counts = np.bincount(u_dev, minlength=d)
     u_loc = round_up(int(u_counts.max()), base=8)
@@ -192,37 +232,57 @@ def shard_batch(batch: GraphBatch, n_devices: int) -> ShardedGraphBatch:
     # its device, preserving original order
     u_order = _device_order(u_dev)
     u_pack = _Packer(u_counts, u_loc)
-    new_uid = np.full(batch.undirected2directed.shape[0], -1, np.int64)
-    u_valid_sorted = u_valid if u_order is None else u_valid[u_order]
+    new_uid = np.full(batch.undirected2directed.shape[0], -1, np.int32)
+    u_valid_sorted = u_valid if u_order is None else gather_col(u_valid, None, u_order)
     new_uid[u_valid_sorted] = u_pack.slots()
+    u_src = u_first_dir if u_order is None else gather_col(u_first_dir, None, u_order)
 
     # --- angle rows -> device of bond_i
-    a_valid = np.nonzero(batch.angle_mask > 0)[0]
-    bg = fast_gather(batch.bond_graph, a_valid)
-    a_dev = fast_gather(new_uid, bg[:, 1]) // u_loc
+    a_valid = np.nonzero(batch.angle_mask > 0)[0].astype(np.int32)
+    bond_i = gather_col(batch.bond_graph, 1, a_valid)
+    uid_unsorted = gather_col(new_uid, None, bond_i)
+    a_dev = uid_unsorted // u_loc
     a_counts = np.bincount(a_dev, minlength=d)
     a_loc = round_up(int(max(a_counts.max(), 1)), base=8)
 
-    # per-device slice copies of device-major-sorted rows (see _Packer);
-    # padded edge images are (1,0,0) so padded distances stay > 0
-    def img_pack(pk: _Packer, vals: np.ndarray) -> np.ndarray:
-        out = pk.pack(vals)
-        for i, c in enumerate(pk.counts):
-            out[i, c:, 0] = 1.0
+    # All output caps are now known: start populating one slab for every
+    # packed output (and the index streams below) in a BACKGROUND thread
+    # while the index gathers run — page supply is the remaining cost on
+    # the dev host (see utils/hostmem.py).
+    n_ang = int(np.sum(a_counts))
+    slab = hostmem.get_slab(
+        d * (e_loc * 32 + u_loc * 28 + a_loc * 56)
+        + (3 * n_ang + e_valid.shape[0]) * 4
+        + (1 << 22)
+    )
+    u_pack.alloc = slab.carve
+
+    def _carve_gather(src, col, idx):
+        shape = idx.shape + (src.shape[1:] if col is None else ())
+        out = slab.carve(shape, src.dtype)
+        if not gather_col_into(src, col, idx, out):
+            out[...] = src[idx] if col is None else src[idx, col]
         return out
 
     e_order = _device_order(e_dev)
-    e_src = e_valid if e_order is None else e_valid[e_order]
-    e_pack = _Packer(e_counts, e_loc)
-    eg = fast_gather(batch.atom_graph, e_src)
+    e_src = e_valid if e_order is None else gather_col(e_valid, None, e_order)
+    e_pack = _Packer(e_counts, e_loc, alloc=slab.carve)
     a_order = _device_order(a_dev)
-    rows = bg if a_order is None else fast_gather(bg, a_order)
-    a_pack = _Packer(a_counts, a_loc)
-    uid_i = fast_gather(new_uid, rows[:, 1])
-    ag_i = fast_gather(batch.atom_graph, rows[:, 2])
-    img_i = fast_gather(batch.images, rows[:, 2])
-    ag_j = fast_gather(batch.atom_graph, rows[:, 4])
-    img_j = fast_gather(batch.images, rows[:, 4])
+    a_src = a_valid if a_order is None else gather_col(a_valid, None, a_order)
+    a_pack = _Packer(a_counts, a_loc, alloc=slab.carve)
+    uid_i = uid_unsorted if a_order is None else gather_col(uid_unsorted, None, a_order)
+    dir_i = _carve_gather(batch.bond_graph, 2, a_src)
+    dir_j = _carve_gather(batch.bond_graph, 4, a_src)
+    bond_j = _carve_gather(batch.bond_graph, 3, a_src)
+    d2u_e = _carve_gather(batch.directed2undirected, None, e_src)
+
+    ang_bond_i = a_pack.pack(uid_i)
+    # local scatter slot (pad = one-past-the-end drop): derived in place
+    # from the packed global id — global // u_loc == own device by layout
+    ang_bond_i_local = slab.carve(ang_bond_i.shape, np.int32)
+    np.mod(ang_bond_i, u_loc, out=ang_bond_i_local)
+    for i, c in enumerate(a_pack.counts):
+        ang_bond_i_local[i, c:] = u_loc
 
     out = ShardedGraphBatch(
         atomic_numbers=atomic_numbers.reshape(d, n_loc),
@@ -230,42 +290,26 @@ def shard_batch(batch: GraphBatch, n_devices: int) -> ShardedGraphBatch:
         atom_owner=atom_owner.reshape(d, n_loc),
         atom_mask=atom_mask.reshape(d, n_loc),
         lattices=np.asarray(batch.lattices, np.float32),
-        edge_center=e_pack.pack(np.ascontiguousarray(eg[:, 0])),
-        edge_neighbor=e_pack.pack(np.ascontiguousarray(eg[:, 1])),
-        edge_image=img_pack(e_pack, fast_gather(batch.images, e_src)),
-        edge_owner=e_pack.pack(fast_gather(batch.edge_owner, e_src)),
-        edge_bond=e_pack.pack(
-            fast_gather(
-                new_uid, fast_gather(batch.directed2undirected, e_src)
-            ).astype(np.int32)
-        ),
+        edge_center=e_pack.pack_gather(batch.atom_graph, e_src, col=0),
+        edge_neighbor=e_pack.pack_gather(batch.atom_graph, e_src, col=1),
+        edge_image=e_pack.pack_gather_img(batch.images, e_src),
+        edge_owner=e_pack.pack_gather(batch.edge_owner, e_src),
+        edge_bond=e_pack.pack_gather(new_uid, d2u_e),
         edge_mask=e_pack.mask(),
-        und_center=u_pack.pack(
-            u_center if u_order is None else u_center[u_order]
-        ),
-        und_neighbor=u_pack.pack(
-            u_nbr if u_order is None else u_nbr[u_order]
-        ),
-        und_image=img_pack(
-            u_pack, u_img if u_order is None else u_img[u_order]
-        ),
-        und_owner=u_pack.pack(
-            u_owner_g if u_order is None else u_owner_g[u_order]
-        ),
+        und_center=u_pack.pack_gather(batch.atom_graph, u_src, col=0),
+        und_neighbor=u_pack.pack_gather(batch.atom_graph, u_src, col=1),
+        und_image=u_pack.pack_gather_img(batch.images, u_src),
+        und_owner=u_pack.pack_gather(batch.edge_owner, u_src),
         und_mask=u_pack.mask(),
-        ang_center=a_pack.pack(np.ascontiguousarray(ag_i[:, 0])),
-        ang_nbr_i=a_pack.pack(np.ascontiguousarray(ag_i[:, 1])),
-        ang_img_i=img_pack(a_pack, img_i),
-        ang_nbr_j=a_pack.pack(np.ascontiguousarray(ag_j[:, 1])),
-        ang_img_j=img_pack(a_pack, img_j),
-        ang_bond_i_local=a_pack.pack(
-            (uid_i % u_loc).astype(np.int32), fill=u_loc
-        ),
-        ang_bond_i=a_pack.pack(uid_i.astype(np.int32)),
-        ang_bond_j=a_pack.pack(
-            fast_gather(new_uid, rows[:, 3]).astype(np.int32)
-        ),
-        ang_owner=a_pack.pack(fast_gather(batch.edge_owner, rows[:, 2])),
+        ang_center=a_pack.pack_gather(batch.atom_graph, dir_i, col=0),
+        ang_nbr_i=a_pack.pack_gather(batch.atom_graph, dir_i, col=1),
+        ang_img_i=a_pack.pack_gather_img(batch.images, dir_i),
+        ang_nbr_j=a_pack.pack_gather(batch.atom_graph, dir_j, col=1),
+        ang_img_j=a_pack.pack_gather_img(batch.images, dir_j),
+        ang_bond_i_local=ang_bond_i_local,
+        ang_bond_i=ang_bond_i,
+        ang_bond_j=a_pack.pack_gather(new_uid, bond_j),
+        ang_owner=a_pack.pack_gather(batch.edge_owner, dir_i),
         ang_mask=a_pack.mask(),
     )
     return out

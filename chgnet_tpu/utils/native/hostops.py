@@ -16,6 +16,8 @@ import threading
 
 import numpy as np
 
+from chgnet_tpu.utils import hostmem
+
 _module_dir = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_module_dir, "src", "hostops.cpp")
 _LIB = os.path.join(_module_dir, "libhostops.so")
@@ -72,6 +74,16 @@ def _load() -> ctypes.CDLL | None:
                 ctypes.c_int32,
             ]
             lib.hostops_argsort_i32.restype = ctypes.c_int32
+            lib.hostops_gather_strided_i32.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_char_p,
+                ctypes.c_int64,
+                ctypes.c_int32,
+            ]
+            lib.hostops_gather_strided_i32.restype = None
             _lib = lib
         except OSError:
             _load_failed = True
@@ -96,7 +108,7 @@ def fast_gather(src: np.ndarray, idx: np.ndarray) -> np.ndarray:
                 f"fast_gather: index range [{lo}, {hi}] out of bounds "
                 f"for {src.shape[0]} rows"
             )
-    out = np.empty((idx64.shape[0],) + src.shape[1:], src.dtype)
+    out = hostmem.populated_empty((idx64.shape[0],) + src.shape[1:], src.dtype)
     row = src.dtype.itemsize * (src.shape[1] if src.ndim == 2 else 1)
     lib.hostops_gather_rows(
         src.ctypes.data_as(ctypes.c_char_p),
@@ -106,6 +118,81 @@ def fast_gather(src: np.ndarray, idx: np.ndarray) -> np.ndarray:
         row,
         _N_THREADS,
     )
+    return out
+
+
+def gather_col_into(
+    src: np.ndarray,
+    col: int | None,
+    idx: np.ndarray,
+    out: np.ndarray,
+) -> bool:
+    """``out[:] = src[idx]`` (col=None, full rows) or ``src[idx, col]``,
+    written straight into a caller-provided contiguous view — the fused
+    gather+pack primitive of the multi-chip re-layout (no intermediate
+    array, no second copy). Returns False (caller must fall back to
+    numpy) when the native library is unavailable or dtypes/layout don't
+    qualify.
+
+    Requirements: src C-contiguous 1-D/2-D; idx int32 (non-negative,
+    in-range — checked); out C-contiguous with matching dtype and shape
+    ``idx.shape + (src.shape[1:] if col is None else ())``.
+    """
+    if os.environ.get("CHGNET_TPU_NO_HOSTOPS") == "1":
+        return False
+    lib = _load()
+    if (
+        lib is None
+        or not src.flags.c_contiguous
+        or not out.flags.c_contiguous
+        or idx.dtype != np.int32
+        or not idx.flags.c_contiguous
+        or src.ndim > 2
+        or out.dtype != src.dtype
+    ):
+        return False
+    n = idx.shape[0]
+    if n == 0:
+        return True
+    lo, hi = int(idx.min()), int(idx.max())
+    if lo < 0 or hi >= src.shape[0]:
+        raise IndexError(
+            f"gather_col_into: index range [{lo}, {hi}] out of bounds "
+            f"for {src.shape[0]} rows"
+        )
+    item = src.dtype.itemsize
+    stride = item * (src.shape[1] if src.ndim == 2 else 1)
+    if col is None:
+        elem = stride
+        base = src.ctypes.data
+    else:
+        elem = item
+        base = src.ctypes.data + col * item
+    if out.nbytes != n * elem:
+        raise ValueError(
+            f"gather_col_into: out has {out.nbytes} bytes, expected {n * elem}"
+        )
+    lib.hostops_gather_strided_i32(
+        ctypes.c_char_p(base),
+        stride,
+        elem,
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_char_p(out.ctypes.data),
+        n,
+        _N_THREADS,
+    )
+    return True
+
+
+def gather_col(
+    src: np.ndarray, col: int | None, idx: np.ndarray
+) -> np.ndarray:
+    """Allocating form of :func:`gather_col_into` (populated pages), with
+    a transparent numpy fallback."""
+    shape = idx.shape + (src.shape[1:] if col is None else ())
+    out = hostmem.populated_empty(shape, src.dtype)
+    if not gather_col_into(src, col, idx, out):
+        out[...] = src[idx] if col is None else src[idx, col]
     return out
 
 
@@ -127,8 +214,8 @@ def stable_argsort_i32(keys: np.ndarray) -> np.ndarray:
     keys = np.ascontiguousarray(keys)
     if keys.size and int(keys.min()) < 0:
         return np.argsort(keys, kind="stable").astype(np.int32)
-    out = np.empty(keys.shape[0], np.int32)
-    scratch = np.empty(keys.shape[0], np.int32)
+    out = hostmem.populated_empty(keys.shape[0], np.int32)
+    scratch = hostmem.populated_empty(keys.shape[0], np.int32)
     rc = lib.hostops_argsort_i32(
         keys.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         keys.shape[0],

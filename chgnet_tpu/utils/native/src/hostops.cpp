@@ -54,6 +54,52 @@ void gather_range(const char* src, const int64_t* idx, char* out,
     }
 }
 
+// ------------------------------------------------- strided column gather
+// out[i*elem ..] = src[idx[i]*stride + off ..+elem] with int32 indices.
+// Lets the multi-chip re-layout gather one COLUMN of a row table (or a
+// full geometry row) straight into a padded output slice — the
+// intermediate "gather rows, then copy the column" array never exists.
+
+template <int ELEM>
+void gather_strided_fixed(const char* src, int64_t stride,
+                          const int32_t* idx, char* out,
+                          int64_t lo, int64_t hi) {
+    constexpr int kAhead = 16;
+    for (int64_t i = lo; i < hi; ++i) {
+        if (i + kAhead < hi) {
+            __builtin_prefetch(
+                src + static_cast<int64_t>(idx[i + kAhead]) * stride, 0, 0);
+        }
+        std::memcpy(out + i * ELEM,
+                    src + static_cast<int64_t>(idx[i]) * stride, ELEM);
+    }
+}
+
+void gather_strided_var(const char* src, int64_t stride, int64_t elem,
+                        const int32_t* idx, char* out,
+                        int64_t lo, int64_t hi) {
+    constexpr int kAhead = 16;
+    for (int64_t i = lo; i < hi; ++i) {
+        if (i + kAhead < hi) {
+            __builtin_prefetch(
+                src + static_cast<int64_t>(idx[i + kAhead]) * stride, 0, 0);
+        }
+        std::memcpy(out + i * elem,
+                    src + static_cast<int64_t>(idx[i]) * stride, elem);
+    }
+}
+
+void gather_strided_range(const char* src, int64_t stride, int64_t elem,
+                          const int32_t* idx, char* out,
+                          int64_t lo, int64_t hi) {
+    switch (elem) {
+        case 4:  gather_strided_fixed<4>(src, stride, idx, out, lo, hi); break;
+        case 8:  gather_strided_fixed<8>(src, stride, idx, out, lo, hi); break;
+        case 12: gather_strided_fixed<12>(src, stride, idx, out, lo, hi); break;
+        default: gather_strided_var(src, stride, elem, idx, out, lo, hi); break;
+    }
+}
+
 // ---------------------------------------------------------- radix argsort
 // Stable LSD radix argsort for NON-NEGATIVE int32 keys (graph index
 // streams: destinations bounded by the padded table size). Two 16-bit
@@ -130,6 +176,28 @@ int32_t hostops_argsort_i32(const int32_t* keys, int64_t n,
     radix_pass(keys, nullptr, scratch, n, 0, n_threads);
     radix_pass(keys, scratch, out_perm, n, kRadixBits, n_threads);
     return 0;
+}
+
+// out[i*elem ..+elem] = src[idx[i]*stride ..+elem] with int32 indices.
+// Column offsets are folded into src by the caller. out must be
+// contiguous (elem-packed).
+void hostops_gather_strided_i32(const char* src, int64_t stride,
+                                int64_t elem, const int32_t* idx, char* out,
+                                int64_t n, int32_t n_threads) {
+    if (n_threads <= 1 || n < (int64_t)1 << 16) {
+        gather_strided_range(src, stride, elem, idx, out, 0, n);
+        return;
+    }
+    std::vector<std::thread> workers;
+    int64_t chunk = (n + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+        int64_t lo = t * chunk;
+        int64_t hi = std::min(n, lo + chunk);
+        if (lo >= hi) break;
+        workers.emplace_back(gather_strided_range, src, stride, elem, idx,
+                             out, lo, hi);
+    }
+    for (auto& w : workers) w.join();
 }
 
 // out[i] = src[idx[i]] for byte rows; n rows, row bytes each.

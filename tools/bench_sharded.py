@@ -25,16 +25,60 @@ if os.environ.get("JAX_PLATFORMS") == "cpu":
     # the explicit request for virtual CPU devices (like tests/conftest)
     jax.config.update("jax_platforms", "cpu")
 
+import re  # noqa: E402
+
 from chgnet_tpu import ROOT  # noqa: E402
 from chgnet_tpu.core.structure import Structure  # noqa: E402
 from chgnet_tpu.graph.batching import batch_graphs  # noqa: E402
 from chgnet_tpu.models.chgnet import CHGNet  # noqa: E402
 from chgnet_tpu.parallel import (  # noqa: E402
     compute_batch_sharded,
+    compute_batch_sharded_halo,
     make_mesh,
     shard_batch,
+    shard_batch_halo,
 )
 from chgnet_tpu.utils import timeit  # noqa: E402
+
+_ITEM_BYTES = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
+               "s64": 8, "u64": 8, "s8": 1, "u8": 1, "pred": 1}
+
+
+def collective_wire_bytes(fn, n_dev: int) -> dict[str, int]:
+    """Per-device per-iteration bytes each collective moves over the
+    interconnect, parsed from the COMPILED (SPMD, per-device shapes) HLO.
+
+    Conventions (ring algorithms): all-gather / reduce-scatter /
+    all-to-all move (d-1)/d of the result/operand; all-reduce moves
+    2(d-1)/d; collective-permute moves its full operand."""
+    txt = jax.jit(fn).lower().compile().as_text()
+    out: dict[str, int] = {}
+    # result may be a bare shape or a tuple of shapes:
+    #   %x = f32[8,128]{...} all-gather(...)
+    #   %y = (f32[1,72,16]{...}, f32[1,72,16]{...}) all-to-all(...)
+    pat = re.compile(
+        r"= (\([^)]*\)|\w+\[[0-9,]*\][^ ]*)\s+"
+        r"(all-gather|all-to-all|all-reduce|reduce-scatter|collective-permute)"
+        r"[-.\w]*\("
+    )
+    for shapes_str, op in pat.findall(txt):
+        size = 0
+        for dtype, dims in re.findall(r"(\w+)\[([0-9,]*)\]", shapes_str):
+            if dtype not in _ITEM_BYTES:
+                continue
+            n = 1
+            for v in dims.split(","):
+                if v:
+                    n *= int(v)
+            size += n * _ITEM_BYTES[dtype]
+        factor = (
+            2.0 * (n_dev - 1) / n_dev if op == "all-reduce"
+            else 1.0 if op == "collective-permute"
+            else (n_dev - 1) / n_dev
+        )
+        out[op] = out.get(op, 0) + int(size * factor)
+    out["total"] = sum(out.values())
+    return out
 
 
 def main() -> None:
@@ -84,6 +128,39 @@ def main() -> None:
             # communication pattern only, efficiency is meaningless
             line["note"] = "virtual devices; efficiency not meaningful"
         print(json.dumps(line))
+
+        if n_dev > 1:
+            # halo variant: time it AND compare bytes-on-wire per layer
+            # (compiled-HLO accounting; round-1 review asked for this)
+            sbatch_h, halo = shard_batch_halo(batch, n_dev)
+            run_h = lambda: compute_batch_sharded_halo(  # noqa: B023
+                model.params,
+                sbatch_h,
+                halo,
+                config=model.config,
+                mesh=mesh,
+                compute_force=True,
+                compute_stress=True,
+            )
+            sec_h = timeit(run_h, iters=5, repeats=2)["seconds_per_iter"]
+            bytes_ag = collective_wire_bytes(run, n_dev)
+            bytes_h = collective_wire_bytes(run_h, n_dev)
+            print(
+                json.dumps(
+                    {
+                        "metric": f"halo vs all-gather @ {n_dev} devices",
+                        "halo_edges_per_s": round(n_edges / sec_h, 1),
+                        "allgather_edges_per_s": round(results[n_dev], 1),
+                        "wire_bytes_per_iter_allgather": bytes_ag["total"],
+                        "wire_bytes_per_iter_halo": bytes_h["total"],
+                        "halo_comm_fraction": round(
+                            bytes_h["total"] / max(bytes_ag["total"], 1), 4
+                        ),
+                        "detail_allgather": bytes_ag,
+                        "detail_halo": bytes_h,
+                    }
+                )
+            )
         n_dev *= 2
 
 
