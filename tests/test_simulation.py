@@ -106,8 +106,9 @@ def test_dynamic_cutoff_matches_fresh_graph(model, struct):
 
 def test_runtime_rebuild_tracking(model, struct):
     runtime = GraphRuntime(model.config, [struct], skin=0.3)
-    frac = runtime.batch.frac_coords.copy()
-    lat = runtime.batch.lattices.copy()
+    # batch leaves are device-resident; pull host copies to mutate
+    frac = np.array(runtime.batch.frac_coords)
+    lat = np.array(runtime.batch.lattices)
     assert not runtime.needs_rebuild(frac, lat)
     # large move must trigger a rebuild
     frac2 = frac.copy()
