@@ -406,6 +406,10 @@ class MolecularDynamics:
         self.taup = float(taup if taup is not None else 1000 * timestep)
         self.loginterval = int(loginterval)
         self.chunk_size = int(chunk_size)
+        # drift fraction of the skin at which a background topology
+        # rebuild is launched (the chunk keeps running on the old, still
+        # valid topology while the host builds)
+        self._rebuild_trigger = 0.4
         self._n_steps_done = 0
 
         if bulk_modulus is None and self.ensemble == "npt":
@@ -501,6 +505,18 @@ class MolecularDynamics:
             return 2.0
 
     # -------------------------------------------------------------------- run
+    def _safe_steps(self, drift_fraction: float) -> int:
+        """Upper bound on steps before two atoms could close the skin
+        shell, from the current max atomic speed (with a 1.5x margin for
+        acceleration during the chunk). Keeps long chunks from silently
+        overrunning the Verlet budget mid-scan."""
+        vmax = float(np.abs(np.asarray(self.state.vel)).max()) * np.sqrt(3.0)
+        budget = max(1.0 - drift_fraction, 0.0) * self.runtime.skin
+        per_step = 2.0 * vmax * self.timestep * 1.5
+        if per_step <= 0.0:
+            return self.chunk_size
+        return max(int(budget / per_step), 1)
+
     def run(self, steps: int = 50) -> None:
         """Advance the dynamics by ``steps`` timesteps."""
         record = (
@@ -508,8 +524,17 @@ class MolecularDynamics:
             or self.crystal_feas_observer is not None
         )
         done = 0
+        drift = self.runtime.drift_fraction(
+            np.asarray(self.state.frac), np.asarray(self.state.lat)
+        )
         while done < steps:
-            n_steps = min(self.chunk_size, steps - done)
+            n_steps = min(
+                self.chunk_size, steps - done, self._safe_steps(drift)
+            )
+            if n_steps < min(self.chunk_size, steps - done):
+                # round down to a power of two: each distinct scan length
+                # is a separate compile, so bucket the adaptive lengths
+                n_steps = 1 << (n_steps.bit_length() - 1)
             self.state, ys = md_chunk(
                 self.model.params,
                 self.runtime.batch,
@@ -529,8 +554,22 @@ class MolecularDynamics:
             self._n_steps_done += n_steps
             frac = np.asarray(self.state.frac)
             lat = np.asarray(self.state.lat)
-            if self.runtime.needs_rebuild(frac, lat):
-                self.runtime.rebuild(frac, lat)
+            # swap in any finished background rebuild, then judge drift
+            # against the (possibly new) reference positions
+            self.runtime.poll_rebuild()
+            drift = self.runtime.drift_fraction(frac, lat)
+            if drift >= 1.0:
+                # budget exhausted: a rebuild must land before stepping on
+                if self.runtime.finish_rebuild():
+                    drift = self.runtime.drift_fraction(frac, lat)
+                if drift >= 1.0:
+                    self.runtime.rebuild(frac, lat)
+                    drift = 0.0
+            elif drift >= self._rebuild_trigger:
+                # start rebuilding in the background while the device keeps
+                # stepping on the still-valid topology (hides the ~0.5 s
+                # host build at 10k atoms entirely)
+                self.runtime.launch_rebuild(frac, lat)
         if self.observers is not None and self._trajectory_path:
             for idx, obs in enumerate(self.observers):
                 suffix = "" if self._single else f".{idx}"

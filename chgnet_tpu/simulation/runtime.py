@@ -138,15 +138,23 @@ class GraphRuntime:
         self._cap_e = 0
         self._cap_a = 0
         self.n_rebuilds = -1  # first build is not a "rebuild"
+        self._pending = None
+        self._executor = None
         self.batch = self._build(
             [s.frac_coords for s in structures],
             np.stack([s.lattice.matrix for s in structures]),
         )
 
     # ----------------------------------------------------------------- build
-    def _build(
-        self, frac_list: list[np.ndarray], lattices: np.ndarray
-    ) -> GraphBatch:
+    def _build_worker(
+        self,
+        frac_list: list[np.ndarray],
+        lattices: np.ndarray,
+        cap_e: int,
+        cap_a: int,
+    ) -> dict:
+        """Thread-safe build: touches no runtime state (capacities in/out),
+        so it can run on the background rebuild executor."""
         graphs = []
         for idx in range(self.n_structs):
             struct = Structure(
@@ -157,37 +165,115 @@ class GraphRuntime:
             graphs.append(self.converter(struct, graph_id=str(idx)))
         tot_e = sum(g.n_directed for g in graphs)
         tot_a = sum(g.n_angles for g in graphs)
-        self._cap_e = max(self._cap_e, round_up(tot_e))
-        self._cap_a = max(self._cap_a, round_up(max(tot_a, 1)))
-        batch = batch_graphs(
-            graphs, capacities=(self.cap_n, self._cap_e, self._cap_a)
-        )
-        self._ref_frac = batch.frac_coords.copy()
-        self._ref_lat = batch.lattices.copy()
-        self._ref_inv_lat = np.linalg.inv(self._ref_lat)
-        self.n_rebuilds += 1
+        cap_e = max(cap_e, round_up(tot_e))
+        cap_a = max(cap_a, round_up(max(tot_a, 1)))
+        batch = batch_graphs(graphs, capacities=(self.cap_n, cap_e, cap_a))
+        ref_frac = batch.frac_coords.copy()
+        ref_lat = batch.lattices.copy()
+        atom_owner = batch.atom_owner.copy()
         # keep the topology DEVICE-resident: simulation loops pass the
         # batch into a jitted step every chunk, and host numpy leaves
         # would be re-transferred each call (~3.6 s per call at the
         # 10k-atom scale through the dev tunnel — measured)
-        return jax.device_put(batch)
+        return {
+            "batch": jax.device_put(batch),
+            "ref_frac": ref_frac,
+            "ref_lat": ref_lat,
+            "atom_owner": atom_owner,
+            "cap_e": cap_e,
+            "cap_a": cap_a,
+        }
 
-    def rebuild(self, frac: np.ndarray, lattices: np.ndarray) -> GraphBatch:
-        """Rebuild topology from padded frac [cap_n, 3] and lattices [B, 3, 3]."""
-        frac = np.asarray(frac, dtype=np.float64)
-        lattices = np.asarray(lattices, dtype=np.float64)
-        frac_list = [
+    def _apply_build(self, built: dict) -> GraphBatch:
+        self._cap_e = built["cap_e"]
+        self._cap_a = built["cap_a"]
+        self._ref_frac = built["ref_frac"]
+        self._ref_lat = built["ref_lat"]
+        self._ref_inv_lat = np.linalg.inv(self._ref_lat)
+        self._atom_owner_np = built["atom_owner"]
+        self.n_rebuilds += 1
+        self.batch = built["batch"]
+        return self.batch
+
+    def _build(
+        self, frac_list: list[np.ndarray], lattices: np.ndarray
+    ) -> GraphBatch:
+        return self._apply_build(
+            self._build_worker(frac_list, lattices, self._cap_e, self._cap_a)
+        )
+
+    def _split(self, frac: np.ndarray) -> list[np.ndarray]:
+        return [
             frac[self.offsets[i]: self.offsets[i + 1]]
             for i in range(self.n_structs)
         ]
-        self.batch = self._build(frac_list, lattices)
+
+    def rebuild(self, frac: np.ndarray, lattices: np.ndarray) -> GraphBatch:
+        """Rebuild topology from padded frac [cap_n, 3] and lattices [B, 3, 3]."""
+        if self._pending is not None:
+            # a fresh synchronous build supersedes any in-flight one;
+            # wait it out (the worker may hold the native lib) and drop it
+            self._pending.cancel()
+            if not self._pending.cancelled():
+                self._pending.result()
+            self._pending = None
+        frac = np.asarray(frac, dtype=np.float64)
+        lattices = np.asarray(lattices, dtype=np.float64)
+        self._build(self._split(frac), lattices)
         return self.batch
 
+    # ------------------------------------------------------- async rebuild
+    # The host graph build takes O(0.5 s) at 10k atoms — synchronous
+    # rebuilds stall the device every few steps at small skins. Instead
+    # the simulation loop LAUNCHES a rebuild on a background thread as
+    # soon as drift crosses a trigger fraction of the skin and keeps
+    # stepping on the (still-valid) old topology; the Verlet criterion is
+    # judged against the positions the pending build was launched from,
+    # so correctness is unchanged.
+    def launch_rebuild(self, frac: np.ndarray, lattices: np.ndarray) -> bool:
+        """Start a background rebuild from these positions. Returns False
+        if one is already pending."""
+        if self._pending is not None:
+            return False
+        if self._executor is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._executor = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="graph-rebuild"
+            )
+        frac = np.array(frac, dtype=np.float64)
+        lattices = np.array(lattices, dtype=np.float64)
+        self._pending = self._executor.submit(
+            self._build_worker,
+            self._split(frac),
+            lattices,
+            self._cap_e,
+            self._cap_a,
+        )
+        return True
+
+    def poll_rebuild(self) -> bool:
+        """Swap in a finished background rebuild; False if none ready."""
+        if self._pending is not None and self._pending.done():
+            self._apply_build(self._pending.result())
+            self._pending = None
+            return True
+        return False
+
+    def finish_rebuild(self) -> bool:
+        """Block until a pending background rebuild lands (True), or
+        return False if none was pending."""
+        if self._pending is None:
+            return False
+        self._apply_build(self._pending.result())
+        self._pending = None
+        return True
+
     # --------------------------------------------------------- rebuild check
-    def needs_rebuild(self, frac: np.ndarray, lattices: np.ndarray) -> bool:
-        """Verlet-list criterion: rebuild when two atoms could have closed
-        the skin shell (2 x max displacement) or lattice strain could have
-        stretched a build-radius bond by the remaining margin."""
+    def drift_fraction(self, frac: np.ndarray, lattices: np.ndarray) -> float:
+        """Fraction of the skin budget consumed since the current batch was
+        built: 2 x max displacement + strain-stretched build radius, over
+        the skin. >= 1.0 means two atoms could have closed the shell."""
         frac = np.asarray(frac)
         lattices = np.asarray(lattices)
         disp = np.einsum(
@@ -200,10 +286,16 @@ class GraphRuntime:
             max(np.linalg.norm(s, 2) for s in strain)
         )
         r_build = self.config.atom_graph_cutoff + self.skin
-        return 2.0 * max_disp + strain_norm * r_build >= self.skin
+        return (2.0 * max_disp + strain_norm * r_build) / self.skin
+
+    def needs_rebuild(self, frac: np.ndarray, lattices: np.ndarray) -> bool:
+        """Verlet-list criterion: rebuild when two atoms could have closed
+        the skin shell (2 x max displacement) or lattice strain could have
+        stretched a build-radius bond by the remaining margin."""
+        return self.drift_fraction(frac, lattices) >= 1.0
 
     def _atom_owner(self) -> np.ndarray:
-        return np.asarray(self.batch.atom_owner)
+        return self._atom_owner_np
 
     # ------------------------------------------------------------- unpadding
     def unpad(self, arr: np.ndarray, graph_idx: int) -> np.ndarray:

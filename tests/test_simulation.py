@@ -236,6 +236,28 @@ def test_md_nve_conserves_energy(model, struct):
     assert abs(e1 - e0) < 0.1 * scale + 5e-3
 
 
+def test_md_async_rebuild_conserves_energy(model, struct):
+    """A tiny skin forces topology rebuilds every couple of steps; the
+    background (async) rebuild path must keep NVE conservation and judge
+    the Verlet budget against the pending build's launch positions."""
+    md = MolecularDynamics(
+        struct.make_supercell((2, 2, 1)),
+        model=model,
+        ensemble="nve",
+        starting_temperature=600.0,
+        timestep=2.0,
+        seed=0,
+        skin=0.08,
+        chunk_size=8,
+    )
+    e0 = float(md.state.epot[0]) + _ekin(md)
+    md.run(40)
+    e1 = float(md.state.epot[0]) + _ekin(md)
+    assert md.runtime.n_rebuilds >= 2  # the async machinery actually ran
+    scale = max(abs(_ekin(md)), 0.05)
+    assert abs(e1 - e0) < 0.1 * scale + 5e-3
+
+
 def _ekin(md) -> float:
     from chgnet_tpu.simulation.md import kinetic_energy
 
