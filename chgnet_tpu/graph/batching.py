@@ -5,8 +5,8 @@ The reference batches graphs by ragged concatenation at forward time
 shapes — hostile to XLA. Here a batch is a fixed-size ``GraphBatch`` of
 flat arrays padded to bucketed capacities:
 
-* padding *gather* indices point at row 0 (always in range; results are
-  masked), with padded edges given image (1, 0, 0) so their bond length is
+* padding *gather* indices point at the last valid row (always in range;
+  results are masked), with padded edges given image (1, 0, 0) so their bond length is
   one lattice vector — strictly positive, keeping norms/acos and their
   gradients finite (no NaN can leak through masked lanes),
 * padding *scatter* indices point one-past-the-end, so XLA's drop-out-of-
@@ -28,6 +28,7 @@ import numpy as np
 
 from chgnet_tpu.graph.crystalgraph import CrystalGraph
 from chgnet_tpu.ops.scatter import GatherPlan, make_plan
+from chgnet_tpu.utils.native.hostops import stable_argsort_i32
 from chgnet_tpu.ops.stream_ops import C as _STREAM_CHUNK
 
 _NO_PLAN = GatherPlan(np.zeros(0, np.int32), np.zeros(0, np.int32))
@@ -53,8 +54,9 @@ class GraphBatch(NamedTuple):
     edge_mask: np.ndarray  # f32 [E]
     undirected2directed: np.ndarray  # i32 [U] gather index
     und_mask: np.ndarray  # f32 [U]
-    bond_graph: np.ndarray  # i32 [A, 5] gather indices
+    bond_graph: np.ndarray  # i32 [A, 5] gather indices (dir_i-sorted rows)
     angle_scatter: np.ndarray  # i32 [A] undirected bond i or U (drop)
+    angle_scatter_dir: np.ndarray  # i32 [A] directed bond i or E (drop)
     angle_mask: np.ndarray  # f32 [A]
     # optional dense per-atom edge layout (built with dense_k=True):
     # regularizes AtomConv so the scatter becomes a sum over the K axis
@@ -67,14 +69,15 @@ class GraphBatch(NamedTuple):
     plan_nbr: GatherPlan = _NO_PLAN  # atom_graph[:, 1] -> atom table
     plan_d2u: GatherPlan = _NO_PLAN  # directed2undirected -> bond table
     plan_u2d: GatherPlan = _NO_PLAN  # undirected2directed -> edge stream
+    # angle rows are dir_i-sorted, so plan_ang_vi is the sorted plan that
+    # also drives the [A] -> [E] BondConv partial-sum (dst equals
+    # angle_scatter_dir); vj/center are window-local
     plan_ang_vi: GatherPlan = _NO_PLAN  # bond_graph[:, 2] -> edge stream
     plan_ang_vj: GatherPlan = _NO_PLAN  # bond_graph[:, 4] -> edge stream
     plan_ang_c: GatherPlan = _NO_PLAN  # bond_graph[:, 0] -> atom table
-    plan_ang_bj: GatherPlan = _NO_PLAN  # bond_graph[:, 3] -> bond table
     # forward-scatter plans (sorted by construction): dst equals
-    # edge_scatter / angle_scatter, block plans feed the streaming kernel
+    # edge_scatter, block plans feed the streaming kernel
     plan_center: GatherPlan = _NO_PLAN  # atom_graph[:, 0]; dst == edge_scatter
-    plan_ang_bi: GatherPlan = _NO_PLAN  # bond_graph[:, 1]; dst == angle_scatter
 
     @property
     def n_graphs(self) -> int:
@@ -203,6 +206,40 @@ def batch_graphs(
         u_off += u
         an_off += a
 
+    # padded GATHER indices point at the LAST valid row (in range, masked,
+    # and window-friendly for the streaming gather kernel: tail blocks'
+    # source windows stay near the table end instead of spanning to row 0;
+    # both atoms of a padded edge coincide, so with image (1,0,0) its bond
+    # vector is exactly -lattice_row — norm finite, gradients zero)
+    atom_graph[e_off:] = max(a_off - 1, 0)
+    directed2undirected[e_off:] = max(u_off - 1, 0)
+    undirected2directed[u_off:] = max(e_off - 1, 0)
+    bond_graph[an_off:, 0] = max(a_off - 1, 0)
+    bond_graph[an_off:, 1] = max(u_off - 1, 0)
+    bond_graph[an_off:, 3] = max(u_off - 1, 0)
+    bond_graph[an_off:, 2] = max(e_off - 1, 0)
+    bond_graph[an_off:, 4] = max(e_off - 1, 0)
+
+    # DIRECTED angle-stream layout: sort angle rows by their directed
+    # bond-i edge (pads keyed one-past-the-end stay at the tail). Every
+    # row's dir_i AND dir_j share the row's center atom, so afterwards all
+    # angle-side gathers are sorted (dir_i) or window-local (dir_j,
+    # center) — streaming-kernel eligible — and BondConv partial-sums into
+    # the sorted directed stream before reducing to undirected bonds via
+    # d2u. Und-sorted rows would reference first-appearance bond ids,
+    # which profile as whole-table random gathers on TPU.
+    a_key = np.where(angle_mask > 0, bond_graph[:, 2], cap_e).astype(
+        np.int32
+    )
+    if not bool((np.diff(a_key) >= 0).all()):
+        a_order = stable_argsort_i32(a_key)
+        bond_graph = bond_graph[a_order]
+        angle_scatter = angle_scatter[a_order]
+        angle_mask = angle_mask[a_order]
+    angle_scatter_dir = np.where(
+        angle_mask > 0, bond_graph[:, 2], cap_e
+    ).astype(np.int32)
+
     dense = {}
     if dense_k:
         counts = np.bincount(
@@ -250,6 +287,7 @@ def batch_graphs(
         und_mask=und_mask,
         bond_graph=bond_graph,
         angle_scatter=angle_scatter,
+        angle_scatter_dir=angle_scatter_dir,
         angle_mask=angle_mask,
         plan_nbr=make_plan(atom_graph[:, 1], e_valid, cap_n),
         plan_d2u=make_plan(directed2undirected, e_valid, cap_u),
@@ -259,15 +297,13 @@ def batch_graphs(
         plan_u2d=make_plan(
             undirected2directed, und_mask > 0, cap_e, assume_sorted=True
         ),
-        plan_ang_vi=make_plan(bond_graph[:, 2], a_valid, cap_e),
+        plan_ang_vi=make_plan(
+            bond_graph[:, 2], a_valid, cap_e, assume_sorted=True
+        ),
         plan_ang_vj=make_plan(bond_graph[:, 4], a_valid, cap_e),
         plan_ang_c=make_plan(bond_graph[:, 0], a_valid, cap_n),
-        plan_ang_bj=make_plan(bond_graph[:, 3], a_valid, cap_u),
         plan_center=make_plan(
             atom_graph[:, 0], e_valid, cap_n, assume_sorted=True
-        ),
-        plan_ang_bi=make_plan(
-            bond_graph[:, 1], a_valid, cap_u, assume_sorted=True
         ),
         **dense,
     )

@@ -52,14 +52,14 @@ from chgnet_tpu.models.functions import (
     segment_sum,
 )
 from chgnet_tpu.models.layers import (
-    angle_update_apply,
+    angle_update_apply_directed,
     angle_update_init,
     atom_conv_apply,
     atom_conv_dense_apply,
     atom_conv_init,
     attention_readout_apply,
     attention_readout_init,
-    bond_conv_apply,
+    bond_conv_apply_directed,
     bond_conv_init,
     graph_pool,
 )
@@ -271,15 +271,18 @@ def _energy_core(
             if batch.plan_center.dst.shape[0] > 0
             else GatherPlan(_empty, batch.edge_scatter)
         )
-        p_ang_bi = (
-            batch.plan_ang_bi
-            if batch.plan_ang_bi.dst.shape[0] > 0
-            else GatherPlan(_empty, batch.angle_scatter)
+        p_ang_vi = (
+            batch.plan_ang_vi
+            if batch.plan_ang_vi.dst.shape[0] > 0
+            else GatherPlan(_empty, batch.angle_scatter_dir)
         )
         atom_plans = (p_center, batch.plan_d2u, batch.plan_nbr)
-        bond_plans = (p_ang_bi, batch.plan_ang_bj, batch.plan_ang_c)
+        # directed angle path: (dir_i, dir_j, center, d2u)
+        bond_plans = (
+            p_ang_vi, batch.plan_ang_vj, batch.plan_ang_c, batch.plan_d2u
+        )
         p_nbr, p_u2d = batch.plan_nbr, batch.plan_u2d
-        p_ang_vi, p_ang_vj = batch.plan_ang_vi, batch.plan_ang_vj
+        p_ang_vj = batch.plan_ang_vj
     else:
         atom_plans = bond_plans = None
         p_center = p_nbr = p_u2d = p_ang_vi = p_ang_vj = None
@@ -422,14 +425,15 @@ def _energy_core(
 
     def bond_step(bond_p, atom_feas, bond_feas, bond_weights_bg,
                   angle_feas, rng):
-        return bond_conv_apply(
+        return bond_conv_apply_directed(
             bond_p,
             atom_feas,
             bond_feas,
             bond_weights_bg,
             angle_feas,
             batch.bond_graph,
-            batch.angle_scatter,
+            batch.angle_scatter_dir,
+            batch.directed2undirected,
             angle_mask,
             activation=act,
             fused=cfg.fused_kernels,
@@ -439,12 +443,13 @@ def _energy_core(
         )
 
     def angle_step(angle_p, atom_feas, bond_feas, angle_feas, rng):
-        return angle_update_apply(
+        return angle_update_apply_directed(
             angle_p,
             atom_feas,
             bond_feas,
             angle_feas,
             batch.bond_graph,
+            batch.directed2undirected,
             activation=act,
             plans=bond_plans,
             dropout=conv_rate,

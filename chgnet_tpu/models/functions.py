@@ -256,11 +256,28 @@ def gated_mlp_apply(
 
 
 def _split_part(part):
-    """parts entries are (table, idx) or (table, idx, GatherPlan)."""
+    """parts entries are (table, idx) or (table, idx, GatherPlan).
+
+    ``idx`` may also be a CHAIN ``[(idx1, plan1), (idx2, plan2), ...]``:
+    the projected table is gathered through each stage in order (used by
+    the directed angle path: undirected bond table -> directed expansion
+    via d2u -> per-angle rows via the sorted/window-local dir streams)."""
     if len(part) == 3:
         return part
     table, idx = part
     return table, idx, None
+
+
+def _gather_part(proj, idx, plan):
+    from chgnet_tpu.ops.scatter import plan_gather
+
+    if idx is None:
+        return proj
+    if isinstance(idx, (list, tuple)):
+        for stage_idx, stage_plan in idx:
+            proj = plan_gather(proj, stage_idx, stage_plan)
+        return proj
+    return plan_gather(proj, idx, plan)
 
 
 def first_layer_acc_joint(
@@ -280,8 +297,7 @@ def first_layer_acc_joint(
         table, idx, plan = _split_part(part)
         d_k = table.shape[1]
         proj = jnp.dot(table, first_w[offset: offset + d_k])
-        if idx is not None:
-            proj = plan_gather(proj, idx, plan)
+        proj = _gather_part(proj, idx, plan)
         acc = proj if acc is None else acc + proj
         offset += d_k
     if "b" in layers_c[0]:

@@ -297,6 +297,127 @@ def bond_conv_apply(
     return new_bond_feas
 
 
+def bond_conv_apply_directed(
+    params: Params,
+    atom_feas: jnp.ndarray,  # [N, d_atom]
+    bond_feas: jnp.ndarray,  # [U, d_bond]
+    bond_weights: jnp.ndarray,  # [U, d_bond]
+    angle_feas: jnp.ndarray,  # [A, d_angle]
+    bond_graph: jnp.ndarray,  # [A, 5] rows SORTED by directed bond i
+    angle_scatter_dir: jnp.ndarray,  # [A] dir_i (padding -> E, dropped)
+    d2u: jnp.ndarray,  # [E] undirected id per directed edge
+    angle_mask: jnp.ndarray,  # [A]
+    *,
+    activation: str = "silu",
+    resnet: bool = True,
+    fused: bool = False,
+    plans: tuple | None = None,  # (dir_i, dir_j, center, d2u) GatherPlans
+    dropout: float = 0.0,
+    rng: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """BondConv over the DIRECTED angle-stream layout.
+
+    Same math as :func:`bond_conv_apply` (``layers.py:208-265`` in the
+    reference), restructured for the TPU memory system: angle rows arrive
+    sorted by their directed bond-i edge, whose center equals the row's
+    center — so after expanding the (projected) undirected bond tables to
+    the directed edge stream via ``d2u`` (one [E, *] gather per table),
+    every per-angle gather is SORTED (dir_i) or window-local (dir_j,
+    center) and rides the streaming Pallas kernels. The message sum then
+    lands in the sorted directed stream and reduces to undirected bonds
+    through the d2u plan. Undirected-keyed rows (the und-sorted layout)
+    reference first-appearance bond ids, which profile as whole-table
+    random gathers — the round-2 bottleneck this layout removes.
+    """
+    from chgnet_tpu.ops.scatter import plan_segment_sum_perm
+
+    p_i, p_j, p_c, p_d2u = plans if plans is not None else (None,) * 4
+    dir_i = bond_graph[:, 2]
+    dir_j = bond_graph[:, 4]
+    chain_i = [(d2u, p_d2u), (dir_i, p_i)]
+    chain_j = [(d2u, p_d2u), (dir_j, p_j)]
+    parts = [
+        (bond_feas, chain_i, None),
+        (bond_feas, chain_j, None),
+        (angle_feas, None),
+        (atom_feas, bond_graph[:, 0], p_c),
+    ]
+    w_dir = plan_gather(bond_weights, d2u, p_d2u)  # [E, d] shared
+    weights_a = plan_gather(w_dir, dir_i, p_i) * plan_gather(
+        w_dir, dir_j, p_j
+    )
+    gmlp = params["gated_mlp"]
+    if rng is not None and dropout > 0.0:
+        fused = False  # the Pallas tail has no dropout support
+    if fused and gated_mlp_fusable(gmlp, activation):
+        from chgnet_tpu.ops.gated_message import fused_gated_message
+
+        update = fused_gated_message(
+            first_layer_acc_joint(
+                gmlp["core"]["layers"], gmlp["gate"]["layers"], parts
+            ),
+            weights_a,
+            angle_mask,
+            gated_mlp_fused_pack(gmlp),
+        )
+    else:
+        update = gated_mlp_gather_apply(
+            gmlp, parts, activation=activation, dropout=dropout, rng=rng
+        )
+        update = update * weights_a * angle_mask[:, None]
+    # [A] -> [E] partial sums on the sorted directed stream, then [E] -> [U]
+    partial = plan_segment_sum(
+        update, angle_scatter_dir, d2u.shape[0], p_i
+    )
+    new_bond_feas = plan_segment_sum_perm(
+        partial, d2u, bond_feas.shape[0], p_d2u
+    )
+    if "mlp_out" in params:
+        new_bond_feas = mlp_apply(params["mlp_out"], new_bond_feas)
+    if resnet:
+        new_bond_feas = new_bond_feas + bond_feas
+    if "norm" in params:
+        new_bond_feas = layer_norm_apply(params["norm"], new_bond_feas)
+    return new_bond_feas
+
+
+def angle_update_apply_directed(
+    params: Params,
+    atom_feas: jnp.ndarray,
+    bond_feas: jnp.ndarray,
+    angle_feas: jnp.ndarray,
+    bond_graph: jnp.ndarray,  # [A, 5] rows SORTED by directed bond i
+    d2u: jnp.ndarray,  # [E]
+    *,
+    activation: str = "silu",
+    resnet: bool = True,
+    plans: tuple | None = None,  # (dir_i, dir_j, center, d2u) GatherPlans
+    dropout: float = 0.0,
+    rng: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """AngleUpdate over the directed layout (see
+    :func:`bond_conv_apply_directed`); elementwise per angle row, so only
+    the gather side changes."""
+    p_i, p_j, p_c, p_d2u = plans if plans is not None else (None,) * 4
+    new_angle_feas = gated_mlp_gather_apply(
+        params["gated_mlp"],
+        [
+            (bond_feas, [(d2u, p_d2u), (bond_graph[:, 2], p_i)], None),
+            (bond_feas, [(d2u, p_d2u), (bond_graph[:, 4], p_j)], None),
+            (angle_feas, None),
+            (atom_feas, bond_graph[:, 0], p_c),
+        ],
+        activation=activation,
+        dropout=dropout,
+        rng=rng,
+    )
+    if resnet:
+        new_angle_feas = new_angle_feas + angle_feas
+    if "norm" in params:
+        new_angle_feas = layer_norm_apply(params["norm"], new_angle_feas)
+    return new_angle_feas
+
+
 # --------------------------------------------------------------- AngleUpdate
 def angle_update_init(
     rng: np.random.Generator,

@@ -56,6 +56,11 @@ class GatherPlan(NamedTuple):
     blk_lo: np.ndarray = np.zeros(0, np.int32)  # i32 [n_blocks] or [0]
     blk_cnt: np.ndarray = np.zeros(0, np.int32)  # i32 [n_blocks] or [0]
     raw: np.ndarray = np.zeros(0, np.int32)  # i32 [L] or [0]
+    # forward-gather window plan (ops/stream_ops.py streaming gather):
+    # per BO-row stream block, the source chunk window covering every
+    # valid row's index. Empty disables the forward kernel.
+    g_lo: np.ndarray = np.zeros(0, np.int32)  # i32 [L // BO] or [0]
+    g_cnt: np.ndarray = np.zeros(0, np.int32)  # i32 [L // BO] or [0]
 
 
 _EMPTY = np.zeros(0, np.int32)
@@ -84,29 +89,54 @@ def make_plan(
     idx = np.asarray(idx)
     key = np.where(valid, idx, num_segments).astype(np.int32)
     aligned = key.shape[0] > 0 and key.shape[0] % stream_ops.C == 0
+
+    def gather_window() -> dict:
+        """Forward-gather window plan, kept only when the stream is
+        window-local (a random stream would stream the whole table per
+        block and must stay on XLA's gather). Windows cover EVERY row —
+        padded gather indices point at the last valid row (batching
+        convention), so the kernel output is bit-identical to XLA's
+        gather on padded rows too."""
+        gp = stream_ops.build_gather_plan(
+            idx, np.ones(idx.shape[0], dtype=bool), num_segments
+        )
+        if gp is None:
+            return {}
+        g_lo, g_cnt, visits = gp
+        min_chunks = max(key.shape[0] // stream_ops.C, 1)
+        if visits <= max(_LOCAL_VISIT_FACTOR * min_chunks, min_chunks + 16):
+            return {"g_lo": g_lo, "g_cnt": g_cnt}
+        return {}
+
     if assume_sorted:
         if not bool((np.diff(key) >= 0).all()):
             raise ValueError("assume_sorted plan over an unsorted stream")
         if not aligned:
             return GatherPlan(perm=_EMPTY, dst=key)
         blk_lo, blk_cnt = stream_ops.build_block_plan(key, num_segments)
-        return GatherPlan(perm=_EMPTY, dst=key, blk_lo=blk_lo, blk_cnt=blk_cnt)
+        return GatherPlan(
+            perm=_EMPTY, dst=key, blk_lo=blk_lo, blk_cnt=blk_cnt,
+            **gather_window(),
+        )
     from chgnet_tpu.utils.native.hostops import stable_argsort_i32
 
     perm = stable_argsort_i32(key)
     dst = key[perm]
     if not aligned:
         return GatherPlan(perm=perm, dst=dst)
+    gw = gather_window()
     lo_l, cnt_l, visits = stream_ops.build_block_plan_local(
         key, perm, num_segments
     )
     min_chunks = max(int(np.count_nonzero(key < num_segments)) // stream_ops.C, 1)
     if visits <= max(_LOCAL_VISIT_FACTOR * min_chunks, min_chunks + 16):
         return GatherPlan(
-            perm=perm, dst=dst, blk_lo=lo_l, blk_cnt=cnt_l, raw=key
+            perm=perm, dst=dst, blk_lo=lo_l, blk_cnt=cnt_l, raw=key, **gw
         )
     blk_lo, blk_cnt = stream_ops.build_block_plan(dst, num_segments)
-    return GatherPlan(perm=perm, dst=dst, blk_lo=blk_lo, blk_cnt=blk_cnt)
+    return GatherPlan(
+        perm=perm, dst=dst, blk_lo=blk_lo, blk_cnt=blk_cnt, **gw
+    )
 
 
 def _stream_eligible(x, plan_blk_lo, n_out: int) -> bool:
@@ -131,19 +161,34 @@ def _planned_segsum(ct, perm, dst, blk_lo, blk_cnt, raw, num_segments):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
-def _gather_planned(table, idx, perm, dst, blk_lo, blk_cnt, raw, num_segments):
+def _gather_fwd_impl(table, idx, g_lo, g_cnt):
+    """Forward gather: the streaming window kernel when the plan carries
+    a gather window and shapes qualify, else XLA's gather. NOTE the
+    kernel zeroes rows whose index falls outside the window — only
+    masked/padded rows by plan construction, and every consumer masks."""
+    if stream_ops.stream_gather_ok(table, idx.shape[0], g_lo):
+        return stream_ops._gather_pallas(table, idx, g_lo, g_cnt)
     return table[idx]
 
 
-def _gather_planned_fwd(table, idx, perm, dst, blk_lo, blk_cnt, raw, num_segments):
-    return table[idx], (perm, dst, blk_lo, blk_cnt, raw)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+def _gather_planned(
+    table, idx, perm, dst, blk_lo, blk_cnt, raw, g_lo, g_cnt, num_segments
+):
+    return _gather_fwd_impl(table, idx, g_lo, g_cnt)
+
+
+def _gather_planned_fwd(
+    table, idx, perm, dst, blk_lo, blk_cnt, raw, g_lo, g_cnt, num_segments
+):
+    out = _gather_fwd_impl(table, idx, g_lo, g_cnt)
+    return out, (perm, dst, blk_lo, blk_cnt, raw)
 
 
 def _gather_planned_bwd(num_segments, res, ct):
     perm, dst, blk_lo, blk_cnt, raw = res
     dtable = _planned_segsum(ct, perm, dst, blk_lo, blk_cnt, raw, num_segments)
-    return (dtable, None, None, None, None, None, None)
+    return (dtable,) + (None,) * 8
 
 
 _gather_planned.defvjp(_gather_planned_fwd, _gather_planned_bwd)
@@ -152,8 +197,9 @@ _gather_planned.defvjp(_gather_planned_fwd, _gather_planned_bwd)
 def plan_gather(
     table: jnp.ndarray, idx: jnp.ndarray, plan: GatherPlan | None
 ) -> jnp.ndarray:
-    """``table[idx]`` whose backward follows ``plan`` (sorted segment sum,
-    or the Pallas streaming kernel when the plan carries a block plan).
+    """``table[idx]`` whose forward rides the streaming window-gather
+    kernel (when the plan carries a gather window) and whose backward
+    follows ``plan`` (sorted segment sum / streaming kernel).
 
     ``plan=None`` (or an empty plan) falls back to the plain gather with
     XLA's default scatter-add transpose.
@@ -162,7 +208,59 @@ def plan_gather(
         return table[idx]
     return _gather_planned(
         table, idx, plan.perm, plan.dst, plan.blk_lo, plan.blk_cnt,
-        plan.raw, table.shape[0],
+        plan.raw, plan.g_lo, plan.g_cnt, table.shape[0],
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _segsum_perm(
+    data, ids, perm, dst, blk_lo, blk_cnt, raw, num_segments
+):
+    return _planned_segsum(
+        data, perm, dst, blk_lo, blk_cnt, raw, num_segments
+    )
+
+
+def _segsum_perm_fwd(
+    data, ids, perm, dst, blk_lo, blk_cnt, raw, num_segments
+):
+    out = _planned_segsum(
+        data, perm, dst, blk_lo, blk_cnt, raw, num_segments
+    )
+    return out, ids
+
+
+def _segsum_perm_bwd(num_segments, ids, ct):
+    # d data[i] = ct[ids[i]]; dropped rows (ids >= num_segments) get zero.
+    # Routing the transpose through a GATHER here (instead of letting XLA
+    # transpose the forward's permutation gather into a scatter-add) is
+    # the point of the custom vjp.
+    safe = jnp.minimum(ids, num_segments - 1)
+    d = jnp.take(ct, safe, axis=0)
+    d = jnp.where((ids < num_segments)[:, None], d, 0)
+    return (d.astype(ct.dtype),) + (None,) * 6
+
+
+_segsum_perm.defvjp(_segsum_perm_fwd, _segsum_perm_bwd)
+
+
+def plan_segment_sum_perm(
+    data: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+    plan: GatherPlan | None,
+) -> jnp.ndarray:
+    """Segment-sum of an UNSORTED stream through its permutation plan
+    (permute-then-sorted-kernel forward, gather backward). ``segment_ids``
+    padding maps to ``num_segments`` (dropped). Falls back to
+    ``jax.ops.segment_sum`` without a plan."""
+    if plan is None or (
+        plan.perm.shape[0] == 0 and plan.raw.shape[0] == 0
+    ):
+        return jax.ops.segment_sum(data, segment_ids, num_segments)
+    return _segsum_perm(
+        data, segment_ids, plan.perm, plan.dst, plan.blk_lo, plan.blk_cnt,
+        plan.raw, num_segments,
     )
 
 

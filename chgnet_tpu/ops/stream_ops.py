@@ -268,6 +268,160 @@ def _segsum_sorted_bwd(n_out, dst, ct):
 segment_sum_sorted.defvjp(_segsum_sorted_fwd, _segsum_sorted_bwd)
 
 
+def build_gather_plan(
+    idx: np.ndarray,  # [L] source-row ids per stream row
+    valid: np.ndarray,  # [L] bool, False rows are ignored (masked later)
+    n_src: int,
+) -> tuple[np.ndarray, np.ndarray, int] | None:
+    """Per stream block of ``BO`` rows: the source chunk window
+    [chunk_lo, chunk_lo + n_chunks * C) covering every VALID row's index.
+    Returns ``(chunk_lo, n_chunks, total_visits)`` — or None when the
+    stream is not kernel-aligned. The caller cost-gates on total_visits
+    (a window-LOCAL stream visits ~1-2 chunks per block; a random stream
+    would visit the whole table and must stay on XLA's gather)."""
+    idx = np.asarray(idx)
+    L = idx.shape[0]
+    if L == 0 or L % BO or n_src < C:
+        return None
+    # int64 throughout: a max-int sentinel would WRAP to -1 under numpy's
+    # weak promotion against an int32 block array
+    blocks = idx.reshape(-1, BO).astype(np.int64)
+    ok = np.asarray(valid).reshape(-1, BO)
+    lo = np.where(ok, blocks, np.iinfo(np.int64).max).min(axis=1)
+    hi = np.where(ok, blocks, -1).max(axis=1)
+    empty = hi < 0
+    lo = np.where(empty, 0, lo)
+    hi = np.where(empty, 0, hi)
+    chunk_lo = (lo // C) * C
+    n_chunks = np.where(empty, 0, -(-(hi + 1 - chunk_lo) // C))
+    return (
+        chunk_lo.astype(np.int32),
+        n_chunks.astype(np.int32),
+        int(n_chunks.sum()),
+    )
+
+
+def _gather_kernel(chunk_lo_ref, n_chunks_ref, idxb_ref, src_hbm, out_ref,
+                   sbuf, acc, ssem, *, n_src, d, prec):
+    """One output block of BO gathered rows: DMA the block's source chunk
+    window HBM->VMEM (double-buffered) and expand rows with one-hot MXU
+    matmuls — the exact dual of ``_segsum_kernel``. Rows whose index
+    falls outside the window (only masked/padded rows, by plan
+    construction) come out zero."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    P = max(128 // d, 1)
+    C2 = C // P
+    j = pl.program_id(0)
+    acc[...] = jnp.zeros_like(acc)
+    lo = chunk_lo_ref[j]
+    n_chunks = n_chunks_ref[j]
+    lo2 = lo // P
+    n2 = n_src // P
+    idx = idxb_ref[...]  # [1, BO] i32 source-row ids (lane orientation)
+
+    def dma(slot, k):
+        start2 = pl.multiple_of(jnp.minimum(lo2 + k * C2, n2 - C2), C2)
+        return pltpu.make_async_copy(
+            src_hbm.at[pl.ds(start2, C2), :], sbuf.at[slot], ssem.at[slot]
+        )
+
+    @pl.when(n_chunks > 0)
+    def _():
+        dma(0, 0).start()
+
+    def body(k, _):
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k + 1 < n_chunks)
+        def _():
+            dma(1 - slot, k + 1).start()
+
+        dma(slot, k).wait()
+        start2 = jnp.minimum(lo2 + k * C2, n2 - C2)
+        # tail chunks re-read earlier source rows; a row would match twice
+        # (earlier chunk + re-read) without masking the re-read range out,
+        # exactly like the segsum kernel. The one-hot rides TRANSPOSED
+        # [C2, BO] so both operands stay in natural lane orientation (iota
+        # on sublanes, idx block on lanes) — no Mosaic transposes; the
+        # matmul contracts the sublane dim.
+        row2 = jax.lax.broadcasted_iota(jnp.int32, (C2, 1), 0) + start2
+        row_ok = row2 >= (lo2 + k * C2)
+        for p in range(P):
+            want = jnp.where(idx % P == p, idx // P, -1)  # [1, BO]
+            onehot_t = jnp.where(row_ok, row2 == want, False).astype(
+                sbuf.dtype
+            )  # [C2, BO]
+            acc[p] += jax.lax.dot_general(
+                onehot_t,
+                sbuf[slot],
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0, unroll=False)
+    total = acc[0][:, :d]
+    for p in range(1, P):
+        total = total + acc[p][:, p * d : (p + 1) * d]
+    out_ref[...] = total.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _gather_pallas(src, idx, chunk_lo, n_chunks, *, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_src, d = src.shape
+    L = idx.shape[0]
+    P = max(128 // d, 1)
+    C2 = C // P
+    n_blocks = L // BO
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if src.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    srcp = src.reshape(n_src // P, P * d)
+    idxb = idx.reshape(n_blocks, BO)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, BO), lambda j, *_: (j, 0)),  # idx block
+            pl.BlockSpec(memory_space=pltpu.ANY),  # srcp [S // P, P * d]
+        ],
+        out_specs=pl.BlockSpec((BO, d), lambda j, *_: (j, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, C2, P * d), src.dtype),
+            pltpu.VMEM((P, BO, P * d), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_gather_kernel, n_src=n_src, d=d, prec=prec),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((L, d), src.dtype),
+        interpret=interpret,
+    )(chunk_lo, n_chunks, idxb, srcp)
+
+
+def stream_gather_ok(src: jnp.ndarray, n_rows: int, g_lo) -> bool:
+    """Static eligibility for the streaming gather kernel."""
+    return (
+        g_lo is not None
+        and getattr(g_lo, "shape", (0,))[0] == n_rows // BO
+        and src.ndim == 2
+        and n_rows % BO == 0
+        and src.shape[0] % C == 0
+        and src.shape[0] >= C
+        and (src.shape[1] in (32, 64) or src.shape[1] % 128 == 0)
+        and tpu_backend()
+    )
+
+
 def stream_segsum_ok(x: jnp.ndarray, blk_lo, n_out: int) -> bool:
     """Static eligibility: kernel-aligned stream + nonempty block plan.
 

@@ -130,4 +130,11 @@ def test_batch_capacities_are_stream_aligned():
     n_atoms = batch.atomic_numbers.shape[0]
     assert batch.plan_center.blk_lo.shape[0] == -(-n_atoms // so.BO)
     assert (batch.plan_center.dst == batch.edge_scatter).all()
-    assert (batch.plan_ang_bi.dst == batch.angle_scatter).all()
+    # directed angle layout: the sorted dir_i plan drives the BondConv
+    # [A] -> [E] partial-sum, so its dst must equal angle_scatter_dir
+    assert (batch.plan_ang_vi.dst == batch.angle_scatter_dir).all()
+    # and angle rows must actually BE dir_i-sorted
+    valid = batch.angle_mask > 0
+    assert (np.diff(batch.angle_scatter_dir) >= 0).all()
+    assert (batch.bond_graph[valid, 0]
+            == batch.atom_graph[batch.bond_graph[valid, 2], 0]).all()

@@ -31,11 +31,13 @@ def main() -> None:
     for scale in ((4, 4, 4), (16, 10, 8)):  # 512 and 10,240 atoms
         struct = base.make_supercell(scale)
         big = len(struct) > 4000
-        # 10k-atom systems need conv-block remat + bf16 streams to fit
-        # one 16 GB chip (the angle stream is ~3.9M rows)
+        # Big systems: bf16 streams + a SMALL skin. LiMnO2 has a dense
+        # neighbor shell just above the 5 A cutoff, so skin=0.3 inflates
+        # the angle stream 3.3x (docs/performance.md); at skin=0.1 the
+        # whole E+F graph fits one 16 GB chip WITHOUT remat, and the
+        # async background rebuild hides the more frequent host builds.
         model = CHGNet(
             seed=0,
-            remat=big,
             compute_dtype="bfloat16" if big else "float32",
             matmul_precision="default" if big else "highest",
         )
@@ -48,6 +50,7 @@ def main() -> None:
             starting_temperature=300.0,
             timestep=1.0,
             seed=0,
+            skin=0.1 if big else 0.3,
         )
         md.run(md.chunk_size)  # compiles the production-size scan chunk
         start = time.perf_counter()
