@@ -334,11 +334,14 @@ def bond_conv_apply_directed(
     p_i, p_j, p_c, p_d2u = plans if plans is not None else (None,) * 4
     dir_i = bond_graph[:, 2]
     dir_j = bond_graph[:, 4]
-    chain_i = [(d2u, p_d2u), (dir_i, p_i)]
-    chain_j = [(d2u, p_d2u), (dir_j, p_j)]
+    # ONE [E, d] d2u expansion per undirected table; the per-part first
+    # Linear then runs on the directed table (2x the matmul rows — sub-ms
+    # on the MXU) so the big per-angle gathers read the NARROW [E, d]
+    # stream instead of two projected [E, 2D] ones
+    bond_dir = plan_gather(bond_feas, d2u, p_d2u)
     parts = [
-        (bond_feas, chain_i, None),
-        (bond_feas, chain_j, None),
+        (bond_dir, dir_i, p_i),
+        (bond_dir, dir_j, p_j),
         (angle_feas, None),
         (atom_feas, bond_graph[:, 0], p_c),
     ]
@@ -399,11 +402,12 @@ def angle_update_apply_directed(
     :func:`bond_conv_apply_directed`); elementwise per angle row, so only
     the gather side changes."""
     p_i, p_j, p_c, p_d2u = plans if plans is not None else (None,) * 4
+    bond_dir = plan_gather(bond_feas, d2u, p_d2u)  # [E, d] once
     new_angle_feas = gated_mlp_gather_apply(
         params["gated_mlp"],
         [
-            (bond_feas, [(d2u, p_d2u), (bond_graph[:, 2], p_i)], None),
-            (bond_feas, [(d2u, p_d2u), (bond_graph[:, 4], p_j)], None),
+            (bond_dir, bond_graph[:, 2], p_i),
+            (bond_dir, bond_graph[:, 4], p_j),
             (angle_feas, None),
             (atom_feas, bond_graph[:, 0], p_c),
         ],
