@@ -52,7 +52,8 @@ class GraphBatch(NamedTuple):
     images: np.ndarray  # f32 [E, 3] periodic image (padding: (1,0,0))
     directed2undirected: np.ndarray  # i32 [E] gather index
     edge_mask: np.ndarray  # f32 [E]
-    undirected2directed: np.ndarray  # i32 [U] gather index
+    undirected2directed: np.ndarray  # i32 [U] gather index (first directed)
+    und_second: np.ndarray  # i32 [U] the bond's SECOND directed edge
     und_mask: np.ndarray  # f32 [U]
     bond_graph: np.ndarray  # i32 [A, 5] gather indices (dir_i-sorted rows)
     angle_scatter: np.ndarray  # i32 [A] undirected bond i or U (drop)
@@ -69,6 +70,7 @@ class GraphBatch(NamedTuple):
     plan_nbr: GatherPlan = _NO_PLAN  # atom_graph[:, 1] -> atom table
     plan_d2u: GatherPlan = _NO_PLAN  # directed2undirected -> bond table
     plan_u2d: GatherPlan = _NO_PLAN  # undirected2directed -> edge stream
+    plan_u2d2: GatherPlan = _NO_PLAN  # und_second -> edge stream
     # angle rows are dir_i-sorted, so plan_ang_vi is the sorted plan that
     # also drives the [A] -> [E] BondConv partial-sum (dst equals
     # angle_scatter_dir); vj/center are window-local
@@ -162,6 +164,7 @@ def batch_graphs(
     edge_mask = np.zeros(cap_e, dtype=np.float32)
 
     undirected2directed = np.zeros(cap_u, dtype=np.int32)
+    und_second = np.zeros(cap_u, dtype=np.int32)
     und_mask = np.zeros(cap_u, dtype=np.float32)
 
     bond_graph = np.zeros((cap_a, 5), dtype=np.int32)
@@ -188,6 +191,17 @@ def batch_graphs(
 
         sl_u = slice(u_off, u_off + u)
         undirected2directed[sl_u] = g.undirected2directed + e_off
+        # each bond's OTHER directed edge: stable-sort edges by their
+        # undirected id; the two rows per id are (first, second)
+        pair_order = np.argsort(g.directed2undirected, kind="stable")
+        pairs = pair_order.reshape(-1, 2)
+        d2u_g = np.asarray(g.directed2undirected)
+        if not (d2u_g[pairs[:, 0]] == d2u_g[pairs[:, 1]]).all():
+            raise ValueError(
+                "graph invariant violated: an undirected bond does not "
+                "have exactly two directed edges"
+            )
+        und_second[sl_u] = pairs[:, 1] + e_off
         und_mask[sl_u] = 1.0
 
         if a:
@@ -214,6 +228,7 @@ def batch_graphs(
     atom_graph[e_off:] = max(a_off - 1, 0)
     directed2undirected[e_off:] = max(u_off - 1, 0)
     undirected2directed[u_off:] = max(e_off - 1, 0)
+    und_second[u_off:] = max(e_off - 1, 0)
     bond_graph[an_off:, 0] = max(a_off - 1, 0)
     bond_graph[an_off:, 1] = max(u_off - 1, 0)
     bond_graph[an_off:, 3] = max(u_off - 1, 0)
@@ -284,6 +299,7 @@ def batch_graphs(
         directed2undirected=directed2undirected,
         edge_mask=edge_mask,
         undirected2directed=undirected2directed,
+        und_second=und_second,
         und_mask=und_mask,
         bond_graph=bond_graph,
         angle_scatter=angle_scatter,
@@ -297,6 +313,7 @@ def batch_graphs(
         plan_u2d=make_plan(
             undirected2directed, und_mask > 0, cap_e, assume_sorted=True
         ),
+        plan_u2d2=make_plan(und_second, und_mask > 0, cap_e),
         plan_ang_vi=make_plan(
             bond_graph[:, 2], a_valid, cap_e, assume_sorted=True
         ),

@@ -277,9 +277,10 @@ def _energy_core(
             else GatherPlan(_empty, batch.angle_scatter_dir)
         )
         atom_plans = (p_center, batch.plan_d2u, batch.plan_nbr)
-        # directed angle path: (dir_i, dir_j, center, d2u)
+        # directed angle path: (dir_i, dir_j, center, d2u, u2d, u2d2)
         bond_plans = (
-            p_ang_vi, batch.plan_ang_vj, batch.plan_ang_c, batch.plan_d2u
+            p_ang_vi, batch.plan_ang_vj, batch.plan_ang_c, batch.plan_d2u,
+            batch.plan_u2d, batch.plan_u2d2,
         )
         p_nbr, p_u2d = batch.plan_nbr, batch.plan_u2d
         p_ang_vj = batch.plan_ang_vj
@@ -434,6 +435,8 @@ def _energy_core(
             batch.bond_graph,
             batch.angle_scatter_dir,
             batch.directed2undirected,
+            batch.undirected2directed,
+            batch.und_second,
             angle_mask,
             activation=act,
             fused=cfg.fused_kernels,

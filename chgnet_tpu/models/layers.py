@@ -306,12 +306,14 @@ def bond_conv_apply_directed(
     bond_graph: jnp.ndarray,  # [A, 5] rows SORTED by directed bond i
     angle_scatter_dir: jnp.ndarray,  # [A] dir_i (padding -> E, dropped)
     d2u: jnp.ndarray,  # [E] undirected id per directed edge
+    u2d: jnp.ndarray,  # [U] first directed edge per bond
+    und_second: jnp.ndarray,  # [U] second directed edge per bond
     angle_mask: jnp.ndarray,  # [A]
     *,
     activation: str = "silu",
     resnet: bool = True,
     fused: bool = False,
-    plans: tuple | None = None,  # (dir_i, dir_j, center, d2u) GatherPlans
+    plans: tuple | None = None,  # (dir_i, dir_j, center, d2u, u2d, u2d2)
     dropout: float = 0.0,
     rng: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
@@ -329,9 +331,9 @@ def bond_conv_apply_directed(
     reference first-appearance bond ids, which profile as whole-table
     random gathers — the round-2 bottleneck this layout removes.
     """
-    from chgnet_tpu.ops.scatter import plan_segment_sum_perm
-
-    p_i, p_j, p_c, p_d2u = plans if plans is not None else (None,) * 4
+    p_i, p_j, p_c, p_d2u, p_u2d, p_u2d2 = (
+        plans if plans is not None else (None,) * 6
+    )
     dir_i = bond_graph[:, 2]
     dir_j = bond_graph[:, 4]
     # ONE [E, d] d2u expansion per undirected table; the per-part first
@@ -369,11 +371,13 @@ def bond_conv_apply_directed(
         )
         update = update * weights_a * angle_mask[:, None]
     # [A] -> [E] partial sums on the sorted directed stream, then [E] -> [U]
+    # as each bond's two directed partials: gather(first) + gather(second)
+    # — [U]-row gathers instead of a permutation segment-sum over [E] rows
     partial = plan_segment_sum(
         update, angle_scatter_dir, d2u.shape[0], p_i
     )
-    new_bond_feas = plan_segment_sum_perm(
-        partial, d2u, bond_feas.shape[0], p_d2u
+    new_bond_feas = plan_gather(partial, u2d, p_u2d) + plan_gather(
+        partial, und_second, p_u2d2
     )
     if "mlp_out" in params:
         new_bond_feas = mlp_apply(params["mlp_out"], new_bond_feas)
@@ -394,14 +398,16 @@ def angle_update_apply_directed(
     *,
     activation: str = "silu",
     resnet: bool = True,
-    plans: tuple | None = None,  # (dir_i, dir_j, center, d2u) GatherPlans
+    plans: tuple | None = None,  # (dir_i, dir_j, center, d2u, u2d, u2d2)
     dropout: float = 0.0,
     rng: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """AngleUpdate over the directed layout (see
     :func:`bond_conv_apply_directed`); elementwise per angle row, so only
     the gather side changes."""
-    p_i, p_j, p_c, p_d2u = plans if plans is not None else (None,) * 4
+    p_i, p_j, p_c, p_d2u = (
+        plans[:4] if plans is not None else (None,) * 4
+    )
     bond_dir = plan_gather(bond_feas, d2u, p_d2u)  # [E, d] once
     new_angle_feas = gated_mlp_gather_apply(
         params["gated_mlp"],
