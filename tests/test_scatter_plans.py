@@ -108,3 +108,33 @@ def test_sorted_grads_fused_kernels_compose(batch):
     o2 = compute_batch(base.params, batch, config=base.config, **kw)
     np.testing.assert_allclose(np.asarray(o1["e"]), np.asarray(o2["e"]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(o1["f"]), np.asarray(o2["f"]), atol=1e-5)
+
+
+def test_plan_segment_sum_perm_matches_segment_sum():
+    """The permutation-plan segment sum (and its gather-backed VJP) must
+    match jax.ops.segment_sum for an unsorted stream with drop padding."""
+    import jax
+    import jax.numpy as jnp
+    from chgnet_tpu.ops.scatter import make_plan, plan_segment_sum_perm
+
+    rng = np.random.default_rng(0)
+    L, n_out, d = 2048, 600, 64
+    ids = rng.integers(0, n_out, L).astype(np.int32)
+    valid = rng.random(L) > 0.1
+    keys = np.where(valid, ids, n_out).astype(np.int32)
+    plan = make_plan(ids, valid, n_out)
+    data = rng.standard_normal((L, d)).astype(np.float32)
+
+    out = plan_segment_sum_perm(jnp.asarray(data), jnp.asarray(keys), n_out, plan)
+    ref = jax.ops.segment_sum(jnp.asarray(data), jnp.asarray(keys), n_out + 1)[:n_out]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def loss(x):
+        return (plan_segment_sum_perm(x, jnp.asarray(keys), n_out, plan) ** 2).sum()
+
+    def loss_ref(x):
+        return (jax.ops.segment_sum(x, jnp.asarray(keys), n_out + 1)[:n_out] ** 2).sum()
+
+    g = jax.grad(loss)(jnp.asarray(data))
+    g_ref = jax.grad(loss_ref)(jnp.asarray(data))
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-5)
