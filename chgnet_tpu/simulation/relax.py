@@ -734,8 +734,18 @@ class StructOptimizer:
                 break
             frac = np.asarray(state.frac)
             lat = np.asarray(state.lat)
-            if runtime.needs_rebuild(frac, lat):
-                runtime.rebuild(frac, lat)
+            # async rebuild: launch in the background at 40% skin drift,
+            # keep stepping on the still-valid topology, block only when
+            # the Verlet budget is exhausted (see simulation/md.py)
+            runtime.poll_rebuild()
+            drift = runtime.drift_fraction(frac, lat)
+            if drift >= 1.0:
+                if runtime.finish_rebuild():
+                    drift = runtime.drift_fraction(frac, lat)
+                if drift >= 1.0:
+                    runtime.rebuild(frac, lat)
+            elif drift >= 0.4:
+                runtime.launch_rebuild(frac, lat)
 
         final_structures = runtime.structures(
             np.asarray(state.frac), np.asarray(state.lat)
