@@ -28,7 +28,7 @@ import numpy as np
 
 from chgnet_tpu.graph.crystalgraph import CrystalGraph
 from chgnet_tpu.ops.scatter import GatherPlan, make_plan
-from chgnet_tpu.utils.native.hostops import stable_argsort_i32
+from chgnet_tpu.utils.native.hostops import gather_col, stable_argsort_i32
 from chgnet_tpu.ops.stream_ops import C as _STREAM_CHUNK
 
 _NO_PLAN = GatherPlan(np.zeros(0, np.int32), np.zeros(0, np.int32))
@@ -193,7 +193,9 @@ def batch_graphs(
         undirected2directed[sl_u] = g.undirected2directed + e_off
         # each bond's OTHER directed edge: stable-sort edges by their
         # undirected id; the two rows per id are (first, second)
-        pair_order = np.argsort(g.directed2undirected, kind="stable")
+        pair_order = stable_argsort_i32(
+            np.ascontiguousarray(g.directed2undirected, dtype=np.int32)
+        )
         pairs = pair_order.reshape(-1, 2)
         d2u_g = np.asarray(g.directed2undirected)
         if not (d2u_g[pairs[:, 0]] == d2u_g[pairs[:, 1]]).all():
@@ -248,9 +250,9 @@ def batch_graphs(
     )
     if not bool((np.diff(a_key) >= 0).all()):
         a_order = stable_argsort_i32(a_key)
-        bond_graph = bond_graph[a_order]
-        angle_scatter = angle_scatter[a_order]
-        angle_mask = angle_mask[a_order]
+        bond_graph = gather_col(bond_graph, None, a_order)
+        angle_scatter = gather_col(angle_scatter, None, a_order)
+        angle_mask = gather_col(angle_mask, None, a_order)
     angle_scatter_dir = np.where(
         angle_mask > 0, bond_graph[:, 2], cap_e
     ).astype(np.int32)

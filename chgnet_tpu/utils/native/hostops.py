@@ -72,6 +72,7 @@ def _load() -> ctypes.CDLL | None:
                 ctypes.POINTER(ctypes.c_int32),
                 ctypes.POINTER(ctypes.c_int32),
                 ctypes.c_int32,
+                ctypes.c_int32,
             ]
             lib.hostops_argsort_i32.restype = ctypes.c_int32
             lib.hostops_gather_strided_i32.argtypes = [
@@ -212,16 +213,24 @@ def stable_argsort_i32(keys: np.ndarray) -> np.ndarray:
     if lib is None:
         return np.argsort(keys, kind="stable").astype(np.int32)
     keys = np.ascontiguousarray(keys)
-    if keys.size and int(keys.min()) < 0:
+    lo = int(keys.min()) if keys.size else 0
+    hi = int(keys.max()) if keys.size else 0
+    if lo < 0:
         return np.argsort(keys, kind="stable").astype(np.int32)
     out = hostmem.populated_empty(keys.shape[0], np.int32)
-    scratch = hostmem.populated_empty(keys.shape[0], np.int32)
+    # small key ranges (device ids, bucket keys) take one counting pass
+    # and skip the scratch buffer entirely
+    small = hi < (1 << 16)
+    scratch = (
+        out if small else hostmem.populated_empty(keys.shape[0], np.int32)
+    )
     rc = lib.hostops_argsort_i32(
         keys.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         keys.shape[0],
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         scratch.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         _N_THREADS,
+        hi if small else -1,
     )
     if rc != 0:
         return np.argsort(keys, kind="stable").astype(np.int32)

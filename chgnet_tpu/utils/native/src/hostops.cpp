@@ -166,13 +166,18 @@ void radix_pass(const int32_t* keys, const int32_t* in_perm,
 extern "C" {
 
 // Stable argsort of non-negative int32 keys into out_perm (int32).
-// scratch must hold n int32. Returns 0 on success, 1 on bad input.
+// scratch must hold n int32. max_key < 2^16 takes a single counting
+// pass (device-id and bucket keys). Returns 0 on success, 1 on bad input.
 int32_t hostops_argsort_i32(const int32_t* keys, int64_t n,
                             int32_t* out_perm, int32_t* scratch,
-                            int32_t n_threads) {
+                            int32_t n_threads, int32_t max_key) {
     if (n <= 0) return 0;
     if (n > INT32_MAX) return 1;
     if (n_threads < 1) n_threads = 1;
+    if (max_key >= 0 && max_key < kBuckets) {
+        radix_pass(keys, nullptr, out_perm, n, 0, n_threads);
+        return 0;
+    }
     radix_pass(keys, nullptr, scratch, n, 0, n_threads);
     radix_pass(keys, scratch, out_perm, n, kRadixBits, n_threads);
     return 0;
