@@ -51,6 +51,7 @@ def _compile() -> bool:
                 "-std=c++17",
                 "-shared",
                 "-fPIC",
+                "-pthread",
                 _SRC,
                 "-o",
                 _LIB,

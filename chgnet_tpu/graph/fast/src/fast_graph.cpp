@@ -23,6 +23,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -190,25 +191,59 @@ ChgnetGraph *chgnet_build_graph(int64_t n_atoms, const double *frac,
     int64_t atom;
     int32_t img[3];
   };
-  std::vector<Candidate> cands;
-  cands.reserve(static_cast<size_t>(n_atoms) * 32);
+  // candidate generation THREADED over atom ranges (order within cands is
+  // irrelevant: edges are re-sorted with a total-order comparator)
+  std::vector<Vec3> shifts;
+  std::vector<int32_t> shift_img;
   for (int64_t sa = -n_img[0]; sa <= n_img[0]; ++sa)
     for (int64_t sb = -n_img[1]; sb <= n_img[1]; ++sb)
       for (int64_t sc = -n_img[2]; sc <= n_img[2]; ++sc) {
-        Vec3 shift = matvec(lattice, static_cast<double>(sa),
-                            static_cast<double>(sb), static_cast<double>(sc));
-        for (int64_t j = 0; j < n_atoms; ++j) {
+        shifts.push_back(matvec(lattice, static_cast<double>(sa),
+                                static_cast<double>(sb),
+                                static_cast<double>(sc)));
+        shift_img.push_back(static_cast<int32_t>(sa));
+        shift_img.push_back(static_cast<int32_t>(sb));
+        shift_img.push_back(static_cast<int32_t>(sc));
+      }
+  int n_cand_workers = static_cast<int>(
+      std::min<int64_t>(std::max(1u, std::thread::hardware_concurrency()),
+                        std::max<int64_t>(n_atoms / 1024, 1)));
+  std::vector<std::vector<Candidate>> cand_parts(n_cand_workers);
+  {
+    int64_t chunk = (n_atoms + n_cand_workers - 1) / n_cand_workers;
+    auto worker = [&](int t) {
+      int64_t lo = t * chunk, hi = std::min(n_atoms, lo + chunk);
+      std::vector<Candidate> &out = cand_parts[t];
+      out.reserve(static_cast<size_t>(hi - lo) * 32);
+      for (size_t si = 0; si < shifts.size(); ++si) {
+        const Vec3 &shift = shifts[si];
+        const int32_t *img = shift_img.data() + 3 * si;
+        for (int64_t j = lo; j < hi; ++j) {
           Vec3 pos{cart[j].x + shift.x, cart[j].y + shift.y,
                    cart[j].z + shift.z};
           if (pos.x < bmin[0] || pos.x > bmax[0] || pos.y < bmin[1] ||
               pos.y > bmax[1] || pos.z < bmin[2] || pos.z > bmax[2])
             continue;
-          cands.push_back({pos,
-                           j,
-                           {static_cast<int32_t>(sa), static_cast<int32_t>(sb),
-                            static_cast<int32_t>(sc)}});
+          out.push_back({pos, j, {img[0], img[1], img[2]}});
         }
       }
+    };
+    std::vector<std::thread> threads;
+    for (int t = 1; t < n_cand_workers; ++t) threads.emplace_back(worker, t);
+    worker(0);
+    for (auto &th : threads) th.join();
+  }
+  std::vector<Candidate> cands;
+  {
+    size_t total = 0;
+    for (const auto &part : cand_parts) total += part.size();
+    cands.reserve(total);
+    for (auto &part : cand_parts) {
+      cands.insert(cands.end(), part.begin(), part.end());
+      part.clear();
+      part.shrink_to_fit();
+    }
+  }
 
   // bin candidates
   const int64_t total_cells = ncell[0] * ncell[1] * ncell[2];
@@ -228,37 +263,68 @@ ChgnetGraph *chgnet_build_graph(int64_t n_atoms, const double *frac,
       cell_items[cursor[cand_cell[k]]++] = static_cast<int64_t>(k);
   }
 
-  // query each center against its 27 neighboring cells
-  std::vector<Edge> edges;
-  edges.reserve(static_cast<size_t>(n_atoms) * 48);
-  for (int64_t i = 0; i < n_atoms; ++i) {
-    int64_t idx[3];
-    cell_of(cart[i].x, cart[i].y, cart[i].z, idx);
-    for (int64_t da = -1; da <= 1; ++da)
-      for (int64_t db = -1; db <= 1; ++db)
-        for (int64_t dc = -1; dc <= 1; ++dc) {
-          int64_t ca = idx[0] + da, cb = idx[1] + db, cc = idx[2] + dc;
-          if (ca < 0 || ca >= ncell[0] || cb < 0 || cb >= ncell[1] ||
-              cc < 0 || cc >= ncell[2])
-            continue;
-          int64_t cell = (ca * ncell[1] + cb) * ncell[2] + cc;
-          for (int64_t p = cell_count[cell]; p < cell_count[cell + 1]; ++p) {
-            const Candidate &cand = cands[cell_items[p]];
-            double dx = cand.pos.x - cart[i].x;
-            double dy = cand.pos.y - cart[i].y;
-            double dz = cand.pos.z - cart[i].z;
-            double d2 = dx * dx + dy * dy + dz * dz;
-            if (d2 > cutoff2) continue;
-            double dist = std::sqrt(d2);
-            if (dist <= tol) continue;  // self at zero image
-            edges.push_back({i,
-                             cand.atom,
-                             {cand.img[0], cand.img[1], cand.img[2]},
-                             dist});
-          }
-        }
+  // query each center against its 27 neighboring cells — THREADED over
+  // disjoint center ranges. Each worker sorts its own range with the
+  // canonical comparator (center-major), so the concatenation of the
+  // per-range results is globally sorted bit-for-bit like the old
+  // single std::sort over all edges.
+  int n_workers = static_cast<int>(
+      std::min<int64_t>(std::max(1u, std::thread::hardware_concurrency()),
+                        std::max<int64_t>(n_atoms / 1024, 1)));
+  std::vector<std::vector<Edge>> edge_parts(n_workers);
+  {
+    int64_t chunk = (n_atoms + n_workers - 1) / n_workers;
+    auto worker = [&](int t) {
+      int64_t lo = t * chunk;
+      int64_t hi = std::min(n_atoms, lo + chunk);
+      std::vector<Edge> &out = edge_parts[t];
+      out.reserve(static_cast<size_t>(hi - lo) * 48);
+      for (int64_t i = lo; i < hi; ++i) {
+        int64_t idx[3];
+        cell_of(cart[i].x, cart[i].y, cart[i].z, idx);
+        for (int64_t da = -1; da <= 1; ++da)
+          for (int64_t db = -1; db <= 1; ++db)
+            for (int64_t dc = -1; dc <= 1; ++dc) {
+              int64_t ca = idx[0] + da, cb = idx[1] + db, cc = idx[2] + dc;
+              if (ca < 0 || ca >= ncell[0] || cb < 0 || cb >= ncell[1] ||
+                  cc < 0 || cc >= ncell[2])
+                continue;
+              int64_t cell = (ca * ncell[1] + cb) * ncell[2] + cc;
+              for (int64_t p = cell_count[cell]; p < cell_count[cell + 1];
+                   ++p) {
+                const Candidate &cand = cands[cell_items[p]];
+                double dx = cand.pos.x - cart[i].x;
+                double dy = cand.pos.y - cart[i].y;
+                double dz = cand.pos.z - cart[i].z;
+                double d2 = dx * dx + dy * dy + dz * dz;
+                if (d2 > cutoff2) continue;
+                double dist = std::sqrt(d2);
+                if (dist <= tol) continue;  // self at zero image
+                out.push_back({i,
+                               cand.atom,
+                               {cand.img[0], cand.img[1], cand.img[2]},
+                               dist});
+              }
+            }
+      }
+      std::sort(out.begin(), out.end(), edge_less);
+    };
+    std::vector<std::thread> threads;
+    for (int t = 1; t < n_workers; ++t) threads.emplace_back(worker, t);
+    worker(0);
+    for (auto &th : threads) th.join();
   }
-  std::sort(edges.begin(), edges.end(), edge_less);
+  std::vector<Edge> edges;
+  {
+    size_t total = 0;
+    for (const auto &part : edge_parts) total += part.size();
+    edges.reserve(total);
+    for (auto &part : edge_parts) {
+      edges.insert(edges.end(), part.begin(), part.end());
+      part.clear();
+      part.shrink_to_fit();
+    }
+  }
   const int64_t n_dir = static_cast<int64_t>(edges.size());
 
   // ------------------------------------------- directed -> undirected pairing
@@ -329,25 +395,65 @@ ChgnetGraph *chgnet_build_graph(int64_t n_atoms, const double *frac,
     }
   for (int64_t a = 0; a < n_atoms; ++a) offsets[a + 1] += offsets[a];
 
+  // THREADED two-pass enumeration: exact per-bond row counts, prefix
+  // sum, then parallel fill at exact offsets — row order is bit-for-bit
+  // the sequential (u, member, ascending directed index) order.
   std::vector<int64_t> bond_rows;  // 5 per row
-  if (result->error == 0) {
-    for (int64_t u = 0; u < n_und; ++u) {
-      double u_dist = edges[u2d[u]].dist;
-      if (u_dist > bond_cutoff) continue;
-      const int64_t members[2] = {u2d[u], second_d[u]};
-      for (int m = 0; m < 2; ++m) {
-        int64_t e = members[m];
-        int64_t c = edges[e].center;
-        for (int64_t p = offsets[c]; p < offsets[c + 1]; ++p) {
-          int64_t other = short_edges[p];
-          if (other == e) continue;
-          bond_rows.push_back(c);
-          bond_rows.push_back(u);
-          bond_rows.push_back(e);
-          bond_rows.push_back(d2u[other]);
-          bond_rows.push_back(other);
+  if (result->error == 0 && n_und > 0) {
+    std::vector<int64_t> row_off(n_und + 1, 0);
+    int64_t chunk_u = (n_und + n_workers - 1) / n_workers;
+    auto count_worker = [&](int t) {
+      int64_t lo = t * chunk_u, hi = std::min<int64_t>(n_und, lo + chunk_u);
+      for (int64_t u = lo; u < hi; ++u) {
+        if (edges[u2d[u]].dist > bond_cutoff) continue;
+        int64_t rows = 0;
+        const int64_t members[2] = {u2d[u], second_d[u]};
+        for (int m = 0; m < 2; ++m) {
+          int64_t e = members[m];
+          int64_t c = edges[e].center;
+          rows += offsets[c + 1] - offsets[c];
+          if (edges[e].dist < bond_cutoff) --rows;  // the member itself
+        }
+        row_off[u + 1] = rows;
+      }
+    };
+    {
+      std::vector<std::thread> threads;
+      for (int t = 1; t < n_workers; ++t)
+        threads.emplace_back(count_worker, t);
+      count_worker(0);
+      for (auto &th : threads) th.join();
+    }
+    for (int64_t u = 0; u < n_und; ++u) row_off[u + 1] += row_off[u];
+    bond_rows.resize(static_cast<size_t>(row_off[n_und]) * 5);
+    auto fill_worker = [&](int t) {
+      int64_t lo = t * chunk_u, hi = std::min<int64_t>(n_und, lo + chunk_u);
+      for (int64_t u = lo; u < hi; ++u) {
+        if (edges[u2d[u]].dist > bond_cutoff) continue;
+        int64_t *row = bond_rows.data() + row_off[u] * 5;
+        const int64_t members[2] = {u2d[u], second_d[u]};
+        for (int m = 0; m < 2; ++m) {
+          int64_t e = members[m];
+          int64_t c = edges[e].center;
+          for (int64_t p = offsets[c]; p < offsets[c + 1]; ++p) {
+            int64_t other = short_edges[p];
+            if (other == e) continue;
+            row[0] = c;
+            row[1] = u;
+            row[2] = e;
+            row[3] = d2u[other];
+            row[4] = other;
+            row += 5;
+          }
         }
       }
+    };
+    {
+      std::vector<std::thread> threads;
+      for (int t = 1; t < n_workers; ++t)
+        threads.emplace_back(fill_worker, t);
+      fill_worker(0);
+      for (auto &th : threads) th.join();
     }
   }
   const int64_t n_angles = static_cast<int64_t>(bond_rows.size() / 5);
