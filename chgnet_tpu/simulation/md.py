@@ -111,13 +111,17 @@ def md_chunk(
     )
     # Nose-Hoover mass Q = dof * kB * T0 * taut^2  [eV fs^2]
     q_nh = dof * units.KB * md.temperature * md.taut**2
+    # stress (the strain branch of the joint value_and_grad) only feeds
+    # the barostats and recording observers; NVE/NVT without observers
+    # skip it (the per-step ys["stress"] trace is zeros there)
+    need_stress = ensemble == "npt" or record
 
     def evaluate(frac, lat):
         out = compute_batch_dynamic(
             params,
             batch._replace(frac_coords=frac, lattices=lat),
             config=config,
-            compute_stress=True,
+            compute_stress=need_stress,
             compute_magmom=record,
         )
         n_atoms = jnp.maximum(out["atoms_per_graph"], 1.0)
@@ -182,7 +186,7 @@ def md_chunk(
             vel=vel * atom_mask,
             accel=accel,
             epot=epot,
-            stress=out["s"],
+            stress=out["s"] if need_stress else state.stress,
             zeta=zeta,
             eps_dot=state.eps_dot,
             cell_rate=state.cell_rate,
@@ -309,7 +313,11 @@ def md_chunk(
             "epot": state.epot,
             "ekin": ke,
             "temperature": temp,
-            "stress": state.stress,
+            # without the strain branch the carried stress is the stale
+            # priming value — report zeros rather than mislead
+            "stress": state.stress
+            if need_stress
+            else jnp.zeros_like(state.stress),
         }
         if record:
             ys.update(
