@@ -256,12 +256,8 @@ def gated_mlp_apply(
 
 
 def _split_part(part):
-    """parts entries are (table, idx) or (table, idx, GatherPlan).
-
-    ``idx`` may also be a CHAIN ``[(idx1, plan1), (idx2, plan2), ...]``:
-    the projected table is gathered through each stage in order (used by
-    the directed angle path: undirected bond table -> directed expansion
-    via d2u -> per-angle rows via the sorted/window-local dir streams)."""
+    """parts entries are (table, idx) or (table, idx, GatherPlan);
+    ``idx=None`` means the table already lives on the stream axis."""
     if len(part) == 3:
         return part
     table, idx = part
@@ -272,10 +268,6 @@ def _gather_part(proj, idx, plan):
     from chgnet_tpu.ops.scatter import plan_gather
 
     if idx is None:
-        return proj
-    if isinstance(idx, (list, tuple)):
-        for stage_idx, stage_plan in idx:
-            proj = plan_gather(proj, stage_idx, stage_plan)
         return proj
     return plan_gather(proj, idx, plan)
 

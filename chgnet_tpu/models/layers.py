@@ -36,7 +36,11 @@ from chgnet_tpu.models.functions import (
     segment_mean,
     segment_sum,
 )
-from chgnet_tpu.ops.scatter import plan_gather, plan_segment_sum
+from chgnet_tpu.ops.scatter import (
+    plan_gather,
+    plan_segment_sum,
+    plan_segment_sum_perm,
+)
 
 
 # ------------------------------------------------------------------ AtomConv
@@ -285,7 +289,12 @@ def bond_conv_apply(
             gmlp, parts, activation=activation, dropout=dropout, rng=rng
         )
         update = update * weights_a * angle_mask[:, None]
-    new_bond_feas = plan_segment_sum(
+    # angle rows are DIR_I-sorted since the directed-stream layout landed
+    # (graph/batching.py), so the undirected bond-i ids here are UNSORTED:
+    # route through the permutation plan (p_bi) when given, else a plain
+    # unhinted segment_sum — claiming sortedness would silently mis-sum
+    # on TPU (XLA exploits the hint)
+    new_bond_feas = plan_segment_sum_perm(
         update, angle_scatter, bond_feas.shape[0], p_bi
     )
     if "mlp_out" in params:

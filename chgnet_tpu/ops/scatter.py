@@ -270,12 +270,16 @@ def plan_segment_sum(
     segment_ids: jnp.ndarray,
     num_segments: int,
     plan: GatherPlan | None,
+    *,
+    indices_are_sorted: bool = True,
 ) -> jnp.ndarray:
     """Sorted scatter-sum of ``data`` by ``segment_ids`` (padding mapped to
     ``num_segments``, dropped), through the streaming kernel when ``plan``
     carries an aligned sorted block plan. ``plan.dst`` must equal
-    ``segment_ids`` (it does for the center/bond-i scatter plans built in
-    ``graph/batching.py``)."""
+    ``segment_ids`` (it does for the center/dir-i scatter plans built in
+    ``graph/batching.py``). Callers whose stream is NOT sorted by
+    construction must pass ``indices_are_sorted=False`` — on TPU the XLA
+    fallback exploits the hint and silently mis-sums otherwise."""
     if (
         plan is not None
         and plan.perm.shape[0] == 0
@@ -286,5 +290,5 @@ def plan_segment_sum(
             data, plan.dst, plan.blk_lo, plan.blk_cnt, num_segments
         )
     return jax.ops.segment_sum(
-        data, segment_ids, num_segments, indices_are_sorted=True
+        data, segment_ids, num_segments, indices_are_sorted=indices_are_sorted
     )

@@ -33,10 +33,50 @@ __all__ = [
 ]
 
 
+def _harmonize_plans(batches: Sequence[GraphBatch]) -> list[GraphBatch]:
+    """Give every batch's GatherPlans identical leaf shapes.
+
+    ``make_plan`` attaches the streaming-kernel fields (``raw``,
+    ``g_lo``/``g_cnt``) behind DATA-dependent cost gates, so two batches
+    with identical capacities can legally disagree. Stacking requires one
+    static structure; where batches disagree on a plan, degrade that plan
+    to its pure-permutation form (empty streaming fields) for all of them
+    — correct everywhere, just skips the streaming kernels for that
+    stream. (Dropping ``raw`` alone would be WRONG: local-mode
+    ``blk_lo``/``blk_cnt`` cover the raw stream, not ``dst``.)
+    """
+    from chgnet_tpu.ops.scatter import GatherPlan
+
+    plan_fields = [
+        name
+        for name in GraphBatch._fields
+        if isinstance(getattr(batches[0], name, None), GatherPlan)
+    ]
+    out = list(batches)
+    for name in plan_fields:
+        plans = [getattr(b, name) for b in out]
+        if len({tuple(np.shape(x) for x in p) for p in plans}) > 1:
+            out = [
+                b._replace(
+                    **{
+                        name: GatherPlan(
+                            perm=p.perm
+                            if p.perm.shape[0]
+                            else np.arange(p.dst.shape[0], dtype=np.int32),
+                            dst=p.dst,
+                        )
+                    }
+                )
+                for b, p in zip(out, plans)
+            ]
+    return out
+
+
 def stack_batches(batches: Sequence[GraphBatch]) -> GraphBatch:
     """Stack same-capacity GraphBatches on a new leading device axis."""
     import jax
 
+    batches = _harmonize_plans(batches)
     first = batches[0]
     first_leaves = jax.tree.leaves(first)
     for b in batches[1:]:
@@ -64,18 +104,29 @@ def make_dp_train_step(
 ):
     """Build a jitted data-parallel train step.
 
-    Step signature: (params, opt_state, stacked_batch, stacked_targets) ->
-    (params, opt_state, metrics). Stacked inputs carry a leading device
-    axis sharded over ``axis_name``; params/opt_state are replicated.
+    Step signature: (params, opt_state, stacked_batch, stacked_targets,
+    step) -> (params, opt_state, metrics). Stacked inputs carry a leading
+    device axis sharded over ``axis_name``; params/opt_state/step are
+    replicated. ``step`` drives the dropout rng (matching the
+    single-device trainer step); each shard folds in its axis index so
+    dropout masks are independent across devices.
     """
+    use_dropout = (
+        float(config.conv_dropout) > 0 or float(config.mlp_dropout) > 0
+    )
 
-    def local_step(params, opt_state, batch_stack, target_stack):
+    def local_step(params, opt_state, batch_stack, target_stack, step):
         # each shard sees leading axis 1 -> drop it
         batch = jax.tree_util.tree_map(lambda x: x[0], batch_stack)
         targets = jax.tree_util.tree_map(lambda x: x[0], target_stack)
+        rng = None
+        if use_dropout:
+            rng = jax.random.fold_in(jax.random.key(0), step)
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
         grads, metrics = jax.grad(
             lambda p: loss_and_metrics(
-                p, batch, targets, config=config, loss_fn=loss_fn
+                p, batch, targets, config=config, loss_fn=loss_fn,
+                dropout_rng=rng,
             ),
             has_aux=True,
         )(params)
@@ -91,7 +142,7 @@ def make_dp_train_step(
     sharded = shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(P(), P(), P(axis_name), P(axis_name)),
+        in_specs=(P(), P(), P(axis_name), P(axis_name), P()),
         out_specs=(P(), P(), P()),
         check_vma=False,
     )

@@ -186,7 +186,11 @@ def md_chunk(
             vel=vel * atom_mask,
             accel=accel,
             epot=epot,
-            stress=out["s"] if need_stress else state.stress,
+            # without the strain branch the priming-time stress would ride
+            # along forever — carry zeros rather than present a stale value
+            stress=out["s"]
+            if need_stress
+            else jnp.zeros_like(state.stress),
             zeta=zeta,
             eps_dot=state.eps_dot,
             cell_rate=state.cell_rate,
@@ -313,11 +317,7 @@ def md_chunk(
             "epot": state.epot,
             "ekin": ke,
             "temperature": temp,
-            # without the strain branch the carried stress is the stale
-            # priming value — report zeros rather than mislead
-            "stress": state.stress
-            if need_stress
-            else jnp.zeros_like(state.stress),
+            "stress": state.stress,
         }
         if record:
             ys.update(
@@ -562,22 +562,12 @@ class MolecularDynamics:
             self._n_steps_done += n_steps
             frac = np.asarray(self.state.frac)
             lat = np.asarray(self.state.lat)
-            # swap in any finished background rebuild, then judge drift
-            # against the (possibly new) reference positions
-            self.runtime.poll_rebuild()
-            drift = self.runtime.drift_fraction(frac, lat)
-            if drift >= 1.0:
-                # budget exhausted: a rebuild must land before stepping on
-                if self.runtime.finish_rebuild():
-                    drift = self.runtime.drift_fraction(frac, lat)
-                if drift >= 1.0:
-                    self.runtime.rebuild(frac, lat)
-                    drift = 0.0
-            elif drift >= self._rebuild_trigger:
-                # start rebuilding in the background while the device keeps
-                # stepping on the still-valid topology (hides the ~0.5 s
-                # host build at 10k atoms entirely)
-                self.runtime.launch_rebuild(frac, lat)
+            # async-rebuild policy (GraphRuntime.step_rebuild): background
+            # build launched at the trigger hides the ~0.5 s host build at
+            # 10k atoms; stepping blocks only when the budget is exhausted
+            drift = self.runtime.step_rebuild(
+                frac, lat, trigger=self._rebuild_trigger
+            )
         if self.observers is not None and self._trajectory_path:
             for idx, obs in enumerate(self.observers):
                 suffix = "" if self._single else f".{idx}"

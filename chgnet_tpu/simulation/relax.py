@@ -732,20 +732,12 @@ class StructOptimizer:
                 )
             if bool(np.all(np.asarray(state.converged))):
                 break
-            frac = np.asarray(state.frac)
-            lat = np.asarray(state.lat)
             # async rebuild: launch in the background at 40% skin drift,
             # keep stepping on the still-valid topology, block only when
-            # the Verlet budget is exhausted (see simulation/md.py)
-            runtime.poll_rebuild()
-            drift = runtime.drift_fraction(frac, lat)
-            if drift >= 1.0:
-                if runtime.finish_rebuild():
-                    drift = runtime.drift_fraction(frac, lat)
-                if drift >= 1.0:
-                    runtime.rebuild(frac, lat)
-            elif drift >= 0.4:
-                runtime.launch_rebuild(frac, lat)
+            # the Verlet budget is exhausted (GraphRuntime.step_rebuild)
+            runtime.step_rebuild(
+                np.asarray(state.frac), np.asarray(state.lat)
+            )
 
         final_structures = runtime.structures(
             np.asarray(state.frac), np.asarray(state.lat)
@@ -825,10 +817,16 @@ class StructOptimizer:
 
             def fun(x):
                 frac, lat = unpack(x)
-                batch = runtime.batch
-                cap = batch.frac_coords.shape[0]
+                cap = runtime.batch.frac_coords.shape[0]
                 frac_pad = np.zeros((cap, 3), np.float32)
                 frac_pad[:n] = frac
+                # Verlet criterion against the skin-built topology: scipy
+                # drives arbitrarily large moves per iteration, so the
+                # graph can go stale mid-minimize (dynamic cutoff masks
+                # only remove edges, never add them)
+                if runtime.needs_rebuild(frac_pad, lat[None]):
+                    runtime.rebuild(frac_pad, lat[None])
+                batch = runtime.batch
                 out = compute_batch_dynamic(
                     self.model.params,
                     batch._replace(

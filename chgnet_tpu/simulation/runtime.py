@@ -269,6 +269,27 @@ class GraphRuntime:
         self._pending = None
         return True
 
+    def step_rebuild(
+        self, frac: np.ndarray, lattices: np.ndarray, *, trigger: float = 0.4
+    ) -> float:
+        """One tick of the async-rebuild policy shared by the MD and
+        relaxation loops: swap in any finished background build, then —
+        judged against the (possibly new) reference positions — block on
+        or run a rebuild when the Verlet budget is exhausted, or launch a
+        background rebuild once drift crosses ``trigger`` of the skin.
+        Returns the resulting drift fraction."""
+        self.poll_rebuild()
+        drift = self.drift_fraction(frac, lattices)
+        if drift >= 1.0:
+            if self.finish_rebuild():
+                drift = self.drift_fraction(frac, lattices)
+            if drift >= 1.0:
+                self.rebuild(frac, lattices)
+                drift = 0.0
+        elif drift >= trigger:
+            self.launch_rebuild(frac, lattices)
+        return drift
+
     # --------------------------------------------------------- rebuild check
     def drift_fraction(self, frac: np.ndarray, lattices: np.ndarray) -> float:
         """Fraction of the skin budget consumed since the current batch was

@@ -434,8 +434,7 @@ class Trainer:
         losses = AverageMeter()
         mae_errors = {t: AverageMeter() for t in self.targets}
         if self.mesh is not None:
-            dp_step = self._dp_step()
-            train_step = lambda p, o, b, t, step: dp_step(p, o, b, t)  # noqa: E731
+            train_step = self._dp_step()
             n_batches = len(train_loader) // self.mesh.devices.size
         else:
             train_step, _ = self._steps(

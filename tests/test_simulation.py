@@ -585,6 +585,22 @@ def test_relax_scipy(model, struct, opt, tmp_path):
     assert (tmp_path / "scipy_traj.pkl").exists()
 
 
+def test_relax_scipy_rebuilds_topology(model, struct):
+    """SciPy relaxers must honour the Verlet rebuild criterion mid-minimize:
+    with a tiny skin the topology goes stale after ~0.025 A of motion, so a
+    run that never rebuilds computes on missing edges and lands elsewhere."""
+    perturbed = struct.perturb(0.12, seed=3)
+    energies = []
+    for skin in (0.05, 1.0):
+        relaxer = StructOptimizer(model=model, optimizer_class="SciPyFminCG")
+        result = relaxer.relax(
+            perturbed, relax_cell=False, fmax=0.02, steps=60,
+            assign_magmoms=False, skin=skin,
+        )
+        energies.append(result["final_energy"])
+    assert abs(energies[0] - energies[1]) < 5e-3
+
+
 def test_relax_lbfgs_cell_batched(model, struct):
     relaxer = StructOptimizer(model=model, optimizer_class="LBFGS")
     results = relaxer.relax(

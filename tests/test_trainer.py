@@ -214,6 +214,42 @@ def test_trainer_data_parallel(loaders):
     assert train_loader.capacities is not None
 
 
+def test_trainer_data_parallel_dropout(loaders):
+    """DP training must keep dropout ACTIVE: the dp step threads the
+    global step + per-shard axis index into the dropout rng (round-2
+    review fix — the step argument was silently dropped before)."""
+    train_loader, val_loader, _ = loaders
+    model = CHGNet(seed=0, conv_dropout=0.2, mlp_dropout=0.1, **SMALL)
+    trainer = Trainer(
+        model=model, targets="ef", epochs=1, learning_rate=1e-3, mesh=2
+    )
+    trainer.train(train_loader, val_loader, save_dir=None)
+    assert np.isfinite(trainer.training_history["e"]["train"][0])
+
+
+def test_stack_batches_harmonizes_plan_shapes():
+    """Same-capacity batches may legally disagree on streaming-plan
+    fields (data-dependent cost gates); stacking degrades those plans to
+    the permutation form instead of raising."""
+    from chgnet_tpu.graph.batching import batch_graphs
+    from chgnet_tpu.graph.converter import CrystalGraphConverter
+    from chgnet_tpu.ops.scatter import GatherPlan
+    from chgnet_tpu.parallel.dp import stack_batches
+
+    conv = CrystalGraphConverter(atom_graph_cutoff=5, bond_graph_cutoff=3)
+    graphs = [conv(NaCl.make_supercell((2, 1, 1)), graph_id="g")]
+    caps = (16, 512, 2048)
+    b1 = batch_graphs(graphs, capacities=caps)
+    b2 = batch_graphs(graphs, capacities=caps)
+    # simulate a cost-gate disagreement: strip one batch's streaming fields
+    p = b2.plan_ang_vj
+    b2 = b2._replace(plan_ang_vj=GatherPlan(perm=p.perm, dst=p.dst))
+    stacked = stack_batches([b1, b2])
+    assert stacked.plan_ang_vj.raw.shape[0] == 2  # stacked, shapes agree
+    assert stacked.plan_ang_vj.blk_lo.shape[-1] == 0  # degraded plan
+    assert stacked.atom_graph.shape[0] == 2
+
+
 def test_wandb_mocked(loaders, monkeypatch):
     """wandb init/log wiring, mirroring reference test_trainer.py:181-252."""
     from unittest.mock import MagicMock
