@@ -264,6 +264,54 @@ def plan_segment_sum_perm(
     )
 
 
+def harmonize_plans(plans: list[GatherPlan]) -> list[GatherPlan]:
+    """Give a group of GatherPlans identical leaf shapes so they can be
+    stacked on a leading axis (DP device batches, per-device shards).
+
+    ``make_plan`` attaches streaming fields (``raw``, ``g_lo``/``g_cnt``)
+    behind DATA-dependent cost gates, so same-capacity streams can legally
+    disagree. Where they do, degrade every plan to its pure-permutation
+    form — correct everywhere, just skips the streaming kernels for that
+    stream. (Dropping ``raw`` alone would be WRONG: local-mode
+    ``blk_lo``/``blk_cnt`` cover the raw stream, not ``dst``.)
+    """
+    if len({tuple(np.shape(x) for x in p) for p in plans}) <= 1:
+        return list(plans)
+    return [
+        GatherPlan(
+            perm=p.perm
+            if p.perm.shape[0]
+            else np.arange(p.dst.shape[0], dtype=np.int32),
+            dst=p.dst,
+        )
+        for p in plans
+    ]
+
+
+def stack_plans(plans: list[GatherPlan], alloc=None) -> GatherPlan:
+    """Stack harmonized GatherPlans on a new leading axis (one row per
+    device); pair with a ``P(axis)``-sharded spec tree under shard_map.
+
+    The stacked arrays total hundreds of MB at the 100k-atom scale and
+    are written exactly once, so they come from pre-populated pages
+    (``hostmem.populated_empty`` — the dev host's per-page fault path is
+    ~20x slower than a warm copy) or a caller-provided allocator
+    (e.g. a recycled ``hostmem.Slab``)."""
+    from chgnet_tpu.utils.hostmem import populated_empty
+
+    plans = harmonize_plans(plans)
+    if alloc is None:
+        alloc = populated_empty
+    fields = []
+    for i in range(len(GatherPlan._fields)):
+        arrs = [p[i] for p in plans]
+        out = alloc((len(arrs),) + arrs[0].shape, arrs[0].dtype)
+        for j, a in enumerate(arrs):
+            out[j] = a
+        fields.append(out)
+    return GatherPlan(*fields)
+
+
 # ------------------------------------------------------- forward scatters
 def plan_segment_sum(
     data: jnp.ndarray,

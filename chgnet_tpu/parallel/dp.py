@@ -45,7 +45,7 @@ def _harmonize_plans(batches: Sequence[GraphBatch]) -> list[GraphBatch]:
     stream. (Dropping ``raw`` alone would be WRONG: local-mode
     ``blk_lo``/``blk_cnt`` cover the raw stream, not ``dst``.)
     """
-    from chgnet_tpu.ops.scatter import GatherPlan
+    from chgnet_tpu.ops.scatter import GatherPlan, harmonize_plans
 
     plan_fields = [
         name
@@ -54,21 +54,8 @@ def _harmonize_plans(batches: Sequence[GraphBatch]) -> list[GraphBatch]:
     ]
     out = list(batches)
     for name in plan_fields:
-        plans = [getattr(b, name) for b in out]
-        if len({tuple(np.shape(x) for x in p) for p in plans}) > 1:
-            out = [
-                b._replace(
-                    **{
-                        name: GatherPlan(
-                            perm=p.perm
-                            if p.perm.shape[0]
-                            else np.arange(p.dst.shape[0], dtype=np.int32),
-                            dst=p.dst,
-                        )
-                    }
-                )
-                for b, p in zip(out, plans)
-            ]
+        plans = harmonize_plans([getattr(b, name) for b in out])
+        out = [b._replace(**{name: p}) for b, p in zip(out, plans)]
     return out
 
 

@@ -91,6 +91,13 @@ class ShardedGraphBatch(NamedTuple):
     ang_bond_j: np.ndarray  # i32 [D, A_loc] new global undirected id
     ang_owner: np.ndarray  # i32 [D, A_loc] graph id
     ang_mask: np.ndarray  # f32 [D, A_loc]
+    # per-device GatherPlans (ops/scatter.py), stacked on the device axis
+    # with uniform leaf shapes: backward scatters run as permuted sorted
+    # segment sums / streaming kernels instead of XLA's row-at-a-time
+    # scatter emitter. Keys: e_center / e_nbr / e_bond (edge streams into
+    # the global atom/bond tables), ang_bi / ang_bj / ang_c (angle
+    # streams). ``None`` disables (shard_batch(plans=False)).
+    plans: dict | None = None
 
     @property
     def n_devices(self) -> int:
@@ -194,7 +201,130 @@ class _Packer:
         return out
 
 
-def shard_batch(batch: GraphBatch, n_devices: int) -> ShardedGraphBatch:
+def _sbatch_spec(sbatch: ShardedGraphBatch, axis: str) -> ShardedGraphBatch:
+    """shard_map spec tree for this batch: every leaf device-sharded on
+    ``axis`` except the replicated lattices. Derived from the instance so
+    optional subtrees (the ``plans`` dict) follow automatically."""
+    spec = jax.tree.map(lambda _: P(axis), sbatch)
+    return spec._replace(lattices=P())
+
+
+def _strip(sbatch_l, sharded_spec, axis: str):
+    """Drop the leading device axis shard_map leaves keep on P(axis)."""
+    return jax.tree.map(
+        lambda leaf, spec: leaf[0] if spec == P(axis) else leaf,
+        sbatch_l,
+        sharded_spec,
+    )
+
+
+def _fill_tail_with_last(arr: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Point each device row's padded tail at its last valid value.
+
+    Gather-index streams pad with 0 by default; a row-0 reference drags
+    every gather window back to chunk 0 and defeats the window-locality
+    cost gate in ``make_plan`` (batching convention: padded gather indices
+    point at the last valid row — masked later either way)."""
+    for i, c in enumerate(counts):
+        if 0 < c < arr.shape[1]:
+            arr[i, c:] = arr[i, c - 1]
+    return arr
+
+
+def _balance_bond_devices(
+    dev_c: np.ndarray,  # [U_valid] device of first endpoint
+    dev_n: np.ndarray,  # [U_valid] device of second endpoint
+    weights: np.ndarray,  # [U_valid] angle rows carried by this bond
+    d: int,
+) -> np.ndarray:
+    """Assign each bond to one of its two endpoint devices, balancing the
+    total per-device weight. Same-device bonds are forced; free bonds are
+    split per (dev_c, dev_n) class with a cumsum waterfill against the
+    running loads — O(U) with D^2 vectorized classes."""
+    forced = dev_c == dev_n
+    load = np.bincount(
+        dev_c[forced], weights=weights[forced], minlength=d
+    ).astype(np.float64)
+    u_dev = dev_c.copy()
+    free = np.nonzero(~forced)[0]
+    if free.size == 0:
+        return u_dev
+    ckey = dev_c[free].astype(np.int64) * d + dev_n[free]
+    order = np.argsort(ckey, kind="stable")
+    fo = free[order]
+    bounds = np.searchsorted(ckey[order], np.arange(d * d + 1))
+    classes = [
+        (c, fo[bounds[c]: bounds[c + 1]])
+        for c in range(d * d)
+        if bounds[c + 1] > bounds[c]
+    ]
+    cumw = {c: np.cumsum(weights[rows]) for c, rows in classes}
+    to_i = {c: 0.0 for c, _ in classes}
+    k_of = {c: 0 for c, _ in classes}
+    # seed the running loads consistently with to_i == 0 (all on j)
+    for c, _ in classes:
+        load[c % d] += float(cumw[c][-1])
+    # a single greedy pass mis-balances when a big class is processed
+    # before the inflow that should have pushed it elsewhere (e.g. the
+    # (Li, O) classes land on O's device before the heavy O-O classes
+    # arrive) — iterate: each class re-splits against the current loads
+    # with its own contribution removed; converges in a few rounds
+    for _ in range(4):
+        for c, rows in classes:
+            i, j = divmod(c, d)
+            cw = cumw[c]
+            total = float(cw[-1])
+            load[i] -= to_i[c]
+            load[j] -= total - to_i[c]
+            x = min(max((load[j] - load[i] + total) / 2.0, 0.0), total)
+            k = int(np.searchsorted(cw, x))
+            xw = float(cw[k - 1]) if k > 0 else 0.0
+            to_i[c] = xw
+            k_of[c] = k
+            load[i] += xw
+            load[j] += total - xw
+    for c, rows in classes:
+        i, j = divmod(c, d)
+        k = k_of[c]
+        u_dev[rows[:k]] = i
+        u_dev[rows[k:]] = j
+    return u_dev
+
+
+def _stacked_plans(spec: dict[str, tuple]) -> dict:
+    """Per-device GatherPlans for several streams at once, threaded.
+
+    ``spec``: name -> (keys [D, cap], masks [D, cap], n_out,
+    assume_sorted). The D x len(spec) ``make_plan`` calls are independent
+    and dominated by native radix argsorts (GIL-released ctypes), so a
+    thread pool recovers most of the cost at the 100k-atom scale."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    from chgnet_tpu.ops.scatter import make_plan, stack_plans
+
+    with ThreadPoolExecutor(
+        max_workers=min(8, os.cpu_count() or 1)
+    ) as pool:
+        futures = {
+            name: [
+                pool.submit(
+                    make_plan, keys[i], masks[i] > 0, n_out,
+                    assume_sorted=assume_sorted,
+                )
+                for i in range(keys.shape[0])
+            ]
+            for name, (keys, masks, n_out, assume_sorted) in spec.items()
+        }
+        return {
+            name: stack_plans([f.result() for f in futs])
+            for name, futs in futures.items()
+        }
+
+
+def shard_batch(
+    batch: GraphBatch, n_devices: int, *, plans: bool = True
+) -> ShardedGraphBatch:
     """Host-side re-layout of a padded GraphBatch onto D devices."""
     d = n_devices
     cap_n = batch.n_atoms_padded
@@ -221,11 +351,27 @@ def shard_batch(batch: GraphBatch, n_devices: int) -> ShardedGraphBatch:
     e_counts = np.bincount(e_dev, minlength=d)
     e_loc = round_up(int(e_counts.max()), base=8)
 
-    # --- undirected bonds -> device of their first directed edge's center
+    # --- undirected bonds -> one of their two endpoints' devices, chosen
+    # to BALANCE per-device angle load. Bonds carry very different angle
+    # weights by species, and always picking the first edge's center
+    # skews badly when atom order correlates with species (a site-major
+    # supercell put 32x more angle rows on device 0 than 7). Weighted
+    # waterfill over the D^2 endpoint-device classes gets within a class
+    # granule of even; angle rows follow their bond_i's device.
     u_valid = np.nonzero(batch.und_mask > 0)[0].astype(np.int32)
     u_first_dir = gather_col(batch.undirected2directed, None, u_valid)
     u_center = gather_col(batch.atom_graph, 0, u_first_dir)
-    u_dev = u_center // n_loc
+    u_nbr = gather_col(batch.atom_graph, 1, u_first_dir)
+    a_valid = np.nonzero(batch.angle_mask > 0)[0].astype(np.int32)
+    bond_i = gather_col(batch.bond_graph, 1, a_valid)
+    u_dev = _balance_bond_devices(
+        (u_center // n_loc).astype(np.int32),
+        (u_nbr // n_loc).astype(np.int32),
+        # +1: the bond-table rows themselves also spread
+        np.bincount(bond_i, minlength=batch.und_mask.shape[0])[u_valid]
+        + 1,
+        d,
+    )
     u_counts = np.bincount(u_dev, minlength=d)
     u_loc = round_up(int(u_counts.max()), base=8)
     # new global id for each old undirected id: slot = running count within
@@ -237,9 +383,7 @@ def shard_batch(batch: GraphBatch, n_devices: int) -> ShardedGraphBatch:
     new_uid[u_valid_sorted] = u_pack.slots()
     u_src = u_first_dir if u_order is None else gather_col(u_first_dir, None, u_order)
 
-    # --- angle rows -> device of bond_i
-    a_valid = np.nonzero(batch.angle_mask > 0)[0].astype(np.int32)
-    bond_i = gather_col(batch.bond_graph, 1, a_valid)
+    # --- angle rows -> device of bond_i (a_valid/bond_i computed above)
     uid_unsorted = gather_col(new_uid, None, bond_i)
     a_dev = uid_unsorted // u_loc
     a_counts = np.bincount(a_dev, minlength=d)
@@ -312,6 +456,37 @@ def shard_batch(batch: GraphBatch, n_devices: int) -> ShardedGraphBatch:
         ang_owner=a_pack.pack_gather(batch.edge_owner, dir_i),
         ang_mask=a_pack.mask(),
     )
+    if plans:
+        u_glob = u_loc * d
+        for arr, counts in (
+            (out.edge_center, e_pack.counts),
+            (out.edge_neighbor, e_pack.counts),
+            (out.edge_bond, e_pack.counts),
+            (out.ang_bond_i, a_pack.counts),
+            (out.ang_bond_j, a_pack.counts),
+            (out.ang_center, a_pack.counts),
+        ):
+            _fill_tail_with_last(arr, counts)
+        out = out._replace(
+            plans=_stacked_plans(
+                {
+                    # edges are device-major center-sorted, so the center
+                    # scatter/backward stream is sorted per device
+                    "e_center": (
+                        out.edge_center, out.edge_mask, n_glob, True
+                    ),
+                    "e_nbr": (
+                        out.edge_neighbor, out.edge_mask, n_glob, False
+                    ),
+                    "e_bond": (
+                        out.edge_bond, out.edge_mask, u_glob, False
+                    ),
+                    "ang_bi": (out.ang_bond_i, out.ang_mask, u_glob, False),
+                    "ang_bj": (out.ang_bond_j, out.ang_mask, u_glob, False),
+                    "ang_c": (out.ang_center, out.ang_mask, n_glob, False),
+                }
+            )
+        )
     return out
 
 
@@ -406,6 +581,14 @@ def _energy_sharded(
     def my_bonds(glob):
         return jax.lax.dynamic_slice_in_dim(glob, dev * u_loc, u_loc)
 
+    # per-device streaming/backward plans (built by shard_batch): scatters
+    # and gather-backwards ride sorted segment sums / streaming kernels
+    pl = sb.plans or {}
+    conv_plans = (
+        pl.get("e_center"), pl.get("e_bond"), pl.get("e_nbr"),
+    )
+    ang_plans = (pl.get("ang_bi"), pl.get("ang_bj"), pl.get("ang_c"))
+
     act = cfg.non_linearity
     atom_feas_mid = atom_feas
 
@@ -423,6 +606,7 @@ def _energy_sharded(
                 sb.edge_bond,
                 sb.edge_mask,
                 activation=act,
+                plans=conv_plans,
             )
         )
         if cfg.update_bond:
@@ -438,6 +622,7 @@ def _energy_sharded(
                     ang_scatter,
                     sb.ang_mask,
                     activation=act,
+                    plans=ang_plans,
                 )
             )
         if cfg.update_angle:
@@ -450,6 +635,7 @@ def _energy_sharded(
                 angle_feas,
                 bond_graph,
                 activation=act,
+                plans=ang_plans,
             )
         if idx == cfg.n_conv - 2:
             atom_feas_mid = atom_feas
@@ -467,6 +653,7 @@ def _energy_sharded(
             sb.edge_bond,
             sb.edge_mask,
             activation=act,
+            plans=conv_plans,
         )
     )
     if "readout_norm" in params:
@@ -522,26 +709,11 @@ def compute_batch_sharded(
     cfg = config
     n_graphs = sbatch.n_graphs
 
-    sharded_spec = ShardedGraphBatch(
-        atomic_numbers=P(axis), frac_coords=P(axis), atom_owner=P(axis),
-        atom_mask=P(axis), lattices=P(),
-        edge_center=P(axis), edge_neighbor=P(axis), edge_image=P(axis),
-        edge_owner=P(axis), edge_bond=P(axis), edge_mask=P(axis),
-        und_center=P(axis), und_neighbor=P(axis), und_image=P(axis),
-        und_owner=P(axis), und_mask=P(axis),
-        ang_center=P(axis), ang_nbr_i=P(axis), ang_img_i=P(axis),
-        ang_nbr_j=P(axis), ang_img_j=P(axis), ang_bond_i_local=P(axis),
-        ang_bond_i=P(axis), ang_bond_j=P(axis), ang_owner=P(axis),
-        ang_mask=P(axis),
-    )
+    sharded_spec = _sbatch_spec(sbatch, axis)
 
     def local_fn(params, sbatch_l, frac_l, strains):
         # leading device axis is stripped by shard_map on P(axis) leaves
-        sb = jax.tree.map(
-            lambda leaf, spec: leaf[0] if spec == P(axis) else leaf,
-            sbatch_l,
-            sharded_spec,
-        )
+        sb = _strip(sbatch_l, sharded_spec, axis)
 
         def energy_of(cart, strains):
             with jax.default_matmul_precision(cfg.matmul_precision):
@@ -691,26 +863,6 @@ def make_graph_sharded_train_step(
     """
     cfg = config
 
-    sharded_spec = ShardedGraphBatch(
-        atomic_numbers=P(axis), frac_coords=P(axis), atom_owner=P(axis),
-        atom_mask=P(axis), lattices=P(),
-        edge_center=P(axis), edge_neighbor=P(axis), edge_image=P(axis),
-        edge_owner=P(axis), edge_bond=P(axis), edge_mask=P(axis),
-        und_center=P(axis), und_neighbor=P(axis), und_image=P(axis),
-        und_owner=P(axis), und_mask=P(axis),
-        ang_center=P(axis), ang_nbr_i=P(axis), ang_img_i=P(axis),
-        ang_nbr_j=P(axis), ang_img_j=P(axis), ang_bond_i_local=P(axis),
-        ang_bond_i=P(axis), ang_bond_j=P(axis), ang_owner=P(axis),
-        ang_mask=P(axis),
-    )
-
-    def strip(sbatch_l):
-        return jax.tree.map(
-            lambda leaf, spec: leaf[0] if spec == P(axis) else leaf,
-            sbatch_l,
-            sharded_spec,
-        )
-
     def local_loss(params, sb, hb, tgt):
         n_graphs = sb.lattices.shape[0]
         targets_e = tgt["e"]
@@ -819,37 +971,55 @@ def make_graph_sharded_train_step(
         metrics["loss"] = loss
         return loss, metrics
 
-    def local_step(params, opt_state, batch_l, tgt):
-        if halo:
-            sb = strip(batch_l[0])
-            hb = jax.tree.map(lambda leaf: leaf[0], batch_l[1])
-        else:
-            sb = strip(batch_l)
-            hb = None
-        grads, metrics = jax.grad(
-            lambda p: local_loss(p, sb, hb, tgt), has_aux=True
-        )(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, metrics
-
     target_spec = {"e": P(), "graph_mask": P(), "f": P(axis)}
     if "s" in targets:
         target_spec["s"] = P()
     if "m" in targets:
         target_spec["m"] = P(axis)
-    if halo:
-        halo_spec = HaloBatch(**{name: P(axis) for name in HaloBatch._fields})
-        batch_spec = (sharded_spec, halo_spec)
-    else:
-        batch_spec = sharded_spec
-    fn = shard_map(
-        local_step,
-        mesh=mesh,
-        in_specs=(P(), P(), batch_spec, target_spec),
-        out_specs=(P(), P(), P()),
-    )
-    return jax.jit(fn)
+
+    def build(sharded_spec, halo_spec):
+        """shard_map'd step for one batch spec tree (the plans subtrees
+        are instance-dependent, so specs derive from the first batch)."""
+
+        def local_step(params, opt_state, batch_l, tgt):
+            if halo:
+                sb = _strip(batch_l[0], sharded_spec, axis)
+                hb = jax.tree.map(lambda leaf: leaf[0], batch_l[1])
+            else:
+                sb = _strip(batch_l, sharded_spec, axis)
+                hb = None
+            grads, metrics = jax.grad(
+                lambda p: local_loss(p, sb, hb, tgt), has_aux=True
+            )(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, metrics
+
+        batch_spec = (sharded_spec, halo_spec) if halo else sharded_spec
+        fn = shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(P(), P(), batch_spec, target_spec),
+            out_specs=(P(), P(), P()),
+        )
+        return jax.jit(fn)
+
+    cache: dict = {}
+
+    def step(params, opt_state, batch, tgt):
+        sb_in = batch[0] if halo else batch
+        halo_spec = (
+            jax.tree.map(lambda _: P(axis), batch[1]) if halo else None
+        )
+        key = (
+            sb_in.plans is not None,
+            halo and batch[1].plans is not None,
+        )
+        if key not in cache:
+            cache[key] = build(_sbatch_spec(sb_in, axis), halo_spec)
+        return cache[key](params, opt_state, batch, tgt)
+
+    return step
 
 
 # ----------------------------------------------------- halo-exchange variant
@@ -875,13 +1045,17 @@ class HaloBatch(NamedTuple):
     ang_nbr_i_h: np.ndarray  # i32 [D, A_loc]
     ang_nbr_j_h: np.ndarray  # i32 [D, A_loc]
     ang_bond_j_h: np.ndarray  # i32 [D, A_loc]
+    # per-device GatherPlans over the [own | halo] table layouts (same
+    # roles as ShardedGraphBatch.plans, n_out = local + halo rows)
+    plans: dict | None = None
 
 
 def shard_batch_halo(
-    batch: GraphBatch, n_devices: int
+    batch: GraphBatch, n_devices: int, *, plans: bool = True
 ) -> tuple[ShardedGraphBatch, HaloBatch]:
     """shard_batch plus precomputed boundary-exchange index plans."""
-    sb = shard_batch(batch, n_devices)
+    # the halo forward never reads the global-layout plans; skip them
+    sb = shard_batch(batch, n_devices, plans=False)
     d = n_devices
     n_loc = sb.atomic_numbers.shape[1]
     u_loc = sb.und_mask.shape[1]
@@ -964,6 +1138,44 @@ def shard_batch_halo(
         edge_bond_h=bond_remapped[0],
         ang_bond_j_h=bond_remapped[1],
     )
+    if plans:
+        atom_rows = n_loc + d * halo.atom_send.shape[2]
+        bond_rows = u_loc + d * halo.bond_send.shape[2]
+        e_counts = e_mask.sum(axis=1)
+        a_counts = a_mask.sum(axis=1)
+        for arr, counts in (
+            (halo.edge_neighbor_h, e_counts),
+            (halo.edge_bond_h, e_counts),
+            (halo.ang_center_h, a_counts),
+            (halo.ang_bond_j_h, a_counts),
+        ):
+            _fill_tail_with_last(arr, counts)
+        halo = halo._replace(
+            plans=_stacked_plans(
+                {
+                    "e_center": (
+                        halo.edge_center_local, sb.edge_mask, atom_rows,
+                        True,
+                    ),
+                    "e_nbr": (
+                        halo.edge_neighbor_h, sb.edge_mask, atom_rows,
+                        False,
+                    ),
+                    "e_bond": (
+                        halo.edge_bond_h, sb.edge_mask, bond_rows, False
+                    ),
+                    "ang_bi": (
+                        sb.ang_bond_i_local, sb.ang_mask, bond_rows, False
+                    ),
+                    "ang_bj": (
+                        halo.ang_bond_j_h, sb.ang_mask, bond_rows, False
+                    ),
+                    "ang_c": (
+                        halo.ang_center_h, sb.ang_mask, atom_rows, False
+                    ),
+                }
+            )
+        )
     return sb, halo
 
 
@@ -1068,6 +1280,11 @@ def _energy_sharded_halo(
     act = cfg.non_linearity
     atom_feas_mid = atom_feas
 
+    # per-device streaming/backward plans over the [own | halo] layout
+    pl = hb.plans or {}
+    conv_plans = (pl.get("e_center"), pl.get("e_bond"), pl.get("e_nbr"))
+    ang_plans = (pl.get("ang_bi"), pl.get("ang_bj"), pl.get("ang_c"))
+
     def with_halo(local, send):
         return jnp.concatenate([local, _halo_exchange(local, send, axis)])
 
@@ -1078,7 +1295,7 @@ def _energy_sharded_halo(
             params["atom_convs"][idx],
             atom_t, bond_t, bw_ag_t,
             atom_graph, edge_scatter, hb.edge_bond_h, sb.edge_mask,
-            activation=act,
+            activation=act, plans=conv_plans,
         )[:n_loc]
         if cfg.update_bond:
             atom_t2 = with_halo(atom_feas, hb.atom_send)
@@ -1086,7 +1303,7 @@ def _energy_sharded_halo(
                 params["bond_convs"][idx],
                 atom_t2, bond_t, bw_bg_t, angle_feas,
                 bond_graph, ang_scatter, sb.ang_mask,
-                activation=act,
+                activation=act, plans=ang_plans,
             )[:u_loc]
         if cfg.update_angle:
             atom_t3 = with_halo(atom_feas, hb.atom_send)
@@ -1094,7 +1311,7 @@ def _energy_sharded_halo(
             angle_feas = angle_update_apply(
                 params["angle_updates"][idx],
                 atom_t3, bond_t3, angle_feas, bond_graph,
-                activation=act,
+                activation=act, plans=ang_plans,
             )
         if idx == cfg.n_conv - 2:
             atom_feas_mid = atom_feas
@@ -1105,7 +1322,7 @@ def _energy_sharded_halo(
         params["atom_convs"][cfg.n_conv - 1],
         atom_t, bond_t, bw_ag_t,
         atom_graph, edge_scatter, hb.edge_bond_h, sb.edge_mask,
-        activation=act,
+        activation=act, plans=conv_plans,
     )[:n_loc]
     if "readout_norm" in params:
         atom_feas = layer_norm_apply(params["readout_norm"], atom_feas)
@@ -1158,27 +1375,11 @@ def compute_batch_sharded_halo(
     cfg = config
     n_graphs = sbatch.n_graphs
 
-    sharded_spec = ShardedGraphBatch(
-        atomic_numbers=P(axis), frac_coords=P(axis), atom_owner=P(axis),
-        atom_mask=P(axis), lattices=P(),
-        edge_center=P(axis), edge_neighbor=P(axis), edge_image=P(axis),
-        edge_owner=P(axis), edge_bond=P(axis), edge_mask=P(axis),
-        und_center=P(axis), und_neighbor=P(axis), und_image=P(axis),
-        und_owner=P(axis), und_mask=P(axis),
-        ang_center=P(axis), ang_nbr_i=P(axis), ang_img_i=P(axis),
-        ang_nbr_j=P(axis), ang_img_j=P(axis), ang_bond_i_local=P(axis),
-        ang_bond_i=P(axis), ang_bond_j=P(axis), ang_owner=P(axis),
-        ang_mask=P(axis),
-    )
-    halo_spec = HaloBatch(
-        **{name: P(axis) for name in HaloBatch._fields}
-    )
+    sharded_spec = _sbatch_spec(sbatch, axis)
+    halo_spec = jax.tree.map(lambda _: P(axis), halo)
 
     def local_fn(params, sbatch_l, halo_l, frac_l, strains):
-        sb = jax.tree.map(
-            lambda leaf, spec: leaf[0] if spec == P(axis) else leaf,
-            sbatch_l, sharded_spec,
-        )
+        sb = _strip(sbatch_l, sharded_spec, axis)
         hb = jax.tree.map(lambda leaf: leaf[0], halo_l)
 
         def energy_of(cart, strains):

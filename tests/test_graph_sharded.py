@@ -99,6 +99,34 @@ def test_sharded_matches_single_device(model, struct, n_devices):
     )
 
 
+def test_sharded_plans_match_plan_free(model, struct):
+    """The per-device GatherPlans (streaming/backward scatter plans built
+    by shard_batch) must be numerically inert: forward with plans equals
+    forward with plans=False bit-for-bit on CPU (the perm custom-vjp path
+    is exercised either way; the TPU streaming kernels consume the same
+    plans)."""
+    big = struct.make_supercell(2).perturb(0.05, seed=1)
+    graph = model.graph_converter(big)
+    batch = batch_graphs([graph])
+    mesh = make_mesh(4, axis_name="graph")
+    outs = []
+    for with_plans in (True, False):
+        sbatch = shard_batch(batch, 4, plans=with_plans)
+        assert (sbatch.plans is not None) == with_plans
+        outs.append(
+            compute_batch_sharded(
+                model.params, sbatch, config=model.config, mesh=mesh,
+                compute_force=True, compute_stress=True,
+                compute_magmom=True,
+            )
+        )
+    for key in ("e", "f", "s", "m"):
+        np.testing.assert_allclose(
+            np.asarray(outs[0][key]), np.asarray(outs[1][key]),
+            atol=1e-6, err_msg=key,
+        )
+
+
 def test_sharded_multiple_graphs(model, struct):
     """A batch of graphs sharded across 4 devices (atoms of different
     graphs may land on the same device)."""

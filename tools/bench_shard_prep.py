@@ -65,7 +65,7 @@ def main() -> None:
     )
 
     t0 = time.perf_counter()
-    sharded = shard_batch(batch, n_dev)
+    sharded = shard_batch(batch, n_dev, plans=False)
     t1 = time.perf_counter()
     cold_s = t1 - t0
     stages.append(
@@ -80,13 +80,28 @@ def main() -> None:
     # by the next topology rebuild, so the slab pool recycles warm pages
     del sharded
     t0 = time.perf_counter()
-    sharded = shard_batch(batch, n_dev)
+    sharded = shard_batch(batch, n_dev, plans=False)
     t1 = time.perf_counter()
     shard_s = t1 - t0
     stages.append(
         (
             f"shard_batch (D={n_dev} re-layout, warm slab reuse)",
             shard_s,
+            {},
+        )
+    )
+
+    # optional per-device GatherPlans (streaming-kernel scatter/backward
+    # plans for the sharded conv loops; ~30M int32 argsort rows at this
+    # scale)
+    del sharded
+    t0 = time.perf_counter()
+    sharded = shard_batch(batch, n_dev, plans=True)
+    t1 = time.perf_counter()
+    stages.append(
+        (
+            f"shard_batch (D={n_dev} re-layout + streaming plans)",
+            t1 - t0,
             {},
         )
     )
