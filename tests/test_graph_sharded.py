@@ -127,6 +127,32 @@ def test_sharded_plans_match_plan_free(model, struct):
         )
 
 
+def test_balance_bond_devices():
+    """Weighted endpoint waterfill: species-blocked pairs (every bond
+    oriented low-block -> high-block, heavy weights concentrated) must
+    spread within ~the largest class granule of the mean, and forced
+    same-device bonds stay put."""
+    from chgnet_tpu.parallel.graph_sharded import _balance_bond_devices
+
+    rng = np.random.default_rng(0)
+    d = 4
+    n = 40_000
+    dev_c = rng.integers(0, d, n).astype(np.int32)
+    # systematically oriented: second endpoint >= first (worst case for
+    # the naive first-endpoint rule)
+    dev_n = np.minimum(dev_c + rng.integers(0, d, n), d - 1).astype(np.int32)
+    weights = np.where(dev_c == 0, 50, 1).astype(np.int64)  # heavy block
+    u_dev = _balance_bond_devices(dev_c, dev_n, weights, d)
+    forced = dev_c == dev_n
+    assert (u_dev[forced] == dev_c[forced]).all()
+    assert ((u_dev == dev_c) | (u_dev == dev_n)).all()
+    loads = np.bincount(u_dev, weights=weights, minlength=d)
+    naive = np.bincount(dev_c, weights=weights, minlength=d)
+    # the naive rule is badly skewed; the waterfill must be much tighter
+    assert loads.max() / loads.mean() < 1.35
+    assert loads.max() < 0.6 * naive.max()
+
+
 def test_sharded_multiple_graphs(model, struct):
     """A batch of graphs sharded across 4 devices (atoms of different
     graphs may land on the same device)."""
