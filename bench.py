@@ -70,6 +70,18 @@ def main() -> None:
     from chgnet_tpu.core.structure import Structure
     from chgnet_tpu.graph.batching import batch_graphs
     from chgnet_tpu.models.chgnet import CHGNet, compute_batch
+    from chgnet_tpu.utils.profiling import wait_for_tpu
+
+    import os
+
+    # the remote TPU tunnel intermittently hangs (ops block forever, no
+    # exception): probe in a subprocess first so a down tunnel fails
+    # loudly and boundedly instead of wedging the benchmark
+    budget = float(os.environ.get("CHGNET_TPU_PROBE_BUDGET_S", 900))
+    if not wait_for_tpu(budget):
+        raise SystemExit(
+            f"device backend unreachable after {budget:.0f} s of probing"
+        )
 
     import jax
 

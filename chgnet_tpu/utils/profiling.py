@@ -20,6 +20,49 @@ import jax
 import numpy as np
 
 
+def wait_for_tpu(budget_s: float = 900.0, probe_timeout_s: float = 60.0) -> bool:
+    """Wait until the TPU backend actually executes work, up to ``budget_s``.
+
+    The dev environment's remote TPU tunnel intermittently HANGS (no
+    exception — any dispatched op blocks forever), so the probe runs a
+    tiny matmul in a SUBPROCESS under a hard timeout and retries.
+    Returns True once a probe succeeds, False when the budget runs out.
+    Benchmarks call this before heavy work so a down tunnel produces a
+    bounded, explicit failure instead of an indefinite hang.
+    """
+    import subprocess
+    import sys
+
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "x = jnp.ones((128, 128));"
+        "print(float((x @ x).sum()))"
+    )
+    deadline = time.monotonic() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", code],
+                timeout=probe_timeout_s,
+                capture_output=True,
+            )
+            if proc.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            return False
+        print(
+            f"# TPU probe {attempt} failed (tunnel down?); retrying, "
+            f"{int(remaining)} s left in budget",
+            flush=True,
+        )
+        time.sleep(min(30.0, max(remaining, 0.0)))
+
+
 @contextlib.contextmanager
 def trace(log_dir: str = "/tmp/chgnet_tpu_trace"):
     """Capture a jax.profiler trace (view with TensorBoard / xprof)."""

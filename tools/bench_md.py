@@ -10,6 +10,7 @@ Usage: python tools/bench_md.py [n_steps]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -25,6 +26,11 @@ from chgnet_tpu.simulation import MolecularDynamics  # noqa: E402
 
 
 def main() -> None:
+    from chgnet_tpu.utils.profiling import wait_for_tpu
+
+    if not wait_for_tpu(float(os.environ.get("CHGNET_TPU_PROBE_BUDGET_S", 900))):
+        raise SystemExit("device backend unreachable (tunnel down)")
+
     n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     base = Structure.from_file(f"{ROOT}/examples/mp-18767-LiMnO2.cif")
 
