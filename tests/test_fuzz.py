@@ -82,3 +82,45 @@ def test_model_invariants_on_random_cells(seed):
     shifted.frac_coords = shifted.frac_coords + rng.integers(-2, 3, (len(struct), 3))
     out2 = model.predict_structure(shifted, task="e")
     assert out2["e"] == pytest.approx(out["e"], abs=1e-5)
+
+
+@pytest.mark.parametrize("seed", [200, 201, 202])
+def test_sharded_identity_on_random_cells(seed):
+    """Graph-partitioned forward (with per-device streaming plans and the
+    weighted bond-device balance) matches single-device e/f on random
+    skewed cells — hardens the shard prep against arbitrary topologies,
+    not just the LiMnO2 fixtures."""
+    from chgnet_tpu.graph.batching import batch_graphs
+    from chgnet_tpu.models.chgnet import compute_batch
+    from chgnet_tpu.parallel.graph_sharded import (
+        compute_batch_sharded,
+        shard_batch,
+        unshard_atoms,
+    )
+    from chgnet_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(seed)
+    struct = _random_structure(rng)
+    model = CHGNet(seed=0, **SMALL)
+    try:
+        graph = model.graph_converter(struct, graph_id="fuzz")
+    except ValueError as exc:
+        if "isolated atom" in str(exc):
+            pytest.skip("random cell produced an isolated atom")
+        raise
+    batch = batch_graphs([graph])
+    ref = compute_batch(
+        model.params, batch, config=model.config, compute_force=True
+    )
+    sbatch = shard_batch(batch, 4)
+    out = compute_batch_sharded(
+        model.params, sbatch, config=model.config,
+        mesh=make_mesh(4, axis_name="graph"), compute_force=True,
+    )
+    np.testing.assert_allclose(
+        float(out["e"][0]), float(ref["e"][0]), atol=1e-5
+    )
+    n = len(struct)
+    np.testing.assert_allclose(
+        unshard_atoms(out["f"])[:n], np.asarray(ref["f"])[:n], atol=1e-4
+    )
