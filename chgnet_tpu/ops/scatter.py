@@ -269,23 +269,45 @@ def harmonize_plans(plans: list[GatherPlan]) -> list[GatherPlan]:
     stacked on a leading axis (DP device batches, per-device shards).
 
     ``make_plan`` attaches streaming fields (``raw``, ``g_lo``/``g_cnt``)
-    behind DATA-dependent cost gates, so same-capacity streams can legally
-    disagree. Where they do, degrade every plan to its pure-permutation
-    form — correct everywhere, just skips the streaming kernels for that
-    stream. (Dropping ``raw`` alone would be WRONG: local-mode
-    ``blk_lo``/``blk_cnt`` cover the raw stream, not ``dst``.)
+    behind DATA-dependent cost gates, so same-capacity streams can
+    legally disagree. Degrade per FIELD GROUP, not wholesale — one
+    member failing only the gather-window gate must not cost the whole
+    group its streaming segment-sum kernel:
+
+    * ``g_lo``/``g_cnt`` disagree -> drop the gather window everywhere
+      (forward gathers fall back to XLA; backward unaffected).
+    * ``raw`` disagrees -> drop ``raw`` AND ``blk_lo``/``blk_cnt``
+      everywhere. Mixed presence means mixed MODES: local-mode block
+      plans cover the raw stream while sorted-mode ones cover ``dst``,
+      and the block shapes coincide — keeping blocks while dropping raw
+      would silently mis-sum the local-mode members.
+    * ``perm`` disagrees (sorted-by-construction mixed with not) ->
+      expand empty perms to the identity.
     """
     if len({tuple(np.shape(x) for x in p) for p in plans}) <= 1:
         return list(plans)
-    return [
-        GatherPlan(
-            perm=p.perm
-            if p.perm.shape[0]
-            else np.arange(p.dst.shape[0], dtype=np.int32),
-            dst=p.dst,
-        )
-        for p in plans
-    ]
+    out = list(plans)
+
+    def differs(field: str) -> bool:
+        return len({np.shape(getattr(p, field)) for p in out}) > 1
+
+    if differs("g_lo") or differs("g_cnt"):
+        out = [p._replace(g_lo=_EMPTY, g_cnt=_EMPTY) for p in out]
+    if differs("raw"):
+        out = [
+            p._replace(raw=_EMPTY, blk_lo=_EMPTY, blk_cnt=_EMPTY)
+            for p in out
+        ]
+    if differs("perm"):
+        out = [
+            p._replace(
+                perm=p.perm
+                if p.perm.shape[0]
+                else np.arange(p.dst.shape[0], dtype=np.int32)
+            )
+            for p in out
+        ]
+    return out
 
 
 def stack_plans(plans: list[GatherPlan], alloc=None) -> GatherPlan:

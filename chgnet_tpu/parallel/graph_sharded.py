@@ -7,8 +7,9 @@ GPU. Here:
 
 * atoms are block-partitioned over the mesh axis; every directed edge
   lives on the device that owns its CENTER atom (message scatter is then
-  local), and every undirected bond / angle row lives on the device that
-  owns its first directed edge,
+  local); every undirected bond lives on ONE of its two endpoints'
+  devices, chosen by a weighted waterfill that balances per-device angle
+  load (``_balance_bond_devices``), and angle rows follow their bond_i,
 * each conv layer exchanges boundary features by all-gathering the 64-dim
   atom (and bond) feature tables over ICI — gather-based halo exchange;
   message computation and segment-sum stay local,
@@ -74,7 +75,7 @@ class ShardedGraphBatch(NamedTuple):
     edge_owner: np.ndarray  # i32 [D, E_loc] graph id
     edge_bond: np.ndarray  # i32 [D, E_loc] new global undirected id
     edge_mask: np.ndarray  # f32 [D, E_loc]
-    # undirected bonds (on first directed edge's device)
+    # undirected bonds (on one endpoint's device, load-balanced)
     und_center: np.ndarray  # i32 [D, U_loc] global atom id
     und_neighbor: np.ndarray  # i32 [D, U_loc] global atom id
     und_image: np.ndarray  # f32 [D, U_loc, 3]
@@ -258,7 +259,12 @@ def _balance_bond_devices(
         for c in range(d * d)
         if bounds[c + 1] > bounds[c]
     ]
-    cumw = {c: np.cumsum(weights[rows]) for c, rows in classes}
+    # float64 cumsums: searchsorted against a float needle would silently
+    # PROMOTE (copy) an int array per call (see stream_ops.py:57-60)
+    cumw = {
+        c: np.cumsum(weights[rows], dtype=np.float64)
+        for c, rows in classes
+    }
     to_i = {c: 0.0 for c, _ in classes}
     k_of = {c: 0 for c, _ in classes}
     # seed the running loads consistently with to_i == 0 (all on j)

@@ -42,6 +42,7 @@ def wait_for_tpu(budget_s: float = 900.0, probe_timeout_s: float = 60.0) -> bool
     attempt = 0
     while True:
         attempt += 1
+        why = "probe timed out (tunnel hang?)"
         try:
             proc = subprocess.run(
                 [sys.executable, "-c", code],
@@ -50,13 +51,19 @@ def wait_for_tpu(budget_s: float = 900.0, probe_timeout_s: float = 60.0) -> bool
             )
             if proc.returncode == 0:
                 return True
+            # surface the real failure: a deterministic error (broken
+            # install, bad env) would otherwise burn the whole budget
+            # with zero diagnostics
+            tail = proc.stderr.decode(errors="replace").strip().splitlines()
+            why = tail[-1][:200] if tail else f"exit code {proc.returncode}"
         except subprocess.TimeoutExpired:
             pass
         remaining = deadline - time.monotonic()
         if remaining <= 0:
+            print(f"# TPU probe gave up: {why}", flush=True)
             return False
         print(
-            f"# TPU probe {attempt} failed (tunnel down?); retrying, "
+            f"# TPU probe {attempt} failed ({why}); retrying, "
             f"{int(remaining)} s left in budget",
             flush=True,
         )

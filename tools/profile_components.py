@@ -13,6 +13,7 @@ Usage: python tools/profile_components.py [n_structs]
 from __future__ import annotations
 
 import json
+import os
 import sys
 
 import jax
@@ -41,7 +42,9 @@ VARIANTS = [
 
 
 def main() -> None:
-    if not wait_for_tpu(300):
+    if not wait_for_tpu(
+        float(os.environ.get("CHGNET_TPU_PROBE_BUDGET_S", 900))
+    ):
         raise SystemExit("device backend unreachable")
     n_structs = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     struct = Structure.from_file(f"{ROOT}/examples/mp-18767-LiMnO2.cif")
