@@ -141,6 +141,13 @@ def batch_graphs(
         chunk = 2 * _STREAM_CHUNK
         cap_e = -(-cap_e // chunk) * chunk
         cap_a = -(-cap_a // chunk) * chunk
+    if bucket and cap_n >= _STREAM_CHUNK:
+        # large atom tables also land on the C grid, making center/
+        # neighbor window-gathers kernel-eligible (the fused first-layer
+        # multi-gather needs >= 2 windowed parts). Explicit capacities
+        # are honored verbatim — simulation runtimes pin per-atom state
+        # arrays to them (GraphRuntime aligns its own pin).
+        cap_n = -(-cap_n // _STREAM_CHUNK) * _STREAM_CHUNK
     cap_e += cap_e % 2  # keep U = E / 2 exact
     cap_u = cap_e // 2
     if cap_n < tot_atoms or cap_e < tot_edges or cap_a < tot_angles:

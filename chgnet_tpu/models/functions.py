@@ -264,14 +264,6 @@ def _split_part(part):
     return table, idx, None
 
 
-def _gather_part(proj, idx, plan):
-    from chgnet_tpu.ops.scatter import plan_gather
-
-    if idx is None:
-        return proj
-    return plan_gather(proj, idx, plan)
-
-
 def first_layer_acc_joint(
     layers_c: Sequence[Params],
     layers_g: Sequence[Params],
@@ -279,19 +271,23 @@ def first_layer_acc_joint(
 ) -> jnp.ndarray:
     """Joint [E, 2D] first-Linear output (core | gate lane-packed) over an
     implicit concat of gathered blocks: each block projected on its table
-    BEFORE gathering (see ``gated_mlp_gather_apply``)."""
-    from chgnet_tpu.ops.scatter import plan_gather
+    BEFORE gathering (see ``gated_mlp_gather_apply``). On TPU the
+    per-part window gathers fuse into ONE streaming kernel pass
+    (``ops.scatter.gather_sum``) — the unfused form materializes each
+    projected [E, 2D] stream in HBM before the adds."""
+    from chgnet_tpu.ops.scatter import gather_sum
 
     first_w = jnp.concatenate([layers_c[0]["w"], layers_g[0]["w"]], axis=1)
     offset = 0
-    acc = None
+    projected = []
     for part in parts:
         table, idx, plan = _split_part(part)
         d_k = table.shape[1]
-        proj = jnp.dot(table, first_w[offset: offset + d_k])
-        proj = _gather_part(proj, idx, plan)
-        acc = proj if acc is None else acc + proj
+        projected.append(
+            (jnp.dot(table, first_w[offset: offset + d_k]), idx, plan)
+        )
         offset += d_k
+    acc = gather_sum(projected)
     if "b" in layers_c[0]:
         acc = acc + jnp.concatenate([layers_c[0]["b"], layers_g[0]["b"]])
     return acc

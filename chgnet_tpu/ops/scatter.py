@@ -264,6 +264,100 @@ def plan_segment_sum_perm(
     )
 
 
+# ----------------------------------------------------- fused gather-sum
+def _gather_sum_impl(tables, idxs, plans):
+    """Fused kernel: sum of window-gathered parts (+ aligned streams)."""
+    streams = [t for t, i in zip(tables, idxs) if i is None]
+    win_tabs = [t for t, i in zip(tables, idxs) if i is not None]
+    win_idxs = [i for i in idxs if i is not None]
+    win_plans = [p for i, p in zip(idxs, plans) if i is not None]
+    stream = None
+    if streams:
+        stream = streams[0]
+        for s in streams[1:]:
+            stream = stream + s
+    return stream_ops._multi_gather_pallas(
+        win_tabs,
+        win_idxs,
+        [p.g_lo for p in win_plans],
+        [p.g_cnt for p in win_plans],
+        stream,
+        has_stream=stream is not None,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _gather_sum_planned(tables, idxs, plans, num_segments):
+    return _gather_sum_impl(tables, idxs, plans)
+
+
+def _gather_sum_fwd(tables, idxs, plans, num_segments):
+    return _gather_sum_impl(tables, idxs, plans), (idxs, plans)
+
+
+def _gather_sum_bwd(num_segments, res, ct):
+    idxs, plans = res
+    dtables = tuple(
+        ct
+        if idx is None
+        else _planned_segsum(
+            ct, p.perm, p.dst, p.blk_lo, p.blk_cnt, p.raw, n_seg
+        )
+        for idx, p, n_seg in zip(idxs, plans, num_segments)
+    )
+    return (dtables, None, None)
+
+
+_gather_sum_planned.defvjp(_gather_sum_fwd, _gather_sum_bwd)
+
+
+def gather_sum(parts) -> jnp.ndarray:
+    """``sum_k (table_k[idx_k] if idx_k is not None else table_k)`` with
+    the window-gathers FUSED into one streaming kernel where possible.
+
+    ``parts``: sequence of ``(table [S_k, d], idx [L] | None, plan)``.
+    Parts whose plan lacks a gather window (or that are not
+    kernel-aligned) are gathered individually and added outside the
+    kernel; with fewer than two fusable members the whole sum falls back
+    to the plain path — which keeps CPU numerics bit-identical to the
+    historical per-part form (same add order).
+    """
+    fusable, rest = [], []
+    first = parts[0][0]
+    L = next(
+        (i.shape[0] for _, i, _ in parts if i is not None),
+        first.shape[0],
+    )
+    for table, idx, plan in parts:
+        ok = table.shape[1] == first.shape[1] and (
+            (idx is None and table.shape[0] == L and L % stream_ops.BO == 0)
+            or (
+                idx is not None
+                and plan is not None
+                and stream_ops.stream_gather_ok(table, L, plan.g_lo)
+            )
+        )
+        (fusable if ok else rest).append((table, idx, plan))
+    n_windowed = sum(1 for _, i, _ in fusable if i is not None)
+    if n_windowed < 2 or not stream_ops.tpu_backend():
+        # plain path, original order
+        acc = None
+        for table, idx, plan in parts:
+            g = table if idx is None else plan_gather(table, idx, plan)
+            acc = g if acc is None else acc + g
+        return acc
+    tables = tuple(t for t, _, _ in fusable)
+    idxs = tuple(i for _, i, _ in fusable)
+    plans = tuple(p for _, _, p in fusable)
+    acc = _gather_sum_planned(
+        tables, idxs, plans, tuple(t.shape[0] for t in tables)
+    )
+    for table, idx, plan in rest:
+        g = table if idx is None else plan_gather(table, idx, plan)
+        acc = acc + g
+    return acc
+
+
 def harmonize_plans(plans: list[GatherPlan]) -> list[GatherPlan]:
     """Give a group of GatherPlans identical leaf shapes so they can be
     stacked on a leading axis (DP device batches, per-device shards).

@@ -408,6 +408,160 @@ def _gather_pallas(src, idx, chunk_lo, n_chunks, *, interpret=False):
     )(chunk_lo, n_chunks, idxb, srcp)
 
 
+def _multi_gather_kernel(*refs, K, has_stream, n_srcs, d, prec):
+    """One output block of BO rows: the SUM of K window-gathered parts
+    (each the exact body of ``_gather_kernel``) plus an optional aligned
+    stream block. Fusing the K gathers removes the K-1 materialized
+    [L, d] intermediates and their add passes — pallas_call boundaries
+    block XLA fusion, so the unfused form pays ~2(K-1) extra HBM passes
+    over the stream axis per call."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    # refs layout (after 2K scalar-prefetch args):
+    #   [chunk_lo_k, n_chunks_k] * K,
+    #   [idxb_k] * K, [srcp_k] * K, (stream block?),
+    #   out, [sbuf_k] * K, acc, [ssem_k] * K
+    scalars = refs[: 2 * K]
+    pos = 2 * K
+    idxb = refs[pos: pos + K]; pos += K
+    srcs = refs[pos: pos + K]; pos += K
+    stream = None
+    if has_stream:
+        stream = refs[pos]; pos += 1
+    out_ref = refs[pos]; pos += 1
+    sbufs = refs[pos: pos + K]; pos += K
+    acc = refs[pos]; pos += 1
+    ssems = refs[pos: pos + K]
+
+    P = max(128 // d, 1)
+    C2 = C // P
+    j = pl.program_id(0)
+    acc[...] = jnp.zeros_like(acc)
+
+    for k in range(K):
+        lo = scalars[2 * k][j]
+        n_chunks = scalars[2 * k + 1][j]
+        lo2 = lo // P
+        n2 = n_srcs[k] // P
+        idx = idxb[k][...]  # [1, BO]
+        src_hbm = srcs[k]
+        sbuf = sbufs[k]
+        ssem = ssems[k]
+
+        def dma(slot, step, lo2=lo2, n2=n2, src_hbm=src_hbm, sbuf=sbuf,
+                ssem=ssem):
+            start2 = pl.multiple_of(
+                jnp.minimum(lo2 + step * C2, n2 - C2), C2
+            )
+            return pltpu.make_async_copy(
+                src_hbm.at[pl.ds(start2, C2), :], sbuf.at[slot],
+                ssem.at[slot],
+            )
+
+        @pl.when(n_chunks > 0)
+        def _():
+            dma(0, 0).start()
+
+        def body(step, _, lo2=lo2, n2=n2, idx=idx, dma=dma, sbuf=sbuf):
+            slot = jax.lax.rem(step, 2)
+
+            @pl.when(step + 1 < n_chunks)
+            def _():
+                dma(1 - slot, step + 1).start()
+
+            dma(slot, step).wait()
+            start2 = jnp.minimum(lo2 + step * C2, n2 - C2)
+            row2 = jax.lax.broadcasted_iota(jnp.int32, (C2, 1), 0) + start2
+            row_ok = row2 >= (lo2 + step * C2)
+            for p in range(P):
+                want = jnp.where(idx % P == p, idx // P, -1)  # [1, BO]
+                onehot_t = jnp.where(row_ok, row2 == want, False).astype(
+                    sbuf.dtype
+                )  # [C2, BO]
+                acc[p] += jax.lax.dot_general(
+                    onehot_t,
+                    sbuf[slot],
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=prec,
+                )
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, body, 0, unroll=False)
+
+    total = acc[0][:, :d]
+    for p in range(1, P):
+        total = total + acc[p][:, p * d : (p + 1) * d]
+    if stream is not None:
+        total = total + stream[...].astype(jnp.float32)
+    out_ref[...] = total.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("has_stream", "interpret")
+)
+def _multi_gather_pallas(
+    srcs, idxs, chunk_los, chunk_cnts, stream=None, *,
+    has_stream=False, interpret=False,
+):
+    """Fused sum of K streaming window-gathers (+ optional aligned
+    stream): ``sum_k srcs[k][idxs[k]] (+ stream)``. All parts share the
+    feature width; every part needs a window plan."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    K = len(srcs)
+    n_rows, d = srcs[0].shape
+    L = idxs[0].shape[0]
+    P = max(128 // d, 1)
+    C2 = C // P
+    n_blocks = L // BO
+    dtype = srcs[0].dtype
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    scalars = []
+    for lo, cnt in zip(chunk_los, chunk_cnts):
+        scalars += [lo, cnt]
+    srcps = [s.reshape(s.shape[0] // P, P * d) for s in srcs]
+    idxbs = [i.reshape(n_blocks, BO) for i in idxs]
+    in_specs = (
+        [pl.BlockSpec((1, BO), lambda j, *_: (j, 0)) for _ in range(K)]
+        + [pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(K)]
+    )
+    operands = idxbs + srcps
+    if has_stream:
+        in_specs.append(pl.BlockSpec((BO, d), lambda j, *_: (j, 0)))
+        operands.append(stream)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2 * K,
+        grid=(n_blocks,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((BO, d), lambda j, *_: (j, 0)),
+        scratch_shapes=(
+            [pltpu.VMEM((2, C2, P * d), dtype) for _ in range(K)]
+            + [pltpu.VMEM((P, BO, P * d), jnp.float32)]
+            + [pltpu.SemaphoreType.DMA((2,)) for _ in range(K)]
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _multi_gather_kernel,
+            K=K,
+            has_stream=has_stream,
+            n_srcs=tuple(s.shape[0] for s in srcs),
+            d=d,
+            prec=prec,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((L, d), dtype),
+        interpret=interpret,
+    )(*scalars, *operands)
+
+
 def stream_gather_ok(src: jnp.ndarray, n_rows: int, g_lo) -> bool:
     """Static eligibility for the streaming gather kernel."""
     return (

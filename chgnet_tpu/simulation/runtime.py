@@ -133,8 +133,15 @@ class GraphRuntime:
         self.offsets = np.concatenate([[0], np.cumsum(self.sizes)])
         self.atomic_numbers = [s.atomic_numbers.copy() for s in structures]
         self.site_properties = [dict(s.site_properties) for s in structures]
-        # pinned atom capacity; edge/angle capacities grow monotonically
+        # pinned atom capacity; edge/angle capacities grow monotonically.
+        # Large systems align onto the streaming-kernel chunk grid so
+        # atom-table window-gathers stay kernel-eligible (batching.py
+        # honors explicit capacities verbatim).
+        from chgnet_tpu.ops.stream_ops import C as _STREAM_CHUNK
+
         self.cap_n = round_up(int(self.offsets[-1]))
+        if self.cap_n >= _STREAM_CHUNK:
+            self.cap_n = -(-self.cap_n // _STREAM_CHUNK) * _STREAM_CHUNK
         self._cap_e = 0
         self._cap_a = 0
         self.n_rebuilds = -1  # first build is not a "rebuild"

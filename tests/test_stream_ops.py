@@ -138,3 +138,43 @@ def test_batch_capacities_are_stream_aligned():
     assert (np.diff(batch.angle_scatter_dir) >= 0).all()
     assert (batch.bond_graph[valid, 0]
             == batch.atom_graph[batch.bond_graph[valid, 2], 0]).all()
+
+
+def test_full_model_kernel_path_matches_xla(monkeypatch):
+    """E+F+S+M through the model with EVERY streaming-kernel gate forced
+    open (pallas in interpret mode) must match the plain XLA path — the
+    full integration guard for the kernels the real TPU runs, including
+    the fused first-layer multi-gather (ops.scatter.gather_sum)."""
+    import functools as ft
+
+    import jax
+
+    from chgnet_tpu import ROOT
+    from chgnet_tpu.core.structure import Structure
+    from chgnet_tpu.graph.batching import batch_graphs
+    from chgnet_tpu.models.chgnet import CHGNet, compute_batch
+    from chgnet_tpu.ops import stream_ops as so
+
+    model = CHGNet(seed=0)
+    struct = Structure.from_file(
+        f"{ROOT}/examples/mp-18767-LiMnO2.cif"
+    ).make_supercell(2).perturb(0.03, seed=0)
+    batch = batch_graphs([model.graph_converter(struct)])
+
+    def run():
+        return compute_batch(
+            model.params, batch, config=model.config,
+            compute_force=True, compute_stress=True, compute_magmom=True,
+        )
+
+    ref = jax.tree.map(np.asarray, run())
+
+    monkeypatch.setattr(so, "tpu_backend", lambda: True)
+    for name in ("_multi_gather_pallas", "_gather_pallas", "_segsum_pallas"):
+        monkeypatch.setattr(
+            so, name, ft.partial(getattr(so, name), interpret=True)
+        )
+    jax.clear_caches()  # drop traces compiled with the gates closed
+    out = jax.tree.map(np.asarray, run())
+    for key, atol in (("e", 1e-5), ("f", 1e-4), ("s", 1e-4), ("m", 1e-5)):
+        np.testing.assert_allclose(out[key], ref[key], atol=atol, err_msg=key)
