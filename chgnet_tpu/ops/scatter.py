@@ -322,6 +322,14 @@ def gather_sum(parts) -> jnp.ndarray:
     to the plain path — which keeps CPU numerics bit-identical to the
     historical per-part form (same add order).
     """
+    import os
+
+    if os.environ.get("CHGNET_TPU_NO_FUSED_GATHER_SUM"):
+        acc = None
+        for table, idx, plan in parts:
+            g = table if idx is None else plan_gather(table, idx, plan)
+            acc = g if acc is None else acc + g
+        return acc
     fusable, rest = [], []
     first = parts[0][0]
     L = next(
