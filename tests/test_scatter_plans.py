@@ -138,3 +138,52 @@ def test_plan_segment_sum_perm_matches_segment_sum():
     g = jax.grad(loss)(jnp.asarray(data))
     g_ref = jax.grad(loss_ref)(jnp.asarray(data))
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-5)
+
+
+def test_train_grads_with_kernel_gates_open(batch, monkeypatch):
+    """Second-order autodiff (grad of a force-containing loss) with EVERY
+    streaming-kernel gate forced open, using pure-jax stand-ins for the
+    pallas entry points: exercises the exact custom-vjp composition the
+    real-TPU TRAINING path runs (interpret mode cannot do second order
+    through the prefetch-grid kernels)."""
+    from chgnet_tpu.ops import stream_ops as so
+
+    m = CHGNet(seed=0, sorted_grads=True)
+    kw = dict(compute_force=True, compute_stress=True, compute_magmom=False)
+
+    def loss(params):
+        out = compute_batch(params, batch, config=m.config, **kw)
+        return (
+            (out["e"] ** 2).sum()
+            + (out["f"] ** 2).sum() * 0.1
+            + (out["s"] ** 2).sum() * 0.01
+        )
+
+    g_ref = jax.grad(loss)(m.params)
+
+    monkeypatch.setattr(so, "tpu_backend", lambda: True)
+    monkeypatch.setattr(
+        so,
+        "_segsum_pallas",
+        lambda x, dst, lo, cnt, *, n_out, interpret=False: (
+            jax.ops.segment_sum(x, dst, num_segments=n_out)
+        ),
+    )
+    monkeypatch.setattr(
+        so,
+        "_gather_pallas",
+        lambda src, idx, lo, cnt, *, interpret=False: src[idx],
+    )
+    monkeypatch.setattr(
+        so,
+        "_multi_gather_pallas",
+        lambda srcs, idxs, los, cnts, stream=None, *, has_stream=False,
+        interpret=False: (
+            sum(s[i] for s, i in zip(srcs, idxs))
+            + (stream if has_stream else 0)
+        ),
+    )
+    jax.clear_caches()
+    g_on = jax.grad(loss)(m.params)
+    for a, b in zip(jax.tree.leaves(g_on), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(a, b, atol=2e-4)
