@@ -37,6 +37,7 @@ from chgnet_tpu.models.functions import (
     segment_sum,
 )
 from chgnet_tpu.ops.scatter import (
+    gather_sum,
     plan_gather,
     plan_segment_sum,
     plan_segment_sum_perm,
@@ -382,11 +383,12 @@ def bond_conv_apply_directed(
     # [A] -> [E] partial sums on the sorted directed stream, then [E] -> [U]
     # as each bond's two directed partials: gather(first) + gather(second)
     # — [U]-row gathers instead of a permutation segment-sum over [E] rows
+    # (fused into one kernel pass when both windows qualify)
     partial = plan_segment_sum(
         update, angle_scatter_dir, d2u.shape[0], p_i
     )
-    new_bond_feas = plan_gather(partial, u2d, p_u2d) + plan_gather(
-        partial, und_second, p_u2d2
+    new_bond_feas = gather_sum(
+        [(partial, u2d, p_u2d), (partial, und_second, p_u2d2)]
     )
     if "mlp_out" in params:
         new_bond_feas = mlp_apply(params["mlp_out"], new_bond_feas)
