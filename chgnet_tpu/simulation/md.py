@@ -627,6 +627,81 @@ class MolecularDynamics:
         temp = np.asarray(2.0 * ke / (self.dof * units.KB))
         return float(temp[0]) if self._single else temp
 
+    def upper_triangular_cell(self, *, verbose: bool | None = False) -> None:
+        """Re-express every cell in an upper-triangular basis.
+
+        API parity with the reference (``dynamics.py:754-780``), where
+        ASE's Nose-Hoover NPT REQUIRES an upper-triangular cell. The
+        on-device integrators here work with general cells, so this is a
+        pure rigid re-expression: the new basis has identical cell
+        parameters (an orthogonal map M relates the bases), fractional
+        coordinates are unchanged, and velocities/accelerations rotate
+        with M.
+        """
+        lats = np.asarray(self.state.lat, np.float64)
+        new_lats = np.empty_like(lats)
+        rotate = np.empty_like(lats)
+        changed = False
+        for idx, lat in enumerate(lats):
+            if np.allclose(lat[np.tril_indices(3, -1)], 0.0, atol=1e-12):
+                new_lats[idx] = lat
+                rotate[idx] = np.eye(3)
+                continue
+            changed = True
+            lengths = np.linalg.norm(lat, axis=1)
+            a, b, c = lengths
+            cos_a = lat[1] @ lat[2] / (b * c)  # alpha: angle(b, c)
+            cos_b = lat[0] @ lat[2] / (a * c)
+            cos_g = lat[0] @ lat[1] / (a * b)
+            sin_a = np.sqrt(1.0 - cos_a**2)
+            sin_b = np.sqrt(1.0 - cos_b**2)
+            cos_p = np.clip(
+                (cos_g - cos_a * cos_b) / (sin_a * sin_b), -1.0, 1.0
+            )
+            sin_p = np.sqrt(1.0 - cos_p**2)
+            new_lat = np.array(
+                [
+                    (a * sin_b * sin_p, a * sin_b * cos_p, a * cos_b),
+                    (0.0, b * sin_a, b * cos_a),
+                    (0.0, 0.0, c),
+                ]
+            )
+            new_lats[idx] = new_lat
+            # cart_new = cart_old @ M with M = lat^-1 @ new_lat orthogonal
+            rotate[idx] = np.linalg.solve(lat, new_lat)
+        if not changed:
+            return
+        owner = np.asarray(self.runtime.batch.atom_owner)
+        m_atom = jnp.asarray(rotate[owner], jnp.float32)
+        vel = jnp.einsum("ni,nij->nj", self.state.vel, m_atom)
+        self.state = self.state._replace(
+            lat=jnp.asarray(new_lats, jnp.float32), vel=vel
+        )
+        # refresh the skin-topology reference frame and derived state
+        self.runtime.rebuild(
+            np.asarray(self.state.frac), np.asarray(self.state.lat)
+        )
+        out = compute_batch_dynamic(
+            self.model.params,
+            self.runtime.batch._replace(
+                frac_coords=self.state.frac, lattices=self.state.lat
+            ),
+            config=self.model.config,
+            compute_magmom=False,
+        )
+        n_atoms = jnp.maximum(out["atoms_per_graph"], 1.0)
+        self.state = self.state._replace(
+            accel=out["f"]
+            * self.runtime.batch.atom_mask[:, None]
+            / self.masses[:, None]
+            * units.EV_PER_AMU_A_TO_A_FS2,
+            epot=out["e"]
+            * (n_atoms if self.model.config.is_intensive else 1.0),
+            stress=out["s"],
+        )
+        if verbose:
+            print("Transformed to upper triangular unit cell.", flush=True)
+
     def set_atoms(self, atoms: Structure | list[Structure]) -> None:
         """Replace the structures (new topology, velocities kept)."""
         structures = [atoms] if isinstance(atoms, Structure) else list(atoms)

@@ -654,3 +654,44 @@ def test_md_set_atoms(model, struct):
     with pytest.raises(ValueError, match="matching atom counts"):
         md.set_atoms(struct.make_supercell(2))
     md.run(3)  # still integrates after the swap
+
+
+def test_upper_triangular_cell_reexpression(model):
+    """API parity with the reference's MolecularDynamics.upper_triangular_cell
+    (dynamics.py:754-780): rigid re-expression to an upper-triangular
+    basis preserves cell parameters, energy and temperature, and the
+    dynamics continue unperturbed."""
+    from chgnet_tpu.core.lattice import Lattice
+    from chgnet_tpu.core.structure import Structure
+
+    lattice = Lattice(
+        np.array([[4.0, 0.0, 0.0], [0.8, 3.9, 0.0], [0.5, 0.4, 4.1]])
+    )
+    struct = Structure(
+        lattice,
+        ["Na", "Cl", "Na", "Cl"],
+        [[0, 0, 0], [0.5, 0.5, 0.5], [0.5, 0.5, 0.0], [0.0, 0.0, 0.5]],
+    )
+    md = MolecularDynamics(
+        struct, model=model, ensemble="nvt", thermostat="Nose-Hoover",
+        temperature=300.0, starting_temperature=300.0, timestep=1.0,
+        seed=0,
+    )
+    md.run(4)
+    e_before = float(md.state.epot[0])
+    t_before = float(md.get_temperature())
+    lat_before = np.asarray(md.state.lat[0], np.float64)
+
+    md.upper_triangular_cell()
+    lat_after = np.asarray(md.state.lat[0], np.float64)
+    assert np.allclose(lat_after[np.tril_indices(3, -1)], 0.0, atol=1e-9)
+    # same Gram matrix (cell parameters preserved)
+    np.testing.assert_allclose(
+        lat_after @ lat_after.T, lat_before @ lat_before.T, atol=1e-8
+    )
+    assert float(md.state.epot[0]) == pytest.approx(e_before, abs=2e-4)
+    assert float(md.get_temperature()) == pytest.approx(t_before, rel=1e-4)
+    # idempotent and dynamics continue
+    md.upper_triangular_cell()
+    md.run(4)
+    assert np.isfinite(float(md.state.epot[0]))
