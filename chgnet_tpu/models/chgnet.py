@@ -378,6 +378,27 @@ def _energy_core(
     edge_mask = batch.edge_mask.astype(conv_dtype)
     angle_mask = batch.angle_mask.astype(conv_dtype)
 
+    # Hoist the LOOP-INVARIANT edge/angle weight streams out of the conv
+    # stack: bond_weights_{ag,bg} never change across layers, so their
+    # d2u expansion (AtomConv, reference layers.py:119) and the per-angle
+    # w_i*w_j product (BondConv, layers.py:248-252) are gathered ONCE here
+    # instead of per layer — deduping both the forward gathers and their
+    # backward scatter-transposes (Pallas custom calls, which XLA's CSE
+    # does not merge).
+    weights_e_h = None if cfg.dense_atom_conv else plan_gather(
+        bond_weights_ag, batch.directed2undirected,
+        atom_plans[1] if atom_plans is not None else None,
+    )
+    weights_a_h = None
+    if cfg.update_bond:
+        p_i_h, p_j_h, _, p_d2u_h = (
+            bond_plans[:4] if bond_plans is not None else (None,) * 4
+        )
+        w_dir_h = plan_gather(bond_weights_bg, batch.directed2undirected, p_d2u_h)
+        weights_a_h = plan_gather(
+            w_dir_h, batch.bond_graph[:, 2], p_i_h
+        ) * plan_gather(w_dir_h, batch.bond_graph[:, 4], p_j_h)
+
     use_dense = cfg.dense_atom_conv
     if use_dense and batch.dense_mask.shape[1] == 0:
         raise ValueError(
@@ -422,6 +443,7 @@ def _energy_core(
             plans=atom_plans,
             dropout=conv_rate,
             rng=rng,
+            weights_e=weights_e_h,
         )
 
     def bond_step(bond_p, atom_feas, bond_feas, bond_weights_bg,
@@ -443,6 +465,7 @@ def _energy_core(
             plans=bond_plans,
             dropout=conv_rate,
             rng=rng,
+            weights_a=weights_a_h,
         )
 
     def angle_step(angle_p, atom_feas, bond_feas, angle_feas, rng):
@@ -528,6 +551,7 @@ def _energy_core(
             plans=atom_plans,
             dropout=conv_rate,
             rng=block_rngs[3 * (cfg.n_conv - 1)],
+            weights_e=weights_e_h,
         )
     atom_feas = atom_feas.astype(jnp.float32)  # readout stays float32
     if "readout_norm" in params:

@@ -92,6 +92,7 @@ def atom_conv_apply(
     plans: tuple | None = None,  # (center, d2u, nbr) GatherPlans
     dropout: float = 0.0,
     rng: jnp.ndarray | None = None,
+    weights_e: jnp.ndarray | None = None,  # [E, d] hoisted bond weights
 ) -> jnp.ndarray:
     """Gated-MLP messages over directed edges -> bond-weight scaling ->
     sorted segment-sum into center atoms (``layers.py:81-137``). The
@@ -99,6 +100,10 @@ def atom_conv_apply(
     projections on the atom/bond tables (see ``gated_mlp_gather_apply``);
     with ``fused`` the message tail runs as one Pallas kernel; ``plans``
     turn the backward scatters into sorted segment sums (ops/scatter.py).
+    ``weights_e`` is the d2u-expanded bond-weight table — loop-invariant
+    across conv layers, so callers hoist it out of the stack to dedup its
+    gather (and the backward scatter-transpose) instead of paying it per
+    layer.
     """
     p_center, p_d2u, p_nbr = plans if plans is not None else (None,) * 3
     parts = [
@@ -106,7 +111,8 @@ def atom_conv_apply(
         (bond_feas, directed2undirected, p_d2u),
         (atom_feas, atom_graph[:, 1], p_nbr),
     ]
-    weights_e = plan_gather(bond_weights, directed2undirected, p_d2u)
+    if weights_e is None:
+        weights_e = plan_gather(bond_weights, directed2undirected, p_d2u)
     gmlp = params["gated_mlp"]
     if rng is not None and dropout > 0.0:
         fused = False  # the Pallas tail has no dropout support
@@ -260,8 +266,13 @@ def bond_conv_apply(
     plans: tuple | None = None,  # (bond_i, bond_j, center) GatherPlans
     dropout: float = 0.0,
     rng: jnp.ndarray | None = None,
+    weights_a: jnp.ndarray | None = None,  # [A, d] hoisted weight product
 ) -> jnp.ndarray:
-    """Line-graph update of undirected-bond features (``layers.py:208-265``)."""
+    """Line-graph update of undirected-bond features (``layers.py:208-265``).
+
+    ``weights_a`` (w_i * w_j per angle row) is loop-invariant across conv
+    layers; callers hoist it to dedup its two gathers per layer.
+    """
     p_bi, p_bj, p_c = plans if plans is not None else (None,) * 3
     parts = [
         (bond_feas, bond_graph[:, 1], p_bi),
@@ -269,8 +280,9 @@ def bond_conv_apply(
         (angle_feas, None),
         (atom_feas, bond_graph[:, 0], p_c),
     ]
-    weights_a = plan_gather(bond_weights, bond_graph[:, 1], p_bi) * \
-        plan_gather(bond_weights, bond_graph[:, 3], p_bj)
+    if weights_a is None:
+        weights_a = plan_gather(bond_weights, bond_graph[:, 1], p_bi) * \
+            plan_gather(bond_weights, bond_graph[:, 3], p_bj)
     gmlp = params["gated_mlp"]
     if rng is not None and dropout > 0.0:
         fused = False  # the Pallas tail has no dropout support
@@ -326,6 +338,7 @@ def bond_conv_apply_directed(
     plans: tuple | None = None,  # (dir_i, dir_j, center, d2u, u2d, u2d2)
     dropout: float = 0.0,
     rng: jnp.ndarray | None = None,
+    weights_a: jnp.ndarray | None = None,  # [A, d] hoisted weight product
 ) -> jnp.ndarray:
     """BondConv over the DIRECTED angle-stream layout.
 
@@ -357,10 +370,14 @@ def bond_conv_apply_directed(
         (angle_feas, None),
         (atom_feas, bond_graph[:, 0], p_c),
     ]
-    w_dir = plan_gather(bond_weights, d2u, p_d2u)  # [E, d] shared
-    weights_a = plan_gather(w_dir, dir_i, p_i) * plan_gather(
-        w_dir, dir_j, p_j
-    )
+    if weights_a is None:
+        # w_i * w_j per angle row; loop-invariant (bond_weights never
+        # changes across conv layers), so callers hoist it — recomputed
+        # here only for standalone use
+        w_dir = plan_gather(bond_weights, d2u, p_d2u)  # [E, d] shared
+        weights_a = plan_gather(w_dir, dir_i, p_i) * plan_gather(
+            w_dir, dir_j, p_j
+        )
     gmlp = params["gated_mlp"]
     if rng is not None and dropout > 0.0:
         fused = False  # the Pallas tail has no dropout support

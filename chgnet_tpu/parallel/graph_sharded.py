@@ -54,6 +54,7 @@ from chgnet_tpu.models.layers import (
     atom_conv_apply,
     bond_conv_apply,
 )
+from chgnet_tpu.ops.scatter import plan_gather
 
 
 class ShardedGraphBatch(NamedTuple):
@@ -595,6 +596,15 @@ def _energy_sharded(
     )
     ang_plans = (pl.get("ang_bi"), pl.get("ang_bj"), pl.get("ang_c"))
 
+    # loop-invariant weight streams: the bond-weight tables never change
+    # across conv layers, so their edge/angle expansions are gathered ONCE
+    # instead of per layer (forward gather + backward scatter dedup)
+    weights_e_h = plan_gather(bw_ag_glob, sb.edge_bond, conv_plans[1])
+    weights_a_h = (
+        plan_gather(bw_bg_glob, bond_graph[:, 1], ang_plans[0])
+        * plan_gather(bw_bg_glob, bond_graph[:, 3], ang_plans[1])
+    ) if cfg.update_bond else None
+
     act = cfg.non_linearity
     atom_feas_mid = atom_feas
 
@@ -613,6 +623,7 @@ def _energy_sharded(
                 sb.edge_mask,
                 activation=act,
                 plans=conv_plans,
+                weights_e=weights_e_h,
             )
         )
         if cfg.update_bond:
@@ -629,6 +640,7 @@ def _energy_sharded(
                     sb.ang_mask,
                     activation=act,
                     plans=ang_plans,
+                    weights_a=weights_a_h,
                 )
             )
         if cfg.update_angle:
@@ -660,6 +672,7 @@ def _energy_sharded(
             sb.edge_mask,
             activation=act,
             plans=conv_plans,
+            weights_e=weights_e_h,
         )
     )
     if "readout_norm" in params:
@@ -1294,6 +1307,14 @@ def _energy_sharded_halo(
     def with_halo(local, send):
         return jnp.concatenate([local, _halo_exchange(local, send, axis)])
 
+    # loop-invariant weight streams (see the all-gather path): gathered
+    # once over the [own | halo] tables, reused by every layer
+    weights_e_h = plan_gather(bw_ag_t, hb.edge_bond_h, conv_plans[1])
+    weights_a_h = (
+        plan_gather(bw_bg_t, bond_graph[:, 1], ang_plans[0])
+        * plan_gather(bw_bg_t, bond_graph[:, 3], ang_plans[1])
+    ) if cfg.update_bond else None
+
     for idx in range(cfg.n_conv - 1):
         atom_t = with_halo(atom_feas, hb.atom_send)
         bond_t = with_halo(bond_feas, hb.bond_send)
@@ -1302,6 +1323,7 @@ def _energy_sharded_halo(
             atom_t, bond_t, bw_ag_t,
             atom_graph, edge_scatter, hb.edge_bond_h, sb.edge_mask,
             activation=act, plans=conv_plans,
+            weights_e=weights_e_h,
         )[:n_loc]
         if cfg.update_bond:
             atom_t2 = with_halo(atom_feas, hb.atom_send)
@@ -1310,6 +1332,7 @@ def _energy_sharded_halo(
                 atom_t2, bond_t, bw_bg_t, angle_feas,
                 bond_graph, ang_scatter, sb.ang_mask,
                 activation=act, plans=ang_plans,
+                weights_a=weights_a_h,
             )[:u_loc]
         if cfg.update_angle:
             atom_t3 = with_halo(atom_feas, hb.atom_send)
@@ -1329,6 +1352,7 @@ def _energy_sharded_halo(
         atom_t, bond_t, bw_ag_t,
         atom_graph, edge_scatter, hb.edge_bond_h, sb.edge_mask,
         activation=act, plans=conv_plans,
+        weights_e=weights_e_h,
     )[:n_loc]
     if "readout_norm" in params:
         atom_feas = layer_norm_apply(params["readout_norm"], atom_feas)

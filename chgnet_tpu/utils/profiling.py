@@ -30,8 +30,11 @@ def wait_for_tpu(budget_s: float = 900.0, probe_timeout_s: float = 60.0) -> bool
     Benchmarks call this before heavy work so a down tunnel produces a
     bounded, explicit failure instead of an indefinite hang.
     """
+    import os
+    import signal
     import subprocess
     import sys
+    import tempfile
 
     code = (
         "import jax, jax.numpy as jnp;"
@@ -43,21 +46,32 @@ def wait_for_tpu(budget_s: float = 900.0, probe_timeout_s: float = 60.0) -> bool
     while True:
         attempt += 1
         why = "probe timed out (tunnel hang?)"
-        try:
-            proc = subprocess.run(
+        # Output goes to a temp FILE, not a pipe: the device plugin spawns
+        # helper processes that inherit stdout/stderr, so a piped
+        # subprocess.run() blocks in communicate() after the timeout kill
+        # (the grandchildren keep the pipe open) and the budget is never
+        # honored. start_new_session + killpg reaps the whole tree.
+        with tempfile.TemporaryFile() as out:
+            proc = subprocess.Popen(
                 [sys.executable, "-c", code],
-                timeout=probe_timeout_s,
-                capture_output=True,
+                stdout=out,
+                stderr=out,
+                start_new_session=True,
             )
-            if proc.returncode == 0:
-                return True
-            # surface the real failure: a deterministic error (broken
-            # install, bad env) would otherwise burn the whole budget
-            # with zero diagnostics
-            tail = proc.stderr.decode(errors="replace").strip().splitlines()
-            why = tail[-1][:200] if tail else f"exit code {proc.returncode}"
-        except subprocess.TimeoutExpired:
-            pass
+            try:
+                rc = proc.wait(timeout=probe_timeout_s)
+                if rc == 0:
+                    return True
+                # surface the real failure: a deterministic error (broken
+                # install, bad env) would otherwise burn the whole budget
+                # with zero diagnostics
+                out.seek(0)
+                tail = out.read().decode(errors="replace").strip().splitlines()
+                why = tail[-1][:200] if tail else f"exit code {rc}"
+            except subprocess.TimeoutExpired:
+                with contextlib.suppress(ProcessLookupError):
+                    os.killpg(proc.pid, signal.SIGKILL)
+                proc.wait()
         remaining = deadline - time.monotonic()
         if remaining <= 0:
             print(f"# TPU probe gave up: {why}", flush=True)

@@ -227,6 +227,89 @@ def test_trainer_data_parallel_dropout(loaders):
     assert np.isfinite(trainer.training_history["e"]["train"][0])
 
 
+def test_dp_step_matches_manual_grad_average():
+    """The DP train step runs under shard_map with check_vma=False (its
+    collectives are hand-placed), so nothing machine-checks that pmean is
+    where it must be. This pins the semantics: one DP step over a
+    2-device mesh == averaging per-device grads computed WITHOUT any
+    shard_map, then one optimizer update."""
+    import jax
+    import optax
+
+    from chgnet_tpu.graph.batching import batch_graphs
+    from chgnet_tpu.parallel.dp import (
+        loss_and_metrics,
+        make_dp_train_step,
+        stack_batches,
+        stack_targets,
+    )
+    from chgnet_tpu.parallel.mesh import make_mesh
+    from chgnet_tpu.trainer.losses import CombinedLoss
+
+    model = CHGNet(seed=0, **SMALL)
+    caps = (8, 256, 512)
+    rng = np.random.default_rng(0)
+    batches, targets = [], []
+    for dev in range(2):
+        graph = model.graph_converter(
+            NaCl.perturb(0.08, seed=dev), graph_id=str(dev)
+        )
+        batch = batch_graphs([graph], capacities=caps)
+        n_pad = batch.atomic_numbers.shape[0]
+        targets.append(
+            {
+                "e": np.float32(rng.normal(-3.0, 0.1, size=1)),
+                "f": rng.normal(0, 0.1, size=(n_pad, 3)).astype(np.float32),
+                "graph_mask": np.ones(1, np.float32),
+            }
+        )
+        batches.append(batch)
+
+    loss_fn = CombinedLoss(target_str="ef", criterion="MSE")
+    opt = optax.sgd(1e-2)
+    params = model.params
+    opt_state = opt.init(params)
+
+    dp_step = make_dp_train_step(
+        config=model.config, loss_fn=loss_fn, optimizer=opt,
+        mesh=make_mesh(2),
+    )
+    dp_params, _, dp_metrics = dp_step(
+        params, opt_state, stack_batches(batches), stack_targets(targets),
+        np.int32(0),
+    )
+
+    # reference: plain jax.grad per device batch, tree-averaged
+    grad_fn = jax.jit(
+        jax.grad(
+            lambda p, b, t: loss_and_metrics(
+                p, b, t, config=model.config, loss_fn=loss_fn
+            )[0],
+        )
+    )
+    per_dev = [grad_fn(params, b, t) for b, t in zip(batches, targets)]
+    gmean = jax.tree.map(lambda a, b: (a + b) / 2.0, *per_dev)
+    updates, _ = opt.update(gmean, opt.init(params), params)
+    ref_params = optax.apply_updates(params, updates)
+
+    flat_dp = jax.tree.leaves(dp_params)
+    flat_ref = jax.tree.leaves(ref_params)
+    for got, want in zip(flat_dp, flat_ref):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6
+        )
+    # metrics are pmean'ed too: the DP loss equals the mean per-device loss
+    losses = [
+        float(
+            loss_and_metrics(
+                params, b, t, config=model.config, loss_fn=loss_fn
+            )[0]
+        )
+        for b, t in zip(batches, targets)
+    ]
+    assert abs(float(dp_metrics["loss"]) - np.mean(losses)) < 1e-5
+
+
 def test_stack_batches_harmonizes_plan_shapes():
     """Same-capacity batches may legally disagree on streaming-plan
     fields (data-dependent cost gates); stacking degrades those plans to
