@@ -18,6 +18,7 @@ from chgnet_tpu.parallel.graph_sharded import (
     unshard_atoms,
 )
 from chgnet_tpu.parallel.distributed import initialize, make_hybrid_mesh
+from chgnet_tpu.parallel.md_sharded import md_chunk_sharded
 from chgnet_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
 
 __all__ = [
@@ -31,6 +32,7 @@ __all__ = [
     "make_graph_sharded_train_step",
     "make_hybrid_mesh",
     "make_mesh",
+    "md_chunk_sharded",
     "make_single_device_train_step",
     "replicated",
     "shard_batch",

@@ -203,6 +203,13 @@ class _Packer:
         return out
 
 
+def _pvary(x, axis: str):
+    """Mark a replicated value as device-varying (pvary -> pcast rename)."""
+    if hasattr(jax.lax, "pcast"):
+        return jax.lax.pcast(x, (axis,), to="varying")
+    return jax.lax.pvary(x, (axis,))
+
+
 def _sbatch_spec(sbatch: ShardedGraphBatch, axis: str) -> ShardedGraphBatch:
     """shard_map spec tree for this batch: every leaf device-sharded on
     ``axis`` except the replicated lattices. Derived from the instance so
@@ -330,9 +337,19 @@ def _stacked_plans(spec: dict[str, tuple]) -> dict:
 
 
 def shard_batch(
-    batch: GraphBatch, n_devices: int, *, plans: bool = True
+    batch: GraphBatch,
+    n_devices: int,
+    *,
+    plans: bool = True,
+    min_caps: tuple[int, int, int] | None = None,
 ) -> ShardedGraphBatch:
-    """Host-side re-layout of a padded GraphBatch onto D devices."""
+    """Host-side re-layout of a padded GraphBatch onto D devices.
+
+    ``min_caps`` = (e_loc, u_loc, a_loc) floors for the per-device
+    edge/bond/angle capacities: simulation loops re-shard after every
+    topology rebuild, and monotone capacities keep the jitted step from
+    recompiling (read the previous sbatch's shapes to carry them over).
+    """
     d = n_devices
     cap_n = batch.n_atoms_padded
     n_loc = round_up(-(-cap_n // d), base=8)
@@ -357,6 +374,8 @@ def shard_batch(
     e_dev = centers // n_loc
     e_counts = np.bincount(e_dev, minlength=d)
     e_loc = round_up(int(e_counts.max()), base=8)
+    if min_caps is not None:
+        e_loc = max(e_loc, int(min_caps[0]))
 
     # --- undirected bonds -> one of their two endpoints' devices, chosen
     # to BALANCE per-device angle load. Bonds carry very different angle
@@ -381,6 +400,8 @@ def shard_batch(
     )
     u_counts = np.bincount(u_dev, minlength=d)
     u_loc = round_up(int(u_counts.max()), base=8)
+    if min_caps is not None:
+        u_loc = max(u_loc, int(min_caps[1]))
     # new global id for each old undirected id: slot = running count within
     # its device, preserving original order
     u_order = _device_order(u_dev)
@@ -395,6 +416,8 @@ def shard_batch(
     a_dev = uid_unsorted // u_loc
     a_counts = np.bincount(a_dev, minlength=d)
     a_loc = round_up(int(max(a_counts.max(), 1)), base=8)
+    if min_caps is not None:
+        a_loc = max(a_loc, int(min_caps[2]))
 
     # All output caps are now known: start populating one slab for every
     # packed output (and the index streams below) in a BACKGROUND thread
@@ -504,6 +527,8 @@ def _energy_sharded(
     cart: jnp.ndarray,  # [N_loc, 3] undeformed local cartesians (diff var)
     strains: jnp.ndarray,  # [B, 3, 3] replicated
     axis: str,
+    *,
+    dynamic_cutoff: bool = False,
 ):
     """Per-device energy partial with gather-based halo exchange.
 
@@ -511,7 +536,12 @@ def _energy_sharded(
     stripped. Returns (local_energy_partial [B] — NOT psum'ed, so it can
     sit inside jax.grad without D-fold cotangent inflation; cross-device
     force terms flow through the all_gather transpose — and an aux dict
-    of local arrays)."""
+    of local arrays).
+
+    ``dynamic_cutoff`` restores exact-cutoff semantics for skin-built
+    topologies (simulation loops): edge/angle validity masks are
+    recomputed from the CURRENT positions at the model cutoffs, mirroring
+    ``simulation.runtime.apply_dynamic_cutoff``."""
     n_graphs = sb.lattices.shape[0]
     n_loc = sb.atomic_numbers.shape[0]
     dev = jax.lax.axis_index(axis)
@@ -550,6 +580,33 @@ def _energy_sharded(
     unit_j = vec_j / jnp.linalg.norm(vec_j, axis=1, keepdims=True)
     cos_ij = jnp.sum(unit_i * unit_j, axis=1) * (1 - 1e-6)
     angle_bases = basis.fourier(jnp.arccos(cos_ij), params["angle_basis"]["freq"])
+
+    if dynamic_cutoff:
+        # exact-cutoff masks from the current geometry (the topology was
+        # built with skin-enlarged cutoffs): edges stay valid while their
+        # UNDIRECTED bond is inside atom_graph_cutoff (the per-bond flag
+        # travels to edge rows through one all_gather — edges may sit on
+        # a different device than their bond), angle rows while bond i is
+        # within (<=) and directed bond j strictly within (<) the
+        # bond-graph cutoff. Mirrors apply_dynamic_cutoff's comparisons;
+        # padded rows keep mask 0 via the multiplication.
+        tol = 1e-8
+        und_ok = und_dist <= cfg.atom_graph_cutoff + tol
+        und_ok_glob = jax.lax.all_gather(und_ok, axis, tiled=True)
+        edge_mask_dyn = sb.edge_mask * und_ok_glob[sb.edge_bond].astype(
+            sb.edge_mask.dtype
+        )
+        dist_i = jnp.linalg.norm(vec_i, axis=1)
+        dist_j = jnp.linalg.norm(vec_j, axis=1)
+        ang_ok = (dist_i <= cfg.bond_graph_cutoff + tol) & (
+            dist_j < cfg.bond_graph_cutoff - tol
+        )
+        ang_mask_dyn = sb.ang_mask * ang_ok.astype(sb.ang_mask.dtype)
+        sb = sb._replace(
+            edge_mask=edge_mask_dyn,
+            ang_mask=ang_mask_dyn,
+            und_mask=sb.und_mask * und_ok.astype(sb.und_mask.dtype),
+        )
 
     # embeddings (local)
     z_index = jnp.clip(sb.atomic_numbers - 1, 0, cfg.max_num_elements - 1)
@@ -697,6 +754,11 @@ def _energy_sharded(
         "atoms_per_graph_local": atoms_per_graph_local,
         "atom_feas_mid": atom_feas_mid,
         "site_energies": site_energies.reshape(-1),
+        # local partial of the pooled crystal feature (psum for the full
+        # [B, d] vector -- compute_batch's mlp_first crystal_fea)
+        "crystal_fea_local": segment_sum(
+            atom_feas * sb.atom_mask[:, None], atom_scatter, n_graphs
+        ),
     }
     return energy_partial, aux
 
@@ -706,6 +768,7 @@ def _energy_sharded(
     static_argnames=(
         "config", "mesh", "axis",
         "compute_force", "compute_stress", "compute_magmom",
+        "dynamic_cutoff",
     ),
 )
 def compute_batch_sharded(
@@ -718,12 +781,15 @@ def compute_batch_sharded(
     compute_force: bool = False,
     compute_stress: bool = False,
     compute_magmom: bool = False,
+    dynamic_cutoff: bool = False,
 ) -> dict[str, jnp.ndarray]:
     """Graph-partitioned prediction over a device mesh.
 
     Returns: e [B] (eV/atom if intensive), f [D, N_loc, 3], s [B, 3, 3]
     GPa, m [D, N_loc] — per-atom outputs keep the sharded block layout
-    (``unshard_atoms`` flattens them back).
+    (``unshard_atoms`` flattens them back). ``dynamic_cutoff`` recomputes
+    edge/angle masks at the model cutoffs from the current positions
+    (skin-built topologies, see ``simulation.runtime``).
     """
     cfg = config
     n_graphs = sbatch.n_graphs
@@ -737,7 +803,8 @@ def compute_batch_sharded(
         def energy_of(cart, strains):
             with jax.default_matmul_precision(cfg.matmul_precision):
                 e_partial, aux = _energy_sharded(
-                    params, cfg, sb, cart, strains, axis
+                    params, cfg, sb, cart, strains, axis,
+                    dynamic_cutoff=dynamic_cutoff,
                 )
             return e_partial.sum(), (e_partial, aux)
 
@@ -750,7 +817,7 @@ def compute_batch_sharded(
         # per-device (the virial psum below does the cross-device sum).
         # Without this, check_vma's transpose inserts an extra psum and
         # the stress comes out D-fold inflated.
-        strains0 = jax.lax.pvary(strains, (axis,))
+        strains0 = _pvary(strains, axis)
         out = {}
         if compute_force or compute_stress:
             argnums = (0, 1) if compute_stress else (0,)
@@ -1376,6 +1443,11 @@ def _energy_sharded_halo(
         "atoms_per_graph_local": atoms_per_graph_local,
         "atom_feas_mid": atom_feas_mid,
         "site_energies": site_energies.reshape(-1),
+        # local partial of the pooled crystal feature (psum for the full
+        # [B, d] vector -- compute_batch's mlp_first crystal_fea)
+        "crystal_fea_local": segment_sum(
+            atom_feas * sb.atom_mask[:, None], atom_scatter, n_graphs
+        ),
     }
     return energy_partial, aux
 
@@ -1426,7 +1498,7 @@ def compute_batch_sharded_halo(
         # per-device (the virial psum below does the cross-device sum).
         # Without this, check_vma's transpose inserts an extra psum and
         # the stress comes out D-fold inflated.
-        strains0 = jax.lax.pvary(strains, (axis,))
+        strains0 = _pvary(strains, axis)
         out = {}
         if compute_force or compute_stress:
             argnums = (0, 1) if compute_stress else (0,)

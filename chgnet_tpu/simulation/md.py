@@ -74,28 +74,28 @@ def kinetic_energy(
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("config", "ensemble", "thermostat", "n_steps", "record"),
-)
-def md_chunk(
-    params,
-    batch,
-    state: MDState,
+def make_md_step(
+    *,
     md: MDParams,
     masses: jnp.ndarray,  # [N] amu (padding: 1)
-    dof: jnp.ndarray,  # [B] degrees of freedom (3 n_atoms)
-    *,
-    config: CHGNetConfig,
+    dof: jnp.ndarray,  # [B]
+    owner: jnp.ndarray,  # [N] graph ids (sorted)
+    atom_mask: jnp.ndarray,  # [N, 1]
     ensemble: str,
     thermostat: str,
-    n_steps: int,
     record: bool,
+    evaluate,  # (frac [N,3], lat [B,3,3]) -> (epot [B] eV, accel, out)
+    seg_sum,  # per-atom [N, ...] -> per-graph [B, ...] sum over owner
 ):
-    """Run ``n_steps`` fixed-topology MD steps under ``lax.scan``."""
-    n_graphs = batch.n_graphs
-    owner = batch.atom_owner
-    atom_mask = batch.atom_mask[:, None]
+    """Build one velocity-Verlet MD step (state, _) -> (state, ys).
+
+    All ensemble/thermostat/barostat math lives here, parameterized by
+    the force engine (``evaluate``) and the atom->graph reduction
+    (``seg_sum``) so the same integrator drives the single-device padded
+    batch AND the graph-partitioned multi-chip layout (where ``seg_sum``
+    psums local partial sums and ``evaluate`` wraps the sharded energy
+    core — see ``parallel/md_sharded.py``).
+    """
     thermo = thermostat.lower()
     # NVE is plain velocity Verlet: the thermostat argument is inert there
     # (reference behavior: ensemble="nve" -> VelocityVerlet regardless,
@@ -111,28 +111,13 @@ def md_chunk(
     )
     # Nose-Hoover mass Q = dof * kB * T0 * taut^2  [eV fs^2]
     q_nh = dof * units.KB * md.temperature * md.taut**2
-    # stress (the strain branch of the joint value_and_grad) only feeds
-    # the barostats and recording observers; NVE/NVT without observers
-    # skip it (the per-step ys["stress"] trace is zeros there)
+    # whether evaluate() carries the strain branch (see md_chunk)
     need_stress = ensemble == "npt" or record
 
-    def evaluate(frac, lat):
-        out = compute_batch_dynamic(
-            params,
-            batch._replace(frac_coords=frac, lattices=lat),
-            config=config,
-            compute_stress=need_stress,
-            compute_magmom=record,
+    def kinetic(vel):
+        return seg_sum(
+            0.5 * masses * (vel**2).sum(axis=1) * units.AMU_A2_FS2_TO_EV
         )
-        n_atoms = jnp.maximum(out["atoms_per_graph"], 1.0)
-        epot = out["e"] * (n_atoms if config.is_intensive else 1.0)
-        accel = (
-            out["f"]
-            * atom_mask
-            / masses[:, None]
-            * units.EV_PER_AMU_A_TO_A_FS2
-        )
-        return epot, accel, out
 
     def total_pressure(state, ke):
         """Instantaneous pressure [B] in GPa incl. ideal-gas term."""
@@ -169,7 +154,7 @@ def md_chunk(
 
         # --- kick 2
         if nose_hoover:
-            ke_half = kinetic_energy(vel, masses, owner, n_graphs)
+            ke_half = kinetic(vel)
             zeta = state.zeta + dt * (
                 2.0 * ke_half - dof * units.KB * md.temperature
             ) / jnp.maximum(q_nh, 1e-30)
@@ -197,7 +182,7 @@ def md_chunk(
         )
 
         # --- Berendsen velocity rescale (nvt/npt with Berendsen thermostat)
-        ke = kinetic_energy(state.vel, masses, owner, n_graphs)
+        ke = kinetic(state.vel)
         temp = 2.0 * ke / jnp.maximum(dof * units.KB, 1e-30)
         if ensemble in {"nvt", "npt"} and not nose_hoover:
             lam2 = 1.0 + dt / md.taut * (
@@ -205,7 +190,7 @@ def md_chunk(
             )
             lam = jnp.sqrt(jnp.clip(lam2, 0.81, 1.21))
             state = state._replace(vel=state.vel * lam[owner][:, None])
-            ke = kinetic_energy(state.vel, masses, owner, n_graphs)
+            ke = kinetic(state.vel)
             temp = 2.0 * ke / jnp.maximum(dof * units.KB, 1e-30)
 
         # --- barostat (npt)
@@ -221,13 +206,10 @@ def md_chunk(
             volume = jnp.abs(jnp.linalg.det(state.lat))
             eye3 = jnp.eye(3, dtype=state.lat.dtype)
             # kinetic stress sum(m v v^T) / V, eV/A^3
-            kin_outer = jax.ops.segment_sum(
+            kin_outer = seg_sum(
                 masses[:, None, None]
                 * state.vel[:, :, None]
-                * state.vel[:, None, :],
-                owner,
-                num_segments=n_graphs,
-                indices_are_sorted=True,
+                * state.vel[:, None, :]
             ) * units.AMU_A2_FS2_TO_EV / volume[:, None, None]
             # potential stress: state.stress is +dE/dstrain/V (GPa), i.e.
             # the NEGATIVE of the internal pressure tensor
@@ -257,7 +239,7 @@ def md_chunk(
                 vel=vel_new * atom_mask,
                 lat=lat_new,
             )
-            ke = kinetic_energy(state.vel, masses, owner, n_graphs)
+            ke = kinetic(state.vel)
             temp = 2.0 * ke / jnp.maximum(dof * units.KB, 1e-30)
         elif ensemble == "npt" and nose_hoover:
             # MTK-style isotropic Nose-Hoover-Parrinello-Rahman barostat:
@@ -279,19 +261,14 @@ def md_chunk(
             state = rescale_cell(
                 state, eta_iso[:, None] * jnp.ones((1, 3))
             )
-            ke = kinetic_energy(state.vel, masses, owner, n_graphs)
+            ke = kinetic(state.vel)
             temp = 2.0 * ke / jnp.maximum(dof * units.KB, 1e-30)
         elif ensemble == "npt":
             if thermostat.lower().endswith("inhomogeneous"):
                 # per-axis coupling to the diagonal stress components
                 volume = jnp.abs(jnp.linalg.det(state.lat))
                 sigma_kin = (
-                    jax.ops.segment_sum(
-                        masses[:, None] * state.vel**2,
-                        owner,
-                        num_segments=n_graphs,
-                        indices_are_sorted=True,
-                    )
+                    seg_sum(masses[:, None] * state.vel**2)
                     * units.AMU_A2_FS2_TO_EV
                     / volume[:, None]
                     * units.EV_A3_TO_GPA
@@ -331,6 +308,71 @@ def md_chunk(
             )
         return state, ys
 
+    return step
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "ensemble", "thermostat", "n_steps", "record"),
+)
+def md_chunk(
+    params,
+    batch,
+    state: MDState,
+    md: MDParams,
+    masses: jnp.ndarray,  # [N] amu (padding: 1)
+    dof: jnp.ndarray,  # [B] degrees of freedom (3 n_atoms)
+    *,
+    config: CHGNetConfig,
+    ensemble: str,
+    thermostat: str,
+    n_steps: int,
+    record: bool,
+):
+    """Run ``n_steps`` fixed-topology MD steps under ``lax.scan``."""
+    n_graphs = batch.n_graphs
+    owner = batch.atom_owner
+    atom_mask = batch.atom_mask[:, None]
+    # stress (the strain branch of the joint value_and_grad) only feeds
+    # the barostats and recording observers; NVE/NVT without observers
+    # skip it (the per-step ys["stress"] trace is zeros there)
+    need_stress = ensemble == "npt" or record
+
+    def evaluate(frac, lat):
+        out = compute_batch_dynamic(
+            params,
+            batch._replace(frac_coords=frac, lattices=lat),
+            config=config,
+            compute_stress=need_stress,
+            compute_magmom=record,
+        )
+        n_atoms = jnp.maximum(out["atoms_per_graph"], 1.0)
+        epot = out["e"] * (n_atoms if config.is_intensive else 1.0)
+        accel = (
+            out["f"]
+            * atom_mask
+            / masses[:, None]
+            * units.EV_PER_AMU_A_TO_A_FS2
+        )
+        return epot, accel, out
+
+    def seg_sum(x):
+        return jax.ops.segment_sum(
+            x, owner, num_segments=n_graphs, indices_are_sorted=True
+        )
+
+    step = make_md_step(
+        md=md,
+        masses=masses,
+        dof=dof,
+        owner=owner,
+        atom_mask=atom_mask,
+        ensemble=ensemble,
+        thermostat=thermostat,
+        record=record,
+        evaluate=evaluate,
+        seg_sum=seg_sum,
+    )
     return jax.lax.scan(step, state, None, length=n_steps)
 
 
@@ -391,6 +433,7 @@ class MolecularDynamics:
         seed: int | None = None,
         skin: float = 0.3,
         chunk_size: int = 10,
+        mesh: int | None = None,
     ) -> None:
         if model is None:
             from chgnet_tpu.models.chgnet import CHGNet
@@ -425,15 +468,36 @@ class MolecularDynamics:
         self.bulk_modulus = bulk_modulus
         compressibility = 1.0 / bulk_modulus if bulk_modulus else 0.0
 
+        # multi-chip mode: graph-partitioned MD over a device mesh (the
+        # BASELINE north-star "100k-atom supercell MD on N hosts" config);
+        # the integrator and rebuild policy are identical, forces come
+        # from the sharded energy core (parallel/md_sharded.py)
+        self._mesh = None
+        if mesh is not None:
+            from chgnet_tpu.parallel.mesh import make_mesh
+
+            self._mesh = make_mesh(int(mesh), axis_name="graph")
         self.runtime = GraphRuntime(
             model.config,
             self.structures,
             skin=skin,
             on_isolated_atoms=on_isolated_atoms,
+            shard_mesh=self._mesh,
         )
         batch = self.runtime.batch
-        masses = np.ones(batch.n_atoms_padded)
-        vel = np.zeros((batch.n_atoms_padded, 3))
+        # mesh mode: per-atom state lives in the sharded GLOBAL block
+        # layout [n_glob = D * n_loc] (a zero-padded extension of the
+        # padded order, invariant across rebuilds)
+        if self._mesh is not None:
+            n_state = (
+                self.runtime.sbatch.frac_coords.shape[0]
+                * self.runtime.sbatch.frac_coords.shape[1]
+            )
+        else:
+            n_state = batch.n_atoms_padded
+        self._n_state = n_state
+        masses = np.ones(n_state)
+        vel = np.zeros((n_state, 3))
         for idx, struct in enumerate(self.structures):
             sl = slice(self.runtime.offsets[idx], self.runtime.offsets[idx + 1])
             masses[sl] = struct.masses
@@ -456,21 +520,24 @@ class MolecularDynamics:
             compressibility=jnp.float32(compressibility),
         )
 
+        # padded-to-state-layout atom mask (identity in single-device mode)
+        atom_mask_state = np.zeros(n_state, np.float32)
+        atom_mask_state[: batch.n_atoms_padded] = np.asarray(batch.atom_mask)
+        self._atom_mask_state = jnp.asarray(atom_mask_state)
+        frac0 = np.zeros((n_state, 3), np.float32)
+        frac0[: batch.n_atoms_padded] = np.asarray(batch.frac_coords)
+
         # prime accel/epot/stress with one evaluation
-        out = compute_batch_dynamic(
-            model.params, batch, config=model.config, compute_magmom=False
+        epot0, accel0, stress0 = self._evaluate_full(
+            jnp.asarray(frac0), jnp.asarray(batch.lattices)
         )
-        n_atoms = jnp.maximum(out["atoms_per_graph"], 1.0)
         self.state = MDState(
-            frac=jnp.asarray(batch.frac_coords),
+            frac=jnp.asarray(frac0),
             lat=jnp.asarray(batch.lattices),
             vel=jnp.asarray(vel, jnp.float32),
-            accel=out["f"]
-            * batch.atom_mask[:, None]
-            / self.masses[:, None]
-            * units.EV_PER_AMU_A_TO_A_FS2,
-            epot=out["e"] * (n_atoms if model.config.is_intensive else 1.0),
-            stress=out["s"],
+            accel=accel0,
+            epot=epot0,
+            stress=stress0,
             zeta=jnp.zeros(batch.n_graphs, jnp.float32),
             eps_dot=jnp.zeros(batch.n_graphs, jnp.float32),
             cell_rate=jnp.zeros((batch.n_graphs, 3, 3), jnp.float32),
@@ -493,6 +560,52 @@ class MolecularDynamics:
                 file.write(
                     "Time[ps]      Etot[eV]     Epot[eV]     Ekin[eV]    T[K]\n"
                 )
+
+    def _evaluate_full(self, frac, lat):
+        """(epot [B] eV, accel [N_state, 3], stress [B, 3, 3] GPa) at the
+        given positions — single-device or graph-sharded per ``mesh``."""
+        cfg = self.model.config
+        if self._mesh is not None:
+            from chgnet_tpu.parallel.graph_sharded import (
+                compute_batch_sharded,
+                unshard_atoms,
+            )
+
+            sb = self.runtime.sbatch
+            n_loc = sb.frac_coords.shape[1]
+            out = compute_batch_sharded(
+                self.model.params,
+                sb._replace(
+                    frac_coords=jnp.reshape(frac, (-1, n_loc, 3)),
+                    lattices=jnp.asarray(lat),
+                ),
+                config=cfg,
+                mesh=self._mesh,
+                compute_force=True,
+                compute_stress=True,
+                dynamic_cutoff=True,
+            )
+            forces = jnp.asarray(unshard_atoms(out["f"]))
+        else:
+            out = compute_batch_dynamic(
+                self.model.params,
+                self.runtime.batch._replace(
+                    frac_coords=frac[: self.runtime.batch.n_atoms_padded],
+                    lattices=lat,
+                ),
+                config=cfg,
+                compute_magmom=False,
+            )
+            forces = out["f"]
+        n_atoms = jnp.maximum(out["atoms_per_graph"], 1.0)
+        epot = out["e"] * (n_atoms if cfg.is_intensive else 1.0)
+        accel = (
+            forces
+            * self._atom_mask_state[:, None]
+            / self.masses[:, None]
+            * units.EV_PER_AMU_A_TO_A_FS2
+        )
+        return epot, accel, out["s"]
 
     def _auto_bulk_modulus(self) -> float:
         """Fit bulk modulus via EOS, fallback 2 GPa (``dynamics.py:620-645``)."""
@@ -533,7 +646,8 @@ class MolecularDynamics:
         )
         done = 0
         drift = self.runtime.drift_fraction(
-            np.asarray(self.state.frac), np.asarray(self.state.lat)
+            np.asarray(self.state.frac[: self.runtime.batch.n_atoms_padded]),
+            np.asarray(self.state.lat),
         )
         while done < steps:
             n_steps = min(
@@ -543,24 +657,46 @@ class MolecularDynamics:
                 # round down to a power of two: each distinct scan length
                 # is a separate compile, so bucket the adaptive lengths
                 n_steps = 1 << (n_steps.bit_length() - 1)
-            self.state, ys = md_chunk(
-                self.model.params,
-                self.runtime.batch,
-                self.state,
-                self.md_params,
-                self.masses,
-                self.dof,
-                config=self.model.config,
-                ensemble=self.ensemble,
-                thermostat=self.thermostat,
-                n_steps=n_steps,
-                record=record,
-            )
+            if self._mesh is not None:
+                from chgnet_tpu.parallel.md_sharded import md_chunk_sharded
+
+                self.state, ys = md_chunk_sharded(
+                    self.model.params,
+                    self.runtime.sbatch,
+                    self.state,
+                    self.md_params,
+                    self.masses,
+                    self.dof,
+                    config=self.model.config,
+                    mesh=self._mesh,
+                    ensemble=self.ensemble,
+                    thermostat=self.thermostat,
+                    n_steps=n_steps,
+                    record=record,
+                )
+            else:
+                self.state, ys = md_chunk(
+                    self.model.params,
+                    self.runtime.batch,
+                    self.state,
+                    self.md_params,
+                    self.masses,
+                    self.dof,
+                    config=self.model.config,
+                    ensemble=self.ensemble,
+                    thermostat=self.thermostat,
+                    n_steps=n_steps,
+                    record=record,
+                )
             ys = jax.tree.map(np.asarray, ys)
             self._log_chunk(ys, n_steps)
             done += n_steps
             self._n_steps_done += n_steps
-            frac = np.asarray(self.state.frac)
+            # drift/rebuild bookkeeping runs on the padded-order prefix
+            # (mesh mode's state carries a zero tail beyond it)
+            frac = np.asarray(
+                self.state.frac[: self.runtime.batch.n_atoms_padded]
+            )
             lat = np.asarray(self.state.lat)
             # async-rebuild policy (GraphRuntime.step_rebuild): background
             # build launched at the trigger hides the ~0.5 s host build at
@@ -618,10 +754,11 @@ class MolecularDynamics:
         return structs[0] if self._single else structs
 
     def get_temperature(self) -> float | np.ndarray:
+        n_pad = self.runtime.batch.n_atoms_padded
         ke = kinetic_energy(
-            self.state.vel,
-            self.masses,
-            self.runtime.batch.atom_owner,
+            self.state.vel[:n_pad],
+            self.masses[:n_pad],
+            jnp.asarray(self.runtime.batch.atom_owner),
             self.runtime.batch.n_graphs,
         )
         temp = np.asarray(2.0 * ke / (self.dof * units.KB))
@@ -671,7 +808,10 @@ class MolecularDynamics:
             rotate[idx] = np.linalg.solve(lat, new_lat)
         if not changed:
             return
-        owner = np.asarray(self.runtime.batch.atom_owner)
+        owner = np.zeros(self._n_state, np.int64)
+        owner[: self.runtime.batch.n_atoms_padded] = np.asarray(
+            self.runtime.batch.atom_owner
+        )
         m_atom = jnp.asarray(rotate[owner], jnp.float32)
         vel = jnp.einsum("ni,nij->nj", self.state.vel, m_atom)
         self.state = self.state._replace(
@@ -679,25 +819,14 @@ class MolecularDynamics:
         )
         # refresh the skin-topology reference frame and derived state
         self.runtime.rebuild(
-            np.asarray(self.state.frac), np.asarray(self.state.lat)
+            np.asarray(self.state.frac[: self.runtime.batch.n_atoms_padded]),
+            np.asarray(self.state.lat),
         )
-        out = compute_batch_dynamic(
-            self.model.params,
-            self.runtime.batch._replace(
-                frac_coords=self.state.frac, lattices=self.state.lat
-            ),
-            config=self.model.config,
-            compute_magmom=False,
+        epot, accel, stress = self._evaluate_full(
+            self.state.frac, self.state.lat
         )
-        n_atoms = jnp.maximum(out["atoms_per_graph"], 1.0)
         self.state = self.state._replace(
-            accel=out["f"]
-            * self.runtime.batch.atom_mask[:, None]
-            / self.masses[:, None]
-            * units.EV_PER_AMU_A_TO_A_FS2,
-            epot=out["e"]
-            * (n_atoms if self.model.config.is_intensive else 1.0),
-            stress=out["s"],
+            accel=accel, epot=epot, stress=stress
         )
         if verbose:
             print("Transformed to upper triangular unit cell.", flush=True)
@@ -712,7 +841,9 @@ class MolecularDynamics:
             np.stack([s.lattice.matrix for s in structures]),
         )
         batch = self.runtime.batch
+        frac = np.zeros((self._n_state, 3), np.float32)
+        frac[: batch.n_atoms_padded] = np.asarray(batch.frac_coords)
         self.state = self.state._replace(
-            frac=jnp.asarray(batch.frac_coords),
+            frac=jnp.asarray(frac),
             lat=jnp.asarray(batch.lattices),
         )

@@ -114,6 +114,7 @@ class GraphRuntime:
         *,
         skin: float = 0.3,
         on_isolated_atoms: str = "warn",
+        shard_mesh=None,  # jax.sharding.Mesh: maintain a ShardedGraphBatch
     ) -> None:
         if getattr(config, "dense_atom_conv", False):
             raise NotImplementedError(
@@ -144,6 +145,13 @@ class GraphRuntime:
             self.cap_n = -(-self.cap_n // _STREAM_CHUNK) * _STREAM_CHUNK
         self._cap_e = 0
         self._cap_a = 0
+        # multi-chip mode: every build also re-lays the batch out over the
+        # mesh (parallel.graph_sharded.shard_batch) in the same worker, so
+        # the async-rebuild machinery hides shard prep too. Per-device
+        # capacities grow monotonically (min_caps) to bound recompiles.
+        self.shard_mesh = shard_mesh
+        self.sbatch = None
+        self._shard_caps: tuple[int, int, int] | None = None
         self.n_rebuilds = -1  # first build is not a "rebuild"
         self._pending = None
         self._executor = None
@@ -178,18 +186,51 @@ class GraphRuntime:
         ref_frac = batch.frac_coords.copy()
         ref_lat = batch.lattices.copy()
         atom_owner = batch.atom_owner.copy()
-        # keep the topology DEVICE-resident: simulation loops pass the
-        # batch into a jitted step every chunk, and host numpy leaves
-        # would be re-transferred each call (~3.6 s per call at the
-        # 10k-atom scale through the dev tunnel — measured)
-        return {
-            "batch": jax.device_put(batch),
+        built = {
             "ref_frac": ref_frac,
             "ref_lat": ref_lat,
             "atom_owner": atom_owner,
             "cap_e": cap_e,
             "cap_a": cap_a,
         }
+        if self.shard_mesh is not None:
+            from jax.sharding import NamedSharding
+            from chgnet_tpu.parallel.graph_sharded import (
+                _sbatch_spec,
+                shard_batch,
+            )
+
+            axis = self.shard_mesh.axis_names[0]
+            sbatch = shard_batch(
+                batch,
+                self.shard_mesh.devices.size,
+                min_caps=self._shard_caps,
+            )
+            # device-resident with the step's sharding, so chunked loops
+            # don't re-transfer the whole topology every call
+            spec = _sbatch_spec(sbatch, axis)
+            built["sbatch"] = jax.tree.map(
+                lambda leaf, sp: jax.device_put(
+                    leaf, NamedSharding(self.shard_mesh, sp)
+                ),
+                sbatch,
+                spec,
+            )
+            built["shard_caps"] = (
+                sbatch.edge_center.shape[1],
+                sbatch.und_center.shape[1],
+                sbatch.ang_center.shape[1],
+            )
+            # the single-device padded batch stays HOST-side in shard
+            # mode (only ref positions and shapes are consulted)
+            built["batch"] = batch
+            return built
+        # keep the topology DEVICE-resident: simulation loops pass the
+        # batch into a jitted step every chunk, and host numpy leaves
+        # would be re-transferred each call (~3.6 s per call at the
+        # 10k-atom scale through the dev tunnel — measured)
+        built["batch"] = jax.device_put(batch)
+        return built
 
     def _apply_build(self, built: dict) -> GraphBatch:
         self._cap_e = built["cap_e"]
@@ -200,6 +241,9 @@ class GraphRuntime:
         self._atom_owner_np = built["atom_owner"]
         self.n_rebuilds += 1
         self.batch = built["batch"]
+        if "sbatch" in built:
+            self.sbatch = built["sbatch"]
+            self._shard_caps = built["shard_caps"]
         return self.batch
 
     def _build(

@@ -1,0 +1,209 @@
+"""Graph-partitioned MD: the sharded integrator must reproduce the
+single-device trajectories on a virtual mesh (and keep its conservation
+properties). Covers the BASELINE north-star config "multi-chip supercell
+MD" at test scale."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from chgnet_tpu import ROOT
+from chgnet_tpu.core.structure import Structure
+from chgnet_tpu.models.chgnet import CHGNet
+from chgnet_tpu.simulation import MolecularDynamics
+
+SMALL = dict(
+    atom_fea_dim=16,
+    bond_fea_dim=16,
+    angle_fea_dim=16,
+    num_radial=9,
+    num_angular=9,
+    n_conv=2,
+    mlp_hidden_dims=(16,),
+    atom_conv_hidden_dim=16,
+    bond_conv_hidden_dim=16,
+)
+
+
+@pytest.fixture(scope="module")
+def model():
+    return CHGNet(seed=0, **SMALL)
+
+
+@pytest.fixture(scope="module")
+def limno2_2x():
+    return Structure.from_file(
+        f"{ROOT}/examples/mp-18767-LiMnO2.cif"
+    ).make_supercell(2)
+
+
+def test_sharded_dynamic_cutoff_matches_single_device(model, limno2_2x):
+    """compute_batch_sharded(dynamic_cutoff=True) over a skin-built
+    topology == compute_batch_dynamic on one device (E, F, S)."""
+    import jax
+
+    from chgnet_tpu.graph.batching import batch_graphs
+    from chgnet_tpu.graph.converter import CrystalGraphConverter
+    from chgnet_tpu.parallel.graph_sharded import (
+        compute_batch_sharded,
+        shard_batch,
+        unshard_atoms,
+    )
+    from chgnet_tpu.parallel.mesh import make_mesh
+    from chgnet_tpu.simulation.runtime import compute_batch_dynamic
+
+    cfg = model.config
+    skin = 0.4
+    conv = CrystalGraphConverter(
+        atom_graph_cutoff=cfg.atom_graph_cutoff + skin,
+        bond_graph_cutoff=cfg.bond_graph_cutoff + skin,
+    )
+    batch = batch_graphs([conv(limno2_2x, graph_id="0")])
+    rng = np.random.default_rng(3)
+    frac = batch.frac_coords + (
+        rng.normal(0, 0.004, batch.frac_coords.shape).astype(np.float32)
+        * batch.atom_mask[:, None]
+    )
+    batch = batch._replace(frac_coords=frac.astype(np.float32))
+
+    ref = compute_batch_dynamic(
+        model.params, batch, config=cfg, compute_stress=True
+    )
+
+    n_devices = 8
+    sb = shard_batch(jax.tree.map(np.asarray, batch), n_devices)
+    n_loc = sb.frac_coords.shape[1]
+    fr = np.zeros((n_devices * n_loc, 3), np.float32)
+    fr[: batch.frac_coords.shape[0]] = batch.frac_coords
+    sb = sb._replace(frac_coords=fr.reshape(n_devices, n_loc, 3))
+    out = compute_batch_sharded(
+        model.params,
+        sb,
+        config=cfg,
+        mesh=make_mesh(n_devices, axis_name="graph"),
+        compute_force=True,
+        compute_stress=True,
+        dynamic_cutoff=True,
+    )
+    np.testing.assert_allclose(
+        float(out["e"][0]), float(ref["e"][0]), atol=2e-5
+    )
+    f_sh = unshard_atoms(out["f"])[: batch.frac_coords.shape[0]]
+    np.testing.assert_allclose(
+        f_sh, np.asarray(ref["f"]), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["s"][0]), np.asarray(ref["s"][0]), atol=2e-5
+    )
+
+
+def _run_md(struct, model, mesh, **kwargs):
+    defaults = dict(
+        model=model,
+        ensemble="nvt",
+        thermostat="Berendsen",
+        temperature=300.0,
+        starting_temperature=300.0,
+        timestep=1.0,
+        seed=0,
+        skin=0.3,
+        chunk_size=6,
+    )
+    defaults.update(kwargs)
+    md = MolecularDynamics(struct, mesh=mesh, **defaults)
+    return md
+
+
+def test_mesh_md_matches_single_device(model, limno2_2x):
+    """MolecularDynamics(mesh=8) reproduces the single-device NVT
+    trajectory (positions, velocities, energy, temperature)."""
+    ref = _run_md(limno2_2x, model, None)
+    sh = _run_md(limno2_2x, model, 8)
+    ref.run(12)
+    sh.run(12)
+    cap = ref.runtime.batch.n_atoms_padded
+    np.testing.assert_allclose(
+        np.asarray(sh.state.frac)[:cap],
+        np.asarray(ref.state.frac),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh.state.vel)[:cap],
+        np.asarray(ref.state.vel),
+        atol=1e-6,
+    )
+    assert abs(float(sh.state.epot[0]) - float(ref.state.epot[0])) < 5e-3
+    assert abs(sh.get_temperature() - ref.get_temperature()) < 0.1
+
+
+def test_mesh_md_rebuild_path(model, limno2_2x):
+    """A small skin forces topology rebuilds mid-run: the re-shard path
+    must keep the trajectory on course (positions still match the
+    single-device run with the SAME skin)."""
+    ref = _run_md(limno2_2x, model, None, skin=0.08, chunk_size=4)
+    sh = _run_md(limno2_2x, model, 8, skin=0.08, chunk_size=4)
+    ref.run(16)
+    sh.run(16)
+    assert sh.runtime.n_rebuilds >= 1, "test did not exercise a rebuild"
+    cap = ref.runtime.batch.n_atoms_padded
+    np.testing.assert_allclose(
+        np.asarray(sh.state.frac)[:cap],
+        np.asarray(ref.state.frac),
+        atol=1e-5,
+    )
+
+
+def test_mesh_md_nve_conserves_energy(model, limno2_2x):
+    """NVE total energy drift on the sharded path stays at the meV scale
+    (same bound the single-device NVE test uses)."""
+    md = _run_md(
+        limno2_2x, model, 8, ensemble="nve", logfile="/tmp/_nve_mesh.log"
+    )
+    md.run(30)
+    log = np.loadtxt("/tmp/_nve_mesh.log", skiprows=1, usecols=(1,))
+    drift = float(log.max() - log.min())
+    assert drift < 5e-3, f"NVE drift {drift} eV"
+
+
+def test_mesh_md_npt_full_cell_smoke(model, limno2_2x):
+    """Anisotropic Parrinello-Rahman NPT runs on the mesh: finite state,
+    cell actually evolves."""
+    md = _run_md(
+        limno2_2x,
+        model,
+        8,
+        ensemble="npt",
+        thermostat="Nose-Hoover-full",
+        bulk_modulus=100.0,
+        pressure=0.0001,
+    )
+    lat0 = np.asarray(md.state.lat).copy()
+    md.run(10)
+    assert np.isfinite(np.asarray(md.state.frac)).all()
+    assert np.isfinite(float(md.state.epot[0]))
+    assert not np.allclose(np.asarray(md.state.lat), lat0)
+
+
+def test_mesh_md_record_observers(model, limno2_2x, tmp_path):
+    """Trajectory observers work in mesh mode: per-atom streams come back
+    in the global block layout and unpad to the structure's atoms."""
+    md = MolecularDynamics(
+        limno2_2x,
+        model=model,
+        ensemble="nvt",
+        thermostat="Berendsen",
+        temperature=300.0,
+        starting_temperature=300.0,
+        timestep=1.0,
+        seed=0,
+        chunk_size=5,
+        mesh=8,
+        trajectory=str(tmp_path / "traj.pkl"),
+    )
+    md.run(5)
+    obs = md.observers[0]
+    assert len(obs.energies) == 5
+    assert obs.forces[0].shape == (len(limno2_2x), 3)
+    assert obs.magmoms[0].shape == (len(limno2_2x),)
+    assert np.isfinite(obs.forces[0]).all()
