@@ -154,14 +154,13 @@ def test_mesh_md_rebuild_path(model, limno2_2x):
     )
 
 
-def test_mesh_md_nve_conserves_energy(model, limno2_2x):
+def test_mesh_md_nve_conserves_energy(model, limno2_2x, tmp_path):
     """NVE total energy drift on the sharded path stays at the meV scale
     (same bound the single-device NVE test uses)."""
-    md = _run_md(
-        limno2_2x, model, 8, ensemble="nve", logfile="/tmp/_nve_mesh.log"
-    )
+    logfile = str(tmp_path / "nve_mesh.log")
+    md = _run_md(limno2_2x, model, 8, ensemble="nve", logfile=logfile)
     md.run(30)
-    log = np.loadtxt("/tmp/_nve_mesh.log", skiprows=1, usecols=(1,))
+    log = np.loadtxt(logfile, skiprows=1, usecols=(1,))
     drift = float(log.max() - log.min())
     assert drift < 5e-3, f"NVE drift {drift} eV"
 

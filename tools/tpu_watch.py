@@ -114,16 +114,21 @@ def main() -> None:
         for name, argv, tmo in pending:
             log(f"running {name}: {' '.join(argv)}", args.log)
             lines = run_logged(argv, tmo, args.log)
-            if lines is None:
+            parsed = []
+            for ln in lines or []:
+                # the `{...}` shape filter also passes dict reprs and
+                # XLA/absl log noise — keep only lines that really parse
+                try:
+                    parsed.append(json.loads(ln))
+                except json.JSONDecodeError:
+                    continue
+            if not parsed:
                 still.append((name, argv, tmo))
                 break  # tunnel likely dropped; re-probe before the rest
-            results[name] = {
-                "ts": time.time(),
-                "result": [json.loads(ln) for ln in lines],
-            }
+            results[name] = {"ts": time.time(), "result": parsed}
             with open(args.out, "w") as fh:
                 json.dump(results, fh, indent=2)
-            log(f"{name} OK: {line}", args.log)
+            log(f"{name} OK: {parsed}", args.log)
         pending = still + [
             c for c in pending if c[0] not in results and c not in still
         ]
