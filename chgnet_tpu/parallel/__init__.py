@@ -20,6 +20,7 @@ from chgnet_tpu.parallel.graph_sharded import (
 from chgnet_tpu.parallel.distributed import initialize, make_hybrid_mesh
 from chgnet_tpu.parallel.md_sharded import md_chunk_sharded
 from chgnet_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
+from chgnet_tpu.parallel.relax_sharded import fire_chunk_sharded
 
 __all__ = [
     "HaloBatch",
@@ -27,6 +28,7 @@ __all__ = [
     "batch_sharding",
     "compute_batch_sharded",
     "compute_batch_sharded_halo",
+    "fire_chunk_sharded",
     "initialize",
     "make_dp_train_step",
     "make_graph_sharded_train_step",

@@ -44,7 +44,92 @@ from chgnet_tpu.parallel.graph_sharded import (
 from chgnet_tpu.simulation import units
 from chgnet_tpu.simulation.md import MDParams, MDState, make_md_step
 
-__all__ = ["md_chunk_sharded"]
+__all__ = ["md_chunk_sharded", "sharded_energy_eval"]
+
+
+def sharded_energy_eval(
+    params,
+    cfg: CHGNetConfig,
+    sb,  # stripped ShardedGraphBatch (inside shard_map)
+    owner,  # [N_loc] graph ids
+    axis: str,
+    frac,  # [N_loc, 3]
+    lat,  # [B, 3, 3] replicated
+    *,
+    need_stress: bool,
+    record: bool,
+):
+    """Local E/F(/S) evaluation inside a sharded simulation step.
+
+    Returns a dict with ``epot`` (extensive [B] eV incl. the
+    composition/AtomRef term, replicated), ``forces`` (local [N_loc, 3],
+    unmasked), ``s`` ([B, 3, 3] GPa, replicated; zeros when
+    ``need_stress`` is False), and — under ``record`` — local ``m`` and
+    replicated ``crystal_fea``. Shared by the sharded MD and relaxation
+    chunks; mirrors ``compute_batch_sharded``'s local function with
+    ``dynamic_cutoff=True`` (skin topologies)."""
+    n_graphs = lat.shape[0]
+
+    def energy_of(cart, strains):
+        with jax.default_matmul_precision(cfg.matmul_precision):
+            e_partial, aux = _energy_sharded(
+                params, cfg, sb._replace(lattices=lat), cart,
+                strains, axis, dynamic_cutoff=True,
+            )
+        return e_partial.sum(), (e_partial, aux)
+
+    cart0 = jnp.einsum("ni,nij->nj", frac, lat[owner])
+    # pvary: each device differentiates its OWN energy partial wrt the
+    # replicated strain; the explicit psum below sums the virial (see
+    # compute_batch_sharded — without pvary check_vma inserts a
+    # transpose-psum and the stress comes out D-fold inflated)
+    strains0 = _pvary(jnp.zeros((n_graphs, 3, 3), jnp.float32), axis)
+    argnums = (0, 1) if need_stress else (0,)
+    (_, (e_partial, aux)), grads = jax.value_and_grad(
+        energy_of, argnums=argnums, has_aux=True
+    )(cart0, strains0)
+    if need_stress:
+        volumes = jnp.abs(jnp.linalg.det(lat))
+        virial = jax.lax.psum(grads[1], axis)
+        stress = virial * EV_A3_TO_GPA / volumes[:, None, None]
+    else:
+        stress = jnp.zeros((n_graphs, 3, 3), jnp.float32)
+
+    # extensive potential energy incl. the composition/AtomRef term,
+    # mirroring compute_batch_sharded
+    e_ext = jax.lax.psum(e_partial, axis)
+    atoms_per_graph = jax.lax.psum(aux["atoms_per_graph_local"], axis)
+    safe = jnp.maximum(atoms_per_graph, 1.0)
+    energy = e_ext / safe if cfg.is_intensive else e_ext
+    if "composition" in params:
+        site_ref = params["composition"]["weight"][
+            jnp.clip(sb.atomic_numbers - 1, 0, cfg.max_num_elements - 1)
+        ] * sb.atom_mask
+        comp_ext = jax.lax.psum(
+            segment_sum(
+                site_ref[:, None],
+                jnp.where(sb.atom_mask > 0, owner, n_graphs).astype(
+                    jnp.int32
+                ),
+                n_graphs,
+            ).reshape(-1),
+            axis,
+        )
+        energy = energy + (
+            comp_ext / safe if cfg.atom_ref_is_intensive else comp_ext
+        )
+    epot = energy * safe if cfg.is_intensive else energy
+
+    out = {"epot": epot, "forces": -grads[0], "s": stress}
+    if record:
+        out["m"] = (
+            jnp.abs(
+                linear_apply(params["site_wise"], aux["atom_feas_mid"])
+            ).reshape(-1)
+            * sb.atom_mask
+        )
+        out["crystal_fea"] = jax.lax.psum(aux["crystal_fea_local"], axis)
+    return out
 
 
 def _state_spec(axis: str) -> MDState:
@@ -109,85 +194,17 @@ def md_chunk_sharded(
             )
 
         def evaluate(frac, lat):
-            def energy_of(cart, strains):
-                with jax.default_matmul_precision(cfg.matmul_precision):
-                    e_partial, aux = _energy_sharded(
-                        params, cfg, sb._replace(lattices=lat), cart,
-                        strains, axis, dynamic_cutoff=True,
-                    )
-                return e_partial.sum(), (e_partial, aux)
-
-            cart0 = jnp.einsum("ni,nij->nj", frac, lat[owner])
-            # pvary: each device differentiates its OWN energy partial wrt
-            # the replicated strain; the explicit psum below sums the
-            # virial (see compute_batch_sharded — without pvary check_vma
-            # inserts a transpose-psum and the stress is D-fold inflated)
-            strains0 = _pvary(
-                jnp.zeros((n_graphs, 3, 3), jnp.float32), axis
+            out = sharded_energy_eval(
+                params, cfg, sb, owner, axis, frac, lat,
+                need_stress=need_stress, record=record,
             )
-            argnums = (0, 1) if need_stress else (0,)
-            (_, (e_partial, aux)), grads = jax.value_and_grad(
-                energy_of, argnums=argnums, has_aux=True
-            )(cart0, strains0)
-            if need_stress:
-                volumes = jnp.abs(jnp.linalg.det(lat))
-                virial = jax.lax.psum(grads[1], axis)
-                stress = virial * EV_A3_TO_GPA / volumes[:, None, None]
-            else:
-                stress = jnp.zeros((n_graphs, 3, 3), jnp.float32)
-
-            # extensive potential energy incl. the composition/AtomRef
-            # term, mirroring compute_batch_sharded + md_chunk.evaluate
-            e_ext = jax.lax.psum(e_partial, axis)
-            atoms_per_graph = jax.lax.psum(
-                aux["atoms_per_graph_local"], axis
-            )
-            safe = jnp.maximum(atoms_per_graph, 1.0)
-            energy = e_ext / safe if cfg.is_intensive else e_ext
-            if "composition" in params:
-                site_ref = params["composition"]["weight"][
-                    jnp.clip(
-                        sb.atomic_numbers - 1, 0, cfg.max_num_elements - 1
-                    )
-                ] * sb.atom_mask
-                comp_ext = jax.lax.psum(
-                    segment_sum(
-                        site_ref[:, None],
-                        jnp.where(sb.atom_mask > 0, owner, n_graphs).astype(
-                            jnp.int32
-                        ),
-                        n_graphs,
-                    ).reshape(-1),
-                    axis,
-                )
-                energy = energy + (
-                    comp_ext / safe
-                    if cfg.atom_ref_is_intensive
-                    else comp_ext
-                )
-            epot = energy * safe if cfg.is_intensive else energy
-
-            forces = -grads[0]
             accel = (
-                forces
+                out.pop("forces")
                 * atom_mask
                 / masses[:, None]
                 * units.EV_PER_AMU_A_TO_A_FS2
             )
-            out = {"s": stress}
-            if record:
-                out["m"] = (
-                    jnp.abs(
-                        linear_apply(
-                            params["site_wise"], aux["atom_feas_mid"]
-                        )
-                    ).reshape(-1)
-                    * sb.atom_mask
-                )
-                out["crystal_fea"] = jax.lax.psum(
-                    aux["crystal_fea_local"], axis
-                )
-            return epot, accel, out
+            return out.pop("epot"), accel, out
 
         step = make_md_step(
             md=md,

@@ -60,12 +60,21 @@ class FireState(NamedTuple):
     converged: jnp.ndarray  # [B] bool
 
 
-def _init_state(batch: GraphBatch, fire: FIRE) -> FireState:
+def _init_state(
+    batch: GraphBatch, fire: FIRE, n_state: int | None = None
+) -> FireState:
+    """``n_state`` extends the per-atom leaves beyond the padded batch
+    (zero tail) — the sharded global block layout (StructOptimizer mesh
+    mode)."""
     n_graphs = batch.n_graphs
+    n_pad = batch.frac_coords.shape[0]
+    n_state = n_pad if n_state is None else int(n_state)
+    frac = np.zeros((n_state, 3), np.float32)
+    frac[:n_pad] = np.asarray(batch.frac_coords)
     return FireState(
-        frac=jnp.asarray(batch.frac_coords, jnp.float32),
+        frac=jnp.asarray(frac),
         lat=jnp.asarray(batch.lattices, jnp.float32),
-        vel=jnp.zeros_like(batch.frac_coords),
+        vel=jnp.zeros((n_state, 3), jnp.float32),
         vel_cell=jnp.zeros((n_graphs, 3, 3), jnp.float32),
         dt=jnp.full((n_graphs,), fire.dt0, jnp.float32),
         alpha=jnp.full((n_graphs,), fire.alpha_start, jnp.float32),
@@ -74,65 +83,32 @@ def _init_state(batch: GraphBatch, fire: FIRE) -> FireState:
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "config", "fire", "n_steps", "relax_cell", "record", "method",
-    ),
-)
-def fire_chunk(
-    params,
-    batch: GraphBatch,
-    state: FireState,
+def make_fire_step(
     *,
-    config: CHGNetConfig,
     fire: FIRE,
-    n_steps: int,
+    owner: jnp.ndarray,  # [N] graph ids (sorted)
+    atom_mask: jnp.ndarray,  # [N, 1]
     fmax_target: float,
     cell_factor: jnp.ndarray,  # [B]
     relax_cell: bool,
     record: bool,
-    method: str = "FIRE",
+    method: str,
+    evaluate,  # (frac, lat) -> (e_total [B], forces [N,3], virial, out)
+    seg_sum,  # per-atom [N] -> per-graph [B] sum over owner
+    seg_max,  # per-atom [N] -> per-graph [B] max over owner
 ):
-    """Run ``n_steps`` fixed-topology FIRE (or MDMin) steps under
-    ``lax.scan``. Returns (state, per-step outputs). Each step evaluates
-    E/F(/S), updates convergence, then moves the unconverged graphs.
-    MDMin is the velocity-projection quench: v is projected onto F when
-    downhill and zeroed when uphill (same semantics as ASE's MDMin).
+    """Build one FIRE/MDMin step (state, _) -> (state, ys).
+
+    Like :func:`chgnet_tpu.simulation.md.make_md_step`, the optimizer
+    math is parameterized by the force engine and the atom->graph
+    reductions so the same implementation drives the single-device
+    padded batch and the graph-partitioned mesh layout
+    (``parallel/relax_sharded.py``, where ``seg_sum``/``seg_max``
+    psum/pmax local partials).
     """
-    n_graphs = batch.n_graphs
-    owner = batch.atom_owner
-    atom_mask = batch.atom_mask[:, None]
-
-    def seg_sum(per_atom):  # [N] -> [B], padded atoms masked upstream
-        return jax.ops.segment_sum(
-            per_atom, owner, num_segments=n_graphs, indices_are_sorted=True
-        )
-
-    def evaluate(state: FireState):
-        cur = batch._replace(frac_coords=state.frac, lattices=state.lat)
-        out = compute_batch_dynamic(
-            params,
-            cur,
-            config=config,
-            compute_stress=relax_cell or record,
-            compute_magmom=record,
-        )
-        n_atoms = jnp.maximum(out["atoms_per_graph"], 1.0)
-        e_total = out["e"] * (n_atoms if config.is_intensive else 1.0)
-        forces = out["f"] * atom_mask
-        if relax_cell or record:
-            volume = jnp.abs(jnp.linalg.det(state.lat))
-            virial = (
-                out["s"] * GPA_TO_EV_A3 * volume[:, None, None]
-            )  # dE/d(strain) [B,3,3] eV
-            virial = 0.5 * (virial + jnp.swapaxes(virial, 1, 2))
-        else:
-            virial = jnp.zeros((n_graphs, 3, 3), forces.dtype)
-        return e_total, forces, virial, out
 
     def step(state: FireState, _):
-        e_total, forces, virial, out = evaluate(state)
+        e_total, forces, virial, out = evaluate(state.frac, state.lat)
         cell_forces = (
             -virial / cell_factor[:, None, None]
             if relax_cell
@@ -141,12 +117,7 @@ def fire_chunk(
 
         # convergence: max row norm over atoms (+ cell pseudo-atoms)
         f2_atom = (forces**2).sum(axis=1)
-        fmax2 = jax.ops.segment_max(
-            jnp.where(batch.atom_mask > 0, f2_atom, 0.0),
-            owner,
-            num_segments=n_graphs,
-            indices_are_sorted=True,
-        )
+        fmax2 = seg_max(jnp.where(atom_mask[:, 0] > 0, f2_atom, 0.0))
         if relax_cell:
             fmax2 = jnp.maximum(fmax2, (cell_forces**2).sum(axis=2).max(axis=1))
         fmax = jnp.sqrt(fmax2)
@@ -245,8 +216,85 @@ def fire_chunk(
             )
         return new_state, ys
 
-    state, trajectory = jax.lax.scan(step, state, None, length=n_steps)
-    return state, trajectory
+    return step
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "config", "fire", "n_steps", "relax_cell", "record", "method",
+    ),
+)
+def fire_chunk(
+    params,
+    batch: GraphBatch,
+    state: FireState,
+    *,
+    config: CHGNetConfig,
+    fire: FIRE,
+    n_steps: int,
+    fmax_target: float,
+    cell_factor: jnp.ndarray,  # [B]
+    relax_cell: bool,
+    record: bool,
+    method: str = "FIRE",
+):
+    """Run ``n_steps`` fixed-topology FIRE (or MDMin) steps under
+    ``lax.scan``. Returns (state, per-step outputs). Each step evaluates
+    E/F(/S), updates convergence, then moves the unconverged graphs.
+    MDMin is the velocity-projection quench: v is projected onto F when
+    downhill and zeroed when uphill (same semantics as ASE's MDMin).
+    """
+    n_graphs = batch.n_graphs
+    owner = batch.atom_owner
+    atom_mask = batch.atom_mask[:, None]
+
+    def seg_sum(per_atom):  # [N] -> [B], padded atoms masked upstream
+        return jax.ops.segment_sum(
+            per_atom, owner, num_segments=n_graphs, indices_are_sorted=True
+        )
+
+    def seg_max(per_atom):  # [N] -> [B]
+        return jax.ops.segment_max(
+            per_atom, owner, num_segments=n_graphs, indices_are_sorted=True
+        )
+
+    def evaluate(frac, lat):
+        cur = batch._replace(frac_coords=frac, lattices=lat)
+        out = compute_batch_dynamic(
+            params,
+            cur,
+            config=config,
+            compute_stress=relax_cell or record,
+            compute_magmom=record,
+        )
+        n_atoms = jnp.maximum(out["atoms_per_graph"], 1.0)
+        e_total = out["e"] * (n_atoms if config.is_intensive else 1.0)
+        forces = out["f"] * atom_mask
+        if relax_cell or record:
+            volume = jnp.abs(jnp.linalg.det(lat))
+            virial = (
+                out["s"] * GPA_TO_EV_A3 * volume[:, None, None]
+            )  # dE/d(strain) [B,3,3] eV
+            virial = 0.5 * (virial + jnp.swapaxes(virial, 1, 2))
+        else:
+            virial = jnp.zeros((n_graphs, 3, 3), forces.dtype)
+        return e_total, forces, virial, out
+
+    step = make_fire_step(
+        fire=fire,
+        owner=owner,
+        atom_mask=atom_mask,
+        fmax_target=fmax_target,
+        cell_factor=cell_factor,
+        relax_cell=relax_cell,
+        record=record,
+        method=method,
+        evaluate=evaluate,
+        seg_sum=seg_sum,
+        seg_max=seg_max,
+    )
+    return jax.lax.scan(step, state, None, length=n_steps)
 
 
 
@@ -339,6 +387,11 @@ def lbfgs_chunk(
             per_atom, owner, num_segments=n_graphs, indices_are_sorted=True
         )
 
+    def seg_max(per_atom):
+        return jax.ops.segment_max(
+            per_atom, owner, num_segments=n_graphs, indices_are_sorted=True
+        )
+
     def dot(a_atoms, a_cell, b_atoms, b_cell):
         """Per-graph inner product over combined DOF -> [B]."""
         return seg_sum((a_atoms * b_atoms).sum(axis=1)) + (
@@ -376,12 +429,7 @@ def lbfgs_chunk(
         grad_cell = -cell_forces
 
         f2_atom = (forces**2).sum(axis=1)
-        fmax2 = jax.ops.segment_max(
-            jnp.where(batch.atom_mask > 0, f2_atom, 0.0),
-            owner,
-            num_segments=n_graphs,
-            indices_are_sorted=True,
-        )
+        fmax2 = seg_max(jnp.where(atom_mask[:, 0] > 0, f2_atom, 0.0))
         if relax_cell:
             fmax2 = jnp.maximum(fmax2, (cell_forces**2).sum(axis=2).max(axis=1))
         fmax = jnp.sqrt(fmax2)
@@ -572,6 +620,7 @@ class StructOptimizer:
         on_isolated_atoms: str = "warn",
         fire_params: FIRE | None = None,
         lbfgs_params: LBFGS | None = None,
+        mesh: int | None = None,
     ) -> None:
         import warnings
 
@@ -607,6 +656,19 @@ class StructOptimizer:
         self.fire = fire_params or FIRE()
         self.lbfgs = lbfgs_params or LBFGS()
         self.on_isolated_atoms = on_isolated_atoms
+        # graph-partitioned relaxation over a device mesh (FIRE/MDMin —
+        # the LBFGS history buffers and the SciPy host loop are
+        # single-device only)
+        self._mesh = None
+        if mesh is not None:
+            if optimizer_class not in {"FIRE", "MDMin"}:
+                raise NotImplementedError(
+                    f"mesh relaxation supports FIRE/MDMin, not "
+                    f"{optimizer_class}"
+                )
+            from chgnet_tpu.parallel.mesh import make_mesh
+
+            self._mesh = make_mesh(int(mesh), axis_name="graph")
 
     @property
     def version(self) -> str | None:
@@ -658,6 +720,7 @@ class StructOptimizer:
             structures,
             skin=skin,
             on_isolated_atoms=self.on_isolated_atoms,
+            shard_mesh=self._mesh,
         )
         cell_factor = jnp.asarray(
             [max(len(s), 1) for s in structures], jnp.float32
@@ -669,10 +732,17 @@ class StructOptimizer:
             )
         record = loginterval is not None or crystal_feas_save_path is not None
         use_lbfgs = self.optimizer_class in {"LBFGS", "LBFGSLineSearch"}
+        # mesh mode: per-atom state in the sharded global block layout
+        n_state = None
+        if self._mesh is not None:
+            n_state = (
+                runtime.sbatch.frac_coords.shape[0]
+                * runtime.sbatch.frac_coords.shape[1]
+            )
         state = (
             _init_lbfgs_state(runtime.batch, self.lbfgs)
             if use_lbfgs
-            else _init_state(runtime.batch, self.fire)
+            else _init_state(runtime.batch, self.fire, n_state)
         )
         observers = [
             TrajectoryObserver(atomic_numbers=s.atomic_numbers)
@@ -701,6 +771,25 @@ class StructOptimizer:
                     relax_cell=relax_cell,
                     record=record,
                     line_search=self.optimizer_class == "LBFGSLineSearch",
+                )
+            elif self._mesh is not None:
+                from chgnet_tpu.parallel.relax_sharded import (
+                    fire_chunk_sharded,
+                )
+
+                state, traj = fire_chunk_sharded(
+                    self.model.params,
+                    runtime.sbatch,
+                    state,
+                    config=self.model.config,
+                    mesh=self._mesh,
+                    fire=self.fire,
+                    n_steps=n_steps,
+                    fmax_target=fmax,
+                    cell_factor=cell_factor,
+                    relax_cell=relax_cell,
+                    record=record,
+                    method=self.optimizer_class,
                 )
             else:
                 state, traj = fire_chunk(
@@ -734,9 +823,11 @@ class StructOptimizer:
                 break
             # async rebuild: launch in the background at 40% skin drift,
             # keep stepping on the still-valid topology, block only when
-            # the Verlet budget is exhausted (GraphRuntime.step_rebuild)
+            # the Verlet budget is exhausted (GraphRuntime.step_rebuild).
+            # Mesh mode's state carries a zero tail past the padded order.
             runtime.step_rebuild(
-                np.asarray(state.frac), np.asarray(state.lat)
+                np.asarray(state.frac[: runtime.batch.n_atoms_padded]),
+                np.asarray(state.lat),
             )
 
         final_structures = runtime.structures(

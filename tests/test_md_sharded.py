@@ -184,6 +184,41 @@ def test_mesh_md_npt_full_cell_smoke(model, limno2_2x):
     assert not np.allclose(np.asarray(md.state.lat), lat0)
 
 
+def test_mesh_relax_matches_single_device(model, limno2_2x):
+    """StructOptimizer(mesh=8) reproduces the single-device FIRE
+    relaxation (final structure, trajectory length, energy)."""
+    from chgnet_tpu.simulation import StructOptimizer
+
+    start = limno2_2x.perturb(0.06, seed=2)
+    ref = StructOptimizer(model=model).relax(
+        start, fmax=0.08, steps=120, relax_cell=True
+    )
+    sh = StructOptimizer(model=model, mesh=8).relax(
+        start, fmax=0.08, steps=120, relax_cell=True
+    )
+    assert len(sh["trajectory"]) == len(ref["trajectory"])
+    np.testing.assert_allclose(
+        sh["final_structure"].frac_coords,
+        ref["final_structure"].frac_coords,
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        sh["final_structure"].lattice.matrix,
+        ref["final_structure"].lattice.matrix,
+        atol=1e-5,
+    )
+    assert abs(sh["final_energy"] - ref["final_energy"]) < 5e-3
+
+
+def test_mesh_relax_rejects_lbfgs(model):
+    """LBFGS keeps device-resident history buffers the sharded path does
+    not implement — asking for it with a mesh must fail loudly."""
+    from chgnet_tpu.simulation import StructOptimizer
+
+    with pytest.raises(NotImplementedError, match="FIRE/MDMin"):
+        StructOptimizer(model=model, optimizer_class="LBFGS", mesh=8)
+
+
 def test_mesh_md_record_observers(model, limno2_2x, tmp_path):
     """Trajectory observers work in mesh mode: per-atom streams come back
     in the global block layout and unpad to the structure's atoms."""
