@@ -1283,12 +1283,17 @@ def _energy_sharded_halo(
     cart: jnp.ndarray,  # [N_loc, 3] undeformed local cartesians (diff var)
     strains: jnp.ndarray,  # [B, 3, 3] replicated
     axis: str,
+    *,
+    dynamic_cutoff: bool = False,
 ):
     """Per-device energy partial with BOUNDARY halo exchange: every layer
     sends only the referenced border rows to peers (all_to_all), instead
     of all-gathering full tables. Index arrays arrive pre-remapped to the
     [own block | halo slots] layout (see :func:`shard_batch_halo`).
-    Returns the same (local partial, aux) contract as _energy_sharded."""
+    Returns the same (local partial, aux) contract as _energy_sharded;
+    ``dynamic_cutoff`` recomputes exact-cutoff masks from the current
+    positions (skin-built topologies), the per-bond flag reaching edge
+    rows through the bond halo exchange."""
     n_graphs = sb.lattices.shape[0]
     n_loc = sb.atomic_numbers.shape[0]
 
@@ -1330,6 +1335,32 @@ def _energy_sharded_halo(
     angle_bases = basis.fourier(
         jnp.arccos(cos_ij), params["angle_basis"]["freq"]
     )
+
+    if dynamic_cutoff:
+        # exact-cutoff masks from current geometry (see _energy_sharded);
+        # here the per-bond in-cutoff flag travels to edge rows through
+        # the SAME bond halo exchange the weight tables use
+        tol = 1e-8
+        und_ok = (und_dist <= cfg.atom_graph_cutoff + tol).astype(
+            sb.und_mask.dtype
+        )
+        und_ok_t = jnp.concatenate(
+            [
+                und_ok[:, None],
+                _halo_exchange(und_ok[:, None], hb.bond_send, axis),
+            ]
+        )[:, 0]
+        edge_mask_dyn = sb.edge_mask * und_ok_t[hb.edge_bond_h]
+        dist_i = jnp.linalg.norm(vec_i, axis=1)
+        dist_j = jnp.linalg.norm(vec_j, axis=1)
+        ang_ok = (dist_i <= cfg.bond_graph_cutoff + tol) & (
+            dist_j < cfg.bond_graph_cutoff - tol
+        )
+        sb = sb._replace(
+            edge_mask=edge_mask_dyn,
+            ang_mask=sb.ang_mask * ang_ok.astype(sb.ang_mask.dtype),
+            und_mask=sb.und_mask * und_ok,
+        )
 
     z_index = jnp.clip(sb.atomic_numbers - 1, 0, cfg.max_num_elements - 1)
     atom_feas = params["atom_embedding"]["weight"][z_index]
@@ -1457,6 +1488,7 @@ def _energy_sharded_halo(
     static_argnames=(
         "config", "mesh", "axis",
         "compute_force", "compute_stress", "compute_magmom",
+        "dynamic_cutoff",
     ),
 )
 def compute_batch_sharded_halo(
@@ -1470,6 +1502,7 @@ def compute_batch_sharded_halo(
     compute_force: bool = False,
     compute_stress: bool = False,
     compute_magmom: bool = False,
+    dynamic_cutoff: bool = False,
 ) -> dict[str, jnp.ndarray]:
     """Graph-partitioned prediction with boundary halo exchange
     (all_to_all of referenced border rows) instead of full all-gathers.
@@ -1487,7 +1520,8 @@ def compute_batch_sharded_halo(
         def energy_of(cart, strains):
             with jax.default_matmul_precision(cfg.matmul_precision):
                 e_partial, aux = _energy_sharded_halo(
-                    params, cfg, sb, hb, cart, strains, axis
+                    params, cfg, sb, hb, cart, strains, axis,
+                    dynamic_cutoff=dynamic_cutoff,
                 )
             return e_partial.sum(), (e_partial, aux)
 
