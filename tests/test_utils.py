@@ -19,3 +19,22 @@ def test_cuda_devices_stub():
 
     ids = cuda_devices_sorted_by_free_mem()
     assert isinstance(ids, list) and len(ids) >= 1
+
+
+def test_api_docs_generator_renders_modules():
+    """The docstring->markdown generator (tools/make_api_docs.py) must
+    keep rendering every listed public module — catches API-reference rot
+    (renamed modules, import errors) without writing to docs/."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "make_api_docs", os.path.join(root, "tools", "make_api_docs.py")
+    )
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+    for modname in gen.MODULES:
+        page = gen.render_module(modname)
+        assert page.startswith(f"# `{modname}`")
+        assert len(page) > 40, modname
