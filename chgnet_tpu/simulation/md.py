@@ -74,6 +74,15 @@ def kinetic_energy(
     )
 
 
+def _pad_rows(arr, n_rows: int, fill=0.0) -> np.ndarray:
+    """Extend ``arr``'s leading axis to ``n_rows`` with ``fill`` (the
+    sharded state layout adds a tail past the padded batch order)."""
+    arr = np.asarray(arr)
+    out = np.full((n_rows,) + arr.shape[1:], fill, arr.dtype)
+    out[: arr.shape[0]] = arr
+    return out
+
+
 def make_md_step(
     *,
     md: MDParams,
@@ -521,11 +530,10 @@ class MolecularDynamics:
         )
 
         # padded-to-state-layout atom mask (identity in single-device mode)
-        atom_mask_state = np.zeros(n_state, np.float32)
-        atom_mask_state[: batch.n_atoms_padded] = np.asarray(batch.atom_mask)
-        self._atom_mask_state = jnp.asarray(atom_mask_state)
-        frac0 = np.zeros((n_state, 3), np.float32)
-        frac0[: batch.n_atoms_padded] = np.asarray(batch.frac_coords)
+        self._atom_mask_state = jnp.asarray(
+            _pad_rows(batch.atom_mask, n_state)
+        )
+        frac0 = _pad_rows(batch.frac_coords, n_state)
 
         # prime accel/epot/stress with one evaluation
         epot0, accel0, stress0 = self._evaluate_full(
@@ -640,6 +648,8 @@ class MolecularDynamics:
 
     def run(self, steps: int = 50) -> None:
         """Advance the dynamics by ``steps`` timesteps."""
+        if self._mesh is not None:
+            from chgnet_tpu.parallel.md_sharded import md_chunk_sharded
         record = (
             self.observers is not None
             or self.crystal_feas_observer is not None
@@ -658,8 +668,6 @@ class MolecularDynamics:
                 # is a separate compile, so bucket the adaptive lengths
                 n_steps = 1 << (n_steps.bit_length() - 1)
             if self._mesh is not None:
-                from chgnet_tpu.parallel.md_sharded import md_chunk_sharded
-
                 self.state, ys = md_chunk_sharded(
                     self.model.params,
                     self.runtime.sbatch,
@@ -808,10 +816,7 @@ class MolecularDynamics:
             rotate[idx] = np.linalg.solve(lat, new_lat)
         if not changed:
             return
-        owner = np.zeros(self._n_state, np.int64)
-        owner[: self.runtime.batch.n_atoms_padded] = np.asarray(
-            self.runtime.batch.atom_owner
-        )
+        owner = _pad_rows(self.runtime.batch.atom_owner, self._n_state, 0)
         m_atom = jnp.asarray(rotate[owner], jnp.float32)
         vel = jnp.einsum("ni,nij->nj", self.state.vel, m_atom)
         self.state = self.state._replace(
@@ -841,8 +846,7 @@ class MolecularDynamics:
             np.stack([s.lattice.matrix for s in structures]),
         )
         batch = self.runtime.batch
-        frac = np.zeros((self._n_state, 3), np.float32)
-        frac[: batch.n_atoms_padded] = np.asarray(batch.frac_coords)
+        frac = _pad_rows(batch.frac_coords, self._n_state)
         self.state = self.state._replace(
             frac=jnp.asarray(frac),
             lat=jnp.asarray(batch.lattices),

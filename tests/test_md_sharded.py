@@ -38,20 +38,11 @@ def limno2_2x():
     ).make_supercell(2)
 
 
-def test_sharded_dynamic_cutoff_matches_single_device(model, limno2_2x):
-    """compute_batch_sharded(dynamic_cutoff=True) over a skin-built
-    topology == compute_batch_dynamic on one device (E, F, S)."""
-    import jax
-
+def _perturbed_skin_batch(model, struct, seed):
+    """A skin-built padded batch with positions moved inside the skin
+    budget, so exact-cutoff masks genuinely differ from the build's."""
     from chgnet_tpu.graph.batching import batch_graphs
     from chgnet_tpu.graph.converter import CrystalGraphConverter
-    from chgnet_tpu.parallel.graph_sharded import (
-        compute_batch_sharded,
-        shard_batch,
-        unshard_atoms,
-    )
-    from chgnet_tpu.parallel.mesh import make_mesh
-    from chgnet_tpu.simulation.runtime import compute_batch_dynamic
 
     cfg = model.config
     skin = 0.4
@@ -59,95 +50,27 @@ def test_sharded_dynamic_cutoff_matches_single_device(model, limno2_2x):
         atom_graph_cutoff=cfg.atom_graph_cutoff + skin,
         bond_graph_cutoff=cfg.bond_graph_cutoff + skin,
     )
-    batch = batch_graphs([conv(limno2_2x, graph_id="0")])
-    rng = np.random.default_rng(3)
+    batch = batch_graphs([conv(struct, graph_id="0")])
+    rng = np.random.default_rng(seed)
     frac = batch.frac_coords + (
         rng.normal(0, 0.004, batch.frac_coords.shape).astype(np.float32)
         * batch.atom_mask[:, None]
     )
-    batch = batch._replace(frac_coords=frac.astype(np.float32))
+    return batch._replace(frac_coords=frac.astype(np.float32))
 
-    ref = compute_batch_dynamic(
-        model.params, batch, config=cfg, compute_stress=True
-    )
 
-    n_devices = 8
-    sb = shard_batch(jax.tree.map(np.asarray, batch), n_devices)
-    n_loc = sb.frac_coords.shape[1]
-    fr = np.zeros((n_devices * n_loc, 3), np.float32)
+def _with_sharded_frac(sb, batch):
+    """Overwrite a sharded batch's positions with the padded batch's
+    (block layout: padded order + zero tail)."""
+    n_dev, n_loc = sb.frac_coords.shape[:2]
+    fr = np.zeros((n_dev * n_loc, 3), np.float32)
     fr[: batch.frac_coords.shape[0]] = batch.frac_coords
-    sb = sb._replace(frac_coords=fr.reshape(n_devices, n_loc, 3))
-    out = compute_batch_sharded(
-        model.params,
-        sb,
-        config=cfg,
-        mesh=make_mesh(n_devices, axis_name="graph"),
-        compute_force=True,
-        compute_stress=True,
-        dynamic_cutoff=True,
-    )
-    np.testing.assert_allclose(
-        float(out["e"][0]), float(ref["e"][0]), atol=2e-5
-    )
-    f_sh = unshard_atoms(out["f"])[: batch.frac_coords.shape[0]]
-    np.testing.assert_allclose(
-        f_sh, np.asarray(ref["f"]), atol=2e-5
-    )
-    np.testing.assert_allclose(
-        np.asarray(out["s"][0]), np.asarray(ref["s"][0]), atol=2e-5
-    )
+    return sb._replace(frac_coords=fr.reshape(n_dev, n_loc, 3))
 
 
-def test_halo_dynamic_cutoff_matches_single_device(model, limno2_2x):
-    """The halo-exchange variant's dynamic-cutoff masks agree with the
-    single-device exact-cutoff forward too (the per-bond flag travels to
-    edge rows through the bond halo exchange)."""
-    import jax
+def _assert_matches_dynamic_ref(model, batch, ref, out):
+    from chgnet_tpu.parallel.graph_sharded import unshard_atoms
 
-    from chgnet_tpu.graph.batching import batch_graphs
-    from chgnet_tpu.graph.converter import CrystalGraphConverter
-    from chgnet_tpu.parallel.graph_sharded import (
-        compute_batch_sharded_halo,
-        shard_batch_halo,
-        unshard_atoms,
-    )
-    from chgnet_tpu.parallel.mesh import make_mesh
-    from chgnet_tpu.simulation.runtime import compute_batch_dynamic
-
-    cfg = model.config
-    skin = 0.4
-    conv = CrystalGraphConverter(
-        atom_graph_cutoff=cfg.atom_graph_cutoff + skin,
-        bond_graph_cutoff=cfg.bond_graph_cutoff + skin,
-    )
-    batch = batch_graphs([conv(limno2_2x, graph_id="0")])
-    rng = np.random.default_rng(5)
-    frac = batch.frac_coords + (
-        rng.normal(0, 0.004, batch.frac_coords.shape).astype(np.float32)
-        * batch.atom_mask[:, None]
-    )
-    batch = batch._replace(frac_coords=frac.astype(np.float32))
-
-    ref = compute_batch_dynamic(
-        model.params, batch, config=cfg, compute_stress=True
-    )
-
-    n_devices = 8
-    sb, halo = shard_batch_halo(jax.tree.map(np.asarray, batch), n_devices)
-    n_loc = sb.frac_coords.shape[1]
-    fr = np.zeros((n_devices * n_loc, 3), np.float32)
-    fr[: batch.frac_coords.shape[0]] = batch.frac_coords
-    sb = sb._replace(frac_coords=fr.reshape(n_devices, n_loc, 3))
-    out = compute_batch_sharded_halo(
-        model.params,
-        sb,
-        halo,
-        config=cfg,
-        mesh=make_mesh(n_devices, axis_name="graph"),
-        compute_force=True,
-        compute_stress=True,
-        dynamic_cutoff=True,
-    )
     np.testing.assert_allclose(
         float(out["e"][0]), float(ref["e"][0]), atol=2e-5
     )
@@ -156,6 +79,63 @@ def test_halo_dynamic_cutoff_matches_single_device(model, limno2_2x):
     np.testing.assert_allclose(
         np.asarray(out["s"][0]), np.asarray(ref["s"][0]), atol=2e-5
     )
+
+
+def test_sharded_dynamic_cutoff_matches_single_device(model, limno2_2x):
+    """compute_batch_sharded(dynamic_cutoff=True) over a skin-built
+    topology == compute_batch_dynamic on one device (E, F, S)."""
+    from chgnet_tpu.parallel.graph_sharded import (
+        compute_batch_sharded,
+        shard_batch,
+    )
+    from chgnet_tpu.parallel.mesh import make_mesh
+    from chgnet_tpu.simulation.runtime import compute_batch_dynamic
+
+    batch = _perturbed_skin_batch(model, limno2_2x, seed=3)
+    ref = compute_batch_dynamic(
+        model.params, batch, config=model.config, compute_stress=True
+    )
+    sb = _with_sharded_frac(shard_batch(batch, 8), batch)
+    out = compute_batch_sharded(
+        model.params,
+        sb,
+        config=model.config,
+        mesh=make_mesh(8, axis_name="graph"),
+        compute_force=True,
+        compute_stress=True,
+        dynamic_cutoff=True,
+    )
+    _assert_matches_dynamic_ref(model, batch, ref, out)
+
+
+def test_halo_dynamic_cutoff_matches_single_device(model, limno2_2x):
+    """The halo-exchange variant's dynamic-cutoff masks agree with the
+    single-device exact-cutoff forward too (the per-bond flag travels to
+    edge rows through the bond halo exchange)."""
+    from chgnet_tpu.parallel.graph_sharded import (
+        compute_batch_sharded_halo,
+        shard_batch_halo,
+    )
+    from chgnet_tpu.parallel.mesh import make_mesh
+    from chgnet_tpu.simulation.runtime import compute_batch_dynamic
+
+    batch = _perturbed_skin_batch(model, limno2_2x, seed=5)
+    ref = compute_batch_dynamic(
+        model.params, batch, config=model.config, compute_stress=True
+    )
+    sb, halo = shard_batch_halo(batch, 8)
+    sb = _with_sharded_frac(sb, batch)
+    out = compute_batch_sharded_halo(
+        model.params,
+        sb,
+        halo,
+        config=model.config,
+        mesh=make_mesh(8, axis_name="graph"),
+        compute_force=True,
+        compute_stress=True,
+        dynamic_cutoff=True,
+    )
+    _assert_matches_dynamic_ref(model, batch, ref, out)
 
 
 def _run_md(struct, model, mesh, **kwargs):

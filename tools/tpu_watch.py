@@ -110,7 +110,6 @@ def main() -> None:
             time.sleep(120)
             continue
         log("TPU probe SUCCEEDED; running benchmarks", args.log)
-        still = []
         for name, argv, tmo in pending:
             log(f"running {name}: {' '.join(argv)}", args.log)
             lines = run_logged(argv, tmo, args.log)
@@ -123,15 +122,13 @@ def main() -> None:
                 except json.JSONDecodeError:
                     continue
             if not parsed:
-                still.append((name, argv, tmo))
-                break  # tunnel likely dropped; re-probe before the rest
+                # tunnel likely dropped; re-probe before the rest (the
+                # command stays pending — it has no result entry)
+                break
             results[name] = {"ts": time.time(), "result": parsed}
             with open(args.out, "w") as fh:
                 json.dump(results, fh, indent=2)
             log(f"{name} OK: {parsed}", args.log)
-        pending = still + [
-            c for c in pending if c[0] not in results and c not in still
-        ]
         pending = [c for c in pending if c[0] not in results]
     log(f"watcher exit: done={list(results)} pending={[c[0] for c in pending]}", args.log)
 
