@@ -194,6 +194,26 @@ def test_mesh_md_rebuild_path(model, limno2_2x):
     )
 
 
+def test_mesh_md_multi_structure_lockstep(model, limno2_2x):
+    """Several structures run MD in lockstep on the mesh too (the atom
+    blocks split graphs across devices; per-graph reductions must not
+    mix them). Positions match the single-device two-structure run."""
+    structs = [limno2_2x, limno2_2x.perturb(0.05, seed=9)]
+    ref = _run_md(structs, model, None)
+    sh = _run_md(structs, model, 8)
+    ref.run(8)
+    sh.run(8)
+    cap = ref.runtime.batch.n_atoms_padded
+    np.testing.assert_allclose(
+        np.asarray(sh.state.frac)[:cap],
+        np.asarray(ref.state.frac),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh.state.epot), np.asarray(ref.state.epot), atol=5e-3
+    )
+
+
 def test_mesh_md_nve_conserves_energy(model, limno2_2x, tmp_path):
     """NVE total energy drift on the sharded path stays at the meV scale
     (same bound the single-device NVE test uses)."""
