@@ -301,25 +301,36 @@ def build_gather_plan(
     )
 
 
-def _gather_kernel(chunk_lo_ref, n_chunks_ref, idxb_ref, src_hbm, out_ref,
-                   sbuf, acc, ssem, *, n_src, d, prec):
+def _gather_kernel(chunk_lo_ref, n_chunks_ref, idxb_hbm, src_hbm, out_ref,
+                   sbuf, ibuf, acc, ssem, isem, *, n_src, d, prec):
     """One output block of BO gathered rows: DMA the block's source chunk
     window HBM->VMEM (double-buffered) and expand rows with one-hot MXU
     matmuls — the exact dual of ``_segsum_kernel``. Rows whose index
     falls outside the window (only masked/padded rows, by plan
-    construction) come out zero."""
+    construction) come out zero. The block's [1, BO] index row rides a
+    small DMA (a blocked (1, BO) spec fails Mosaic's sublane-multiple-
+    of-8 rule; same reason ``_segsum_kernel`` DMAs ``dstp``)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     P = max(128 // d, 1)
     C2 = C // P
     j = pl.program_id(0)
+
+    def idma():
+        # idxb rides as [n_blocks, 1, BO]: a dim-0 slice of a >=3-D
+        # memref needs no sublane alignment (a [n_blocks, BO] row slice
+        # would need the sliced dim to be a multiple of the 8-row tile)
+        return pltpu.make_async_copy(
+            idxb_hbm.at[pl.ds(j, 1)], ibuf, isem
+        )
+
+    idma().start()
     acc[...] = jnp.zeros_like(acc)
     lo = chunk_lo_ref[j]
     n_chunks = n_chunks_ref[j]
     lo2 = lo // P
     n2 = n_src // P
-    idx = idxb_ref[...]  # [1, BO] i32 source-row ids (lane orientation)
 
     def dma(slot, k):
         start2 = pl.multiple_of(jnp.minimum(lo2 + k * C2, n2 - C2), C2)
@@ -330,6 +341,9 @@ def _gather_kernel(chunk_lo_ref, n_chunks_ref, idxb_ref, src_hbm, out_ref,
     @pl.when(n_chunks > 0)
     def _():
         dma(0, 0).start()
+
+    idma().wait()
+    idx = ibuf[0]  # [1, BO] i32 source-row ids (lane orientation)
 
     def body(k, _):
         slot = jax.lax.rem(k, 2)
@@ -347,12 +361,13 @@ def _gather_kernel(chunk_lo_ref, n_chunks_ref, idxb_ref, src_hbm, out_ref,
         # on sublanes, idx block on lanes) — no Mosaic transposes; the
         # matmul contracts the sublane dim.
         row2 = jax.lax.broadcasted_iota(jnp.int32, (C2, 1), 0) + start2
-        row_ok = row2 >= (lo2 + k * C2)
+        # mask re-read rows on the INT side (sentinel -2 so they can't
+        # match the -1 wrong-lane sentinel in `want`); a bool
+        # jnp.where here lowers to an i8->i1 trunci Mosaic rejects
+        row2 = jnp.where(row2 >= (lo2 + k * C2), row2, -2)
         for p in range(P):
             want = jnp.where(idx % P == p, idx // P, -1)  # [1, BO]
-            onehot_t = jnp.where(row_ok, row2 == want, False).astype(
-                sbuf.dtype
-            )  # [C2, BO]
+            onehot_t = (row2 == want).astype(sbuf.dtype)  # [C2, BO]
             acc[p] += jax.lax.dot_general(
                 onehot_t,
                 sbuf[slot],
@@ -385,19 +400,21 @@ def _gather_pallas(src, idx, chunk_lo, n_chunks, *, interpret=False):
         else jax.lax.Precision.DEFAULT
     )
     srcp = src.reshape(n_src // P, P * d)
-    idxb = idx.reshape(n_blocks, BO)
+    idxb = idx.reshape(n_blocks, 1, BO)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((1, BO), lambda j, *_: (j, 0)),  # idx block
+            pl.BlockSpec(memory_space=pltpu.ANY),  # idxb [n_blocks, BO]
             pl.BlockSpec(memory_space=pltpu.ANY),  # srcp [S // P, P * d]
         ],
         out_specs=pl.BlockSpec((BO, d), lambda j, *_: (j, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, C2, P * d), src.dtype),
+            pltpu.VMEM((1, 1, BO), jnp.int32),
             pltpu.VMEM((P, BO, P * d), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
         ],
     )
     return pl.pallas_call(
@@ -420,31 +437,42 @@ def _multi_gather_kernel(*refs, K, has_stream, n_srcs, d, prec):
 
     # refs layout (after 2K scalar-prefetch args):
     #   [chunk_lo_k, n_chunks_k] * K,
-    #   [idxb_k] * K, [srcp_k] * K, (stream block?),
-    #   out, [sbuf_k] * K, acc, [ssem_k] * K
+    #   idx_all [n_blocks, K, BO] (HBM), [srcp_k] * K, (stream block?),
+    #   out, [sbuf_k] * K, ibuf, acc, [ssem_k] * K, isem
     scalars = refs[: 2 * K]
     pos = 2 * K
-    idxb = refs[pos: pos + K]; pos += K
+    idx_hbm = refs[pos]; pos += 1
     srcs = refs[pos: pos + K]; pos += K
     stream = None
     if has_stream:
         stream = refs[pos]; pos += 1
     out_ref = refs[pos]; pos += 1
     sbufs = refs[pos: pos + K]; pos += K
+    ibuf = refs[pos]; pos += 1
     acc = refs[pos]; pos += 1
-    ssems = refs[pos: pos + K]
+    ssems = refs[pos: pos + K]; pos += K
+    isem = refs[pos]
 
     P = max(128 // d, 1)
     C2 = C // P
     j = pl.program_id(0)
+
+    def idma():
+        return pltpu.make_async_copy(
+            idx_hbm.at[pl.ds(j, 1)], ibuf, isem
+        )
+
+    idma().start()
     acc[...] = jnp.zeros_like(acc)
+    idma().wait()
+    iall = ibuf[0]  # [K, BO] i32 source-row ids (lane orientation)
 
     for k in range(K):
         lo = scalars[2 * k][j]
         n_chunks = scalars[2 * k + 1][j]
         lo2 = lo // P
         n2 = n_srcs[k] // P
-        idx = idxb[k][...]  # [1, BO]
+        idx = iall[k : k + 1, :]  # [1, BO]
         src_hbm = srcs[k]
         sbuf = sbufs[k]
         ssem = ssems[k]
@@ -473,12 +501,11 @@ def _multi_gather_kernel(*refs, K, has_stream, n_srcs, d, prec):
             dma(slot, step).wait()
             start2 = jnp.minimum(lo2 + step * C2, n2 - C2)
             row2 = jax.lax.broadcasted_iota(jnp.int32, (C2, 1), 0) + start2
-            row_ok = row2 >= (lo2 + step * C2)
+            # int-side re-read mask; see _gather_kernel
+            row2 = jnp.where(row2 >= (lo2 + step * C2), row2, -2)
             for p in range(P):
                 want = jnp.where(idx % P == p, idx // P, -1)  # [1, BO]
-                onehot_t = jnp.where(row_ok, row2 == want, False).astype(
-                    sbuf.dtype
-                )  # [C2, BO]
+                onehot_t = (row2 == want).astype(sbuf.dtype)  # [C2, BO]
                 acc[p] += jax.lax.dot_general(
                     onehot_t,
                     sbuf[slot],
@@ -527,12 +554,19 @@ def _multi_gather_pallas(
     for lo, cnt in zip(chunk_los, chunk_cnts):
         scalars += [lo, cnt]
     srcps = [s.reshape(s.shape[0] // P, P * d) for s in srcs]
-    idxbs = [i.reshape(n_blocks, BO) for i in idxs]
+    # middle (K) dim padded to the sublane tile: Mosaic requires dim-1
+    # DMA slices of a 3-D memref to be tile-aligned (tile 4 for i32)
+    Kp = -(-K // 8) * 8
+    idx_all = jnp.stack(
+        [i.reshape(n_blocks, BO) for i in idxs]
+        + [jnp.zeros((n_blocks, BO), jnp.int32)] * (Kp - K),
+        axis=1,
+    )  # [n_blocks, Kp, BO]
     in_specs = (
-        [pl.BlockSpec((1, BO), lambda j, *_: (j, 0)) for _ in range(K)]
+        [pl.BlockSpec(memory_space=pltpu.ANY)]  # idx_all
         + [pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(K)]
     )
-    operands = idxbs + srcps
+    operands = [idx_all] + srcps
     if has_stream:
         in_specs.append(pl.BlockSpec((BO, d), lambda j, *_: (j, 0)))
         operands.append(stream)
@@ -543,8 +577,10 @@ def _multi_gather_pallas(
         out_specs=pl.BlockSpec((BO, d), lambda j, *_: (j, 0)),
         scratch_shapes=(
             [pltpu.VMEM((2, C2, P * d), dtype) for _ in range(K)]
+            + [pltpu.VMEM((1, Kp, BO), jnp.int32)]
             + [pltpu.VMEM((P, BO, P * d), jnp.float32)]
             + [pltpu.SemaphoreType.DMA((2,)) for _ in range(K)]
+            + [pltpu.SemaphoreType.DMA]
         ),
     )
     return pl.pallas_call(
