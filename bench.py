@@ -53,14 +53,21 @@ def roofline_bytes(batch, config) -> int:
     s = 2 if config.compute_dtype == "bfloat16" else 4
     n_conv = int(config.n_conv)
 
-    # AtomConv (n_conv layers): center + neighbor gathers [E,d], message
+    # Counts follow the DIRECTED implementation (docs/performance.md §7):
+    # bond tables expand [U,d] -> [E,d] once per consuming layer, bond
+    # updates partial-sum into the directed stream and reduce back with
+    # two [U,d] window gathers.
+    # AtomConv (n_conv): center + nbr + d2u-bond gathers [E,d], message
     # write [E,d], segment-sum read [E,d] -> write [N,d]
-    atom_conv = n_conv * (2 * n_dir * d + 2 * n_dir * d + n_atoms * d)
-    # BondConv (n_conv-1): 3 gathers over angle rows [A,d] + update write
-    # + segment-sum into bonds [U,d]
-    bond_conv = (n_conv - 1) * (4 * n_ang * d + n_und * d)
-    # AngleUpdate (n_conv-1): 3 gathers + write, all [A,d]
-    angle_upd = (n_conv - 1) * 4 * n_ang * d
+    atom_conv = n_conv * (5 * n_dir * d + n_atoms * d)
+    # BondConv (n_conv-1): d2u expansion (U read + E write), bond_i +
+    # bond_j + center + angle reads [A,d], message write [A,d], partial
+    # segment-sum [A,d] -> [E,d], two-gather reduce [E,d] -> [U,d]
+    bond_conv = (n_conv - 1) * (
+        (n_und + n_dir) * d + 6 * n_ang * d + n_dir * d + 3 * n_und * d
+    )
+    # AngleUpdate (n_conv-1): d2u expansion + 3 gathers + write [A,d]
+    angle_upd = (n_conv - 1) * ((n_und + n_dir) * d + 4 * n_ang * d)
     fwd = (atom_conv + bond_conv + angle_upd) * s
     return int(fwd * 3)  # forward + ~2x backward
 

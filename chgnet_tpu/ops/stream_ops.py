@@ -601,7 +601,8 @@ def _multi_gather_pallas(
 def stream_gather_ok(src: jnp.ndarray, n_rows: int, g_lo) -> bool:
     """Static eligibility for the streaming gather kernel."""
     return (
-        g_lo is not None
+        not os.environ.get("CHGNET_TPU_NO_STREAM_GATHER")
+        and g_lo is not None
         and getattr(g_lo, "shape", (0,))[0] == n_rows // BO
         and src.ndim == 2
         and n_rows % BO == 0
