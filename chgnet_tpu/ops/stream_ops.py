@@ -211,8 +211,8 @@ def _segsum_pallas(x, dst, chunk_lo, n_chunks, *, n_out, interpret=False):
         num_scalar_prefetch=2,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # dstp [P, L // P]
-            pl.BlockSpec(memory_space=pltpu.ANY),  # xp [L // P, 128]
+            pl.BlockSpec(memory_space=pl.ANY),  # dstp [P, L // P]
+            pl.BlockSpec(memory_space=pl.ANY),  # xp [L // P, 128]
         ],
         out_specs=pl.BlockSpec((BO, d), lambda j, *_: (j, 0)),
         scratch_shapes=[
@@ -283,6 +283,12 @@ def build_gather_plan(
     L = idx.shape[0]
     if L == 0 or L % BO or n_src < C:
         return None
+    # the kernels' int-side re-read mask (sentinel -2) requires
+    # non-negative indices: an index in [-2P, -P-1] would alias a masked
+    # re-read row and silently gather a wrong row (see _gather_kernel)
+    ok_rows = np.asarray(valid)
+    if (idx[ok_rows] < 0).any():
+        raise ValueError("gather-plan indices must be non-negative")
     # int64 throughout: a max-int sentinel would WRAP to -1 under numpy's
     # weak promotion against an int32 block array
     blocks = idx.reshape(-1, BO).astype(np.int64)
@@ -307,7 +313,11 @@ def _gather_kernel(chunk_lo_ref, n_chunks_ref, idxb_hbm, src_hbm, out_ref,
     window HBM->VMEM (double-buffered) and expand rows with one-hot MXU
     matmuls — the exact dual of ``_segsum_kernel``. Rows whose index
     falls outside the window (only masked/padded rows, by plan
-    construction) come out zero. The block's [1, BO] index row rides a
+    construction) come out zero. PRECONDITION: gather indices are
+    non-negative (enforced by ``build_gather_plan``) — the re-read mask
+    uses sentinel -2 on the int side, so an index in [-2P, -P-1] would
+    alias a masked re-read row and silently gather a wrong row.
+    The block's [1, BO] index row rides a
     small DMA (a blocked (1, BO) spec fails Mosaic's sublane-multiple-
     of-8 rule; same reason ``_segsum_kernel`` DMAs ``dstp``)."""
     from jax.experimental import pallas as pl
@@ -405,8 +415,8 @@ def _gather_pallas(src, idx, chunk_lo, n_chunks, *, interpret=False):
         num_scalar_prefetch=2,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # idxb [n_blocks, BO]
-            pl.BlockSpec(memory_space=pltpu.ANY),  # srcp [S // P, P * d]
+            pl.BlockSpec(memory_space=pl.ANY),  # idxb [n_blocks, BO]
+            pl.BlockSpec(memory_space=pl.ANY),  # srcp [S // P, P * d]
         ],
         out_specs=pl.BlockSpec((BO, d), lambda j, *_: (j, 0)),
         scratch_shapes=[
@@ -554,8 +564,11 @@ def _multi_gather_pallas(
     for lo, cnt in zip(chunk_los, chunk_cnts):
         scalars += [lo, cnt]
     srcps = [s.reshape(s.shape[0] // P, P * d) for s in srcs]
-    # middle (K) dim padded to the sublane tile: Mosaic requires dim-1
-    # DMA slices of a 3-D memref to be tile-aligned (tile 4 for i32)
+    # The per-block index DMA copies idx_all[j] -> ibuf, a [1, Kp, BO]
+    # window. The dim-0 (j) slice itself needs no alignment (see
+    # _gather_kernel), but Mosaic requires the SUBLANE dim of the copied
+    # window — Kp here — to be 1 or a multiple of the 8-row i32 tile;
+    # K in 2..7 fails to lower on real TPU without this padding.
     Kp = -(-K // 8) * 8
     idx_all = jnp.stack(
         [i.reshape(n_blocks, BO) for i in idxs]
@@ -563,8 +576,8 @@ def _multi_gather_pallas(
         axis=1,
     )  # [n_blocks, Kp, BO]
     in_specs = (
-        [pl.BlockSpec(memory_space=pltpu.ANY)]  # idx_all
-        + [pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(K)]
+        [pl.BlockSpec(memory_space=pl.ANY)]  # idx_all
+        + [pl.BlockSpec(memory_space=pl.ANY) for _ in range(K)]
     )
     operands = [idx_all] + srcps
     if has_stream:
