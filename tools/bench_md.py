@@ -39,13 +39,16 @@ def main() -> None:
         big = len(struct) > 4000
         # Big systems: bf16 streams + a SMALL skin. LiMnO2 has a dense
         # neighbor shell just above the 5 A cutoff, so skin=0.3 inflates
-        # the angle stream 3.3x (docs/performance.md); at skin=0.1 the
-        # whole E+F graph fits one 16 GB chip WITHOUT remat, and the
-        # async background rebuild hides the more frequent host builds.
+        # the angle stream 3.3x (docs/performance.md); skin=0.1 keeps the
+        # streams small and the async background rebuild hides the more
+        # frequent host builds. remat=True since round 3: the streaming-
+        # kernel layout copies pushed the un-remat'ed E+F graph past the
+        # 16 GB HBM budget at this size (compile-time OOM).
         model = CHGNet(
             seed=0,
             compute_dtype="bfloat16" if big else "float32",
             matmul_precision="default" if big else "highest",
+            remat=big,
         )
         md = MolecularDynamics(
             struct,
