@@ -115,7 +115,12 @@ class CHGNetConfig:
     compute_dtype: str = "float32"  # "bfloat16": conv stack in bf16 (see
     # _energy_core) — ~2x less HBM traffic on bandwidth-bound TPUs at the
     # cost of ~1e-2-relative feature precision; geometry/readout stay f32
-    fused_kernels: bool = False  # Pallas fused gated-message kernels
+    fused_kernels: bool = True  # Pallas fused gated-message tail kernels
+    # (on TPU only; off-TPU the math falls back to the identical XLA
+    # composition). Default ON since round 3: with the streaming plans in
+    # place the fused tail removes the unfused tail's backward layout
+    # copies (bench 487 -> 467 ms; round-2's "degrades" result predated
+    # the multi-gather/hoist changes). Dropout paths fall back per layer.
     sorted_grads: bool = True  # backward scatters as sorted segment sums
     # via host-precomputed permutation plans (ops/scatter.py); False falls
     # back to XLA's default random scatter-add transpose
@@ -477,6 +482,7 @@ def _energy_core(
             batch.bond_graph,
             batch.directed2undirected,
             activation=act,
+            fused=cfg.fused_kernels,
             plans=bond_plans,
             dropout=conv_rate,
             rng=rng,

@@ -294,12 +294,15 @@ def first_layer_acc_joint(
 
 
 def gated_mlp_fusable(params: Params, activation: str = "silu") -> bool:
-    """True when both branches are exactly 2 Linears with layer norms and
+    """True when both branches are exactly 2 Linears with LAYER norms and
     silu activation — the shape the fused Pallas message kernel supports
-    (the default CHGNet architecture)."""
+    (the default CHGNet architecture). Batch norm (running mean/var in
+    the norm params) must NOT fuse: the kernel hard-codes layer-norm
+    math."""
     return (
         activation == "silu"
         and "norm_core" in params
+        and "mean" not in params["norm_core"]
         and len(params["core"]["layers"]) == 2
         and len(params["gate"]["layers"]) == 2
     )
@@ -307,21 +310,41 @@ def gated_mlp_fusable(params: Params, activation: str = "silu") -> bool:
 
 def gated_mlp_fused_pack(params: Params) -> Params:
     """Second-layer + norm params in the fused kernel's lane-packed
-    layout: block-diagonal joint W2 and concatenated biases."""
-    core2 = params["core"]["layers"][1]
-    gate2 = params["gate"]["layers"][1]
-    dim = core2["w"].shape[1]
-    zeros = jnp.zeros(dim, jnp.asarray(core2["w"]).dtype)
-    return {
-        "w2": jax.scipy.linalg.block_diag(core2["w"], gate2["w"]),
-        "b2": jnp.concatenate(
-            [core2.get("b", zeros), gate2.get("b", zeros)]
-        ),
+    layout: block-diagonal joint W2 and concatenated biases. For
+    single-Linear branches (AngleUpdate's default shape) there is no
+    second layer: ``w2``/``b2`` are omitted and the kernel treats the
+    first-layer sum as ``y`` directly (matching
+    ``gated_mlp_gather_apply``'s n_layers==1 path)."""
+    out = {
         "nc_scale": params["norm_core"]["scale"],
         "nc_bias": params["norm_core"]["bias"],
         "ng_scale": params["norm_gate"]["scale"],
         "ng_bias": params["norm_gate"]["bias"],
     }
+    if len(params["core"]["layers"]) == 1:
+        return out
+    core2 = params["core"]["layers"][1]
+    gate2 = params["gate"]["layers"][1]
+    dim = core2["w"].shape[1]
+    zeros = jnp.zeros(dim, jnp.asarray(core2["w"]).dtype)
+    out["w2"] = jax.scipy.linalg.block_diag(core2["w"], gate2["w"])
+    out["b2"] = jnp.concatenate(
+        [core2.get("b", zeros), gate2.get("b", zeros)]
+    )
+    return out
+
+
+def gated_mlp_update_fusable(params: Params, activation: str = "silu") -> bool:
+    """Fusability for the weights-free UPDATE tail: like
+    :func:`gated_mlp_fusable` but single-Linear branches also qualify
+    (no dropout concern — callers gate dropout separately)."""
+    return (
+        activation == "silu"
+        and "norm_core" in params
+        and "mean" not in params["norm_core"]
+        and len(params["core"]["layers"]) in (1, 2)
+        and len(params["gate"]["layers"]) == len(params["core"]["layers"])
+    )
 
 
 def gated_mlp_gather_apply(

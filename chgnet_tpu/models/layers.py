@@ -25,6 +25,7 @@ from chgnet_tpu.models.functions import (
     gated_mlp_apply,
     gated_mlp_fusable,
     gated_mlp_fused_pack,
+    gated_mlp_update_fusable,
     gated_mlp_gather_apply,
     gated_mlp_init,
     layer_norm_apply,
@@ -426,28 +427,45 @@ def angle_update_apply_directed(
     *,
     activation: str = "silu",
     resnet: bool = True,
+    fused: bool = False,
     plans: tuple | None = None,  # (dir_i, dir_j, center, d2u, u2d, u2d2)
     dropout: float = 0.0,
     rng: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """AngleUpdate over the directed layout (see
     :func:`bond_conv_apply_directed`); elementwise per angle row, so only
-    the gather side changes."""
+    the gather side changes. ``fused`` routes the gated-MLP tail + resnet
+    add through the weights-free Pallas kernel."""
     p_i, p_j, p_c, p_d2u = (
         plans[:4] if plans is not None else (None,) * 4
     )
     bond_dir = plan_gather(bond_feas, d2u, p_d2u)  # [E, d] once
+    parts = [
+        (bond_dir, bond_graph[:, 2], p_i),
+        (bond_dir, bond_graph[:, 4], p_j),
+        (angle_feas, None),
+        (atom_feas, bond_graph[:, 0], p_c),
+    ]
+    gmlp = params["gated_mlp"]
+    if rng is not None and dropout > 0.0:
+        fused = False  # the Pallas tail has no dropout support
+    if (
+        fused
+        and resnet
+        and "norm" not in params
+        and gated_mlp_update_fusable(gmlp, activation)
+    ):
+        from chgnet_tpu.ops.gated_message import fused_gated_update
+
+        return fused_gated_update(
+            first_layer_acc_joint(
+                gmlp["core"]["layers"], gmlp["gate"]["layers"], parts
+            ),
+            angle_feas,
+            gated_mlp_fused_pack(gmlp),
+        )
     new_angle_feas = gated_mlp_gather_apply(
-        params["gated_mlp"],
-        [
-            (bond_dir, bond_graph[:, 2], p_i),
-            (bond_dir, bond_graph[:, 4], p_j),
-            (angle_feas, None),
-            (atom_feas, bond_graph[:, 0], p_c),
-        ],
-        activation=activation,
-        dropout=dropout,
-        rng=rng,
+        gmlp, parts, activation=activation, dropout=dropout, rng=rng
     )
     if resnet:
         new_angle_feas = new_angle_feas + angle_feas
@@ -492,23 +510,39 @@ def angle_update_apply(
     *,
     activation: str = "silu",
     resnet: bool = True,
+    fused: bool = False,
     plans: tuple | None = None,  # (bond_i, bond_j, center) GatherPlans
     dropout: float = 0.0,
     rng: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Per-angle feature update, no aggregation (``layers.py:321-363``)."""
     p_bi, p_bj, p_c = plans if plans is not None else (None,) * 3
+    parts = [
+        (bond_feas, bond_graph[:, 1], p_bi),
+        (bond_feas, bond_graph[:, 3], p_bj),
+        (angle_feas, None),
+        (atom_feas, bond_graph[:, 0], p_c),
+    ]
+    gmlp = params["gated_mlp"]
+    if rng is not None and dropout > 0.0:
+        fused = False  # the Pallas tail has no dropout support
+    if (
+        fused
+        and resnet
+        and "norm" not in params
+        and gated_mlp_update_fusable(gmlp, activation)
+    ):
+        from chgnet_tpu.ops.gated_message import fused_gated_update
+
+        return fused_gated_update(
+            first_layer_acc_joint(
+                gmlp["core"]["layers"], gmlp["gate"]["layers"], parts
+            ),
+            angle_feas,
+            gated_mlp_fused_pack(gmlp),
+        )
     new_angle_feas = gated_mlp_gather_apply(
-        params["gated_mlp"],
-        [
-            (bond_feas, bond_graph[:, 1], p_bi),
-            (bond_feas, bond_graph[:, 3], p_bj),
-            (angle_feas, None),
-            (atom_feas, bond_graph[:, 0], p_c),
-        ],
-        activation=activation,
-        dropout=dropout,
-        rng=rng,
+        gmlp, parts, activation=activation, dropout=dropout, rng=rng
     )
     if resnet:
         new_angle_feas = new_angle_feas + angle_feas

@@ -329,3 +329,291 @@ def fused_gated_message(
         return _reference(acc_both, weights, mask, p2)
     interpret = jax.default_backend() != "tpu"
     return _fused(acc_both, weights, mask, p2, interpret)
+
+
+# ------------------------------------------- weights-free tail (AngleUpdate)
+# Two shapes: ``w2`` present = 2-Linear branches (silu + block-diag matmul
+# before the norms); ``w2`` absent = single-Linear branches (the default
+# AngleUpdate: angle_layer_hidden_dim=0, so ``acc`` IS ``y`` — no
+# activation, no matmul; see gated_mlp_gather_apply's n_layers==1 path).
+def _tail_nw(y, dim, p2):
+    core = _ln(y[:, :dim], p2["nc_scale"], p2["nc_bias"])
+    gate = _ln(y[:, dim:], p2["ng_scale"], p2["ng_bias"])
+    return jax.nn.silu(core) * jax.nn.sigmoid(gate)
+
+
+def _y_of_acc(acc, p2):
+    if "w2" not in p2:
+        return acc
+    return (
+        jnp.dot(
+            jax.nn.silu(acc), p2["w2"], preferred_element_type=jnp.float32
+        )
+        + p2["b2"]
+    )
+
+
+def _kernel_nw(*refs, has_w2):
+    if has_w2:
+        (acc_ref, res_ref, w2_ref, b2_ref,
+         ncs_ref, ncb_ref, ngs_ref, ngb_ref, out_ref) = refs
+    else:
+        (acc_ref, res_ref,
+         ncs_ref, ncb_ref, ngs_ref, ngb_ref, out_ref) = refs
+    f32 = jnp.float32
+    dim = out_ref.shape[1]
+    p2 = {
+        "nc_scale": ncs_ref[:].astype(f32), "nc_bias": ncb_ref[:].astype(f32),
+        "ng_scale": ngs_ref[:].astype(f32), "ng_bias": ngb_ref[:].astype(f32),
+    }
+    if has_w2:
+        p2["w2"] = w2_ref[:].astype(f32)
+        p2["b2"] = b2_ref[:].astype(f32)
+    y = _y_of_acc(acc_ref[:].astype(f32), p2)
+    out_ref[:] = (
+        _tail_nw(y, dim, p2) + res_ref[:].astype(f32)
+    ).astype(out_ref.dtype)
+
+
+def _forward_nw(acc_both, resnet, p2, *, interpret):
+    n_rows, two_dim = acc_both.shape
+    dim = two_dim // 2
+    has_w2 = "w2" in p2
+    n_tiles = pl.cdiv(n_rows, TILE)
+    pad = n_tiles * TILE - n_rows
+    if pad:
+        acc_both = jnp.pad(acc_both, ((0, pad), (0, 0)))
+        resnet = jnp.pad(resnet, ((0, pad), (0, 0)))
+    acc_spec = pl.BlockSpec(
+        (TILE, two_dim), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    w_spec = pl.BlockSpec(
+        (TILE, dim), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    mat_spec = pl.BlockSpec(
+        (two_dim, two_dim), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    b_spec = pl.BlockSpec((two_dim,), lambda i: (0,), memory_space=pltpu.VMEM)
+    d_spec = pl.BlockSpec((dim,), lambda i: (0,), memory_space=pltpu.VMEM)
+    in_specs = [acc_spec, w_spec]
+    operands = [acc_both, resnet]
+    if has_w2:
+        in_specs += [mat_spec, b_spec]
+        operands += [p2["w2"], p2["b2"]]
+    in_specs += [d_spec, d_spec, d_spec, d_spec]
+    operands += [
+        p2["nc_scale"], p2["nc_bias"], p2["ng_scale"], p2["ng_bias"]
+    ]
+    out = pl.pallas_call(
+        functools.partial(_kernel_nw, has_w2=has_w2),
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=w_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles * TILE, dim), acc_both.dtype),
+        interpret=interpret,
+    )(*operands)
+    return out[:n_rows]
+
+
+def _reference_nw(acc_both, resnet, p2):
+    dim = acc_both.shape[1] // 2
+    return _tail_nw(_y_of_acc(acc_both, p2), dim, p2) + resnet
+
+
+def _bwd_math_nw(acc, p2, g):
+    """Recompute + hand gradients for the weights-free tail (the resnet
+    add's gradient is g itself, handled by the caller)."""
+    dim = g.shape[-1]
+    has_w2 = "w2" in p2
+    if has_w2:
+        h = jax.nn.silu(acc)
+        y = (
+            jnp.dot(h, p2["w2"], preferred_element_type=jnp.float32)
+            + p2["b2"]
+        )
+    else:
+        y = acc
+    zc, invc = _ln_parts(y[:, :dim])
+    zg, invg = _ln_parts(y[:, dim:])
+    cn = zc * p2["nc_scale"] + p2["nc_bias"]
+    gn = zg * p2["ng_scale"] + p2["ng_bias"]
+    silu_cn = jax.nn.silu(cn)
+    sig_gn = jax.nn.sigmoid(gn)
+    d_cn = g * sig_gn * _silu_grad(cn)
+    d_gn = g * silu_cn * sig_gn * (1.0 - sig_gn)
+    d_y = jnp.concatenate(
+        [_ln_bwd(d_cn, zc, invc, p2["nc_scale"]),
+         _ln_bwd(d_gn, zg, invg, p2["ng_scale"])],
+        axis=-1,
+    )
+    param_grads = {
+        "nc_scale": (d_cn * zc).sum(axis=0),
+        "nc_bias": d_cn.sum(axis=0),
+        "ng_scale": (d_gn * zg).sum(axis=0),
+        "ng_bias": d_gn.sum(axis=0),
+    }
+    if has_w2:
+        d_h = jnp.dot(d_y, p2["w2"].T, preferred_element_type=jnp.float32)
+        d_acc = d_h * _silu_grad(acc)
+        param_grads["w2"] = jnp.dot(
+            h.T, d_y, preferred_element_type=jnp.float32
+        )
+        param_grads["b2"] = d_y.sum(axis=0)
+    else:
+        d_acc = d_y
+    return d_acc, param_grads
+
+
+def _bwd_kernel_nw(*refs, has_w2):
+    if has_w2:
+        (acc_ref, g_ref,
+         w2_ref, b2_ref, ncs_ref, ncb_ref, ngs_ref, ngb_ref,
+         dacc_ref,
+         dw2_ref, db2_ref, dncs_ref, dncb_ref, dngs_ref, dngb_ref) = refs
+    else:
+        (acc_ref, g_ref,
+         ncs_ref, ncb_ref, ngs_ref, ngb_ref,
+         dacc_ref,
+         dncs_ref, dncb_ref, dngs_ref, dngb_ref) = refs
+    f32 = jnp.float32
+    p2 = {
+        "nc_scale": ncs_ref[:].astype(f32), "nc_bias": ncb_ref[:].astype(f32),
+        "ng_scale": ngs_ref[:].astype(f32), "ng_bias": ngb_ref[:].astype(f32),
+    }
+    if has_w2:
+        p2["w2"] = w2_ref[:].astype(f32)
+        p2["b2"] = b2_ref[:].astype(f32)
+    d_acc, pg = _bwd_math_nw(
+        acc_ref[:].astype(f32), p2, g_ref[:].astype(f32)
+    )
+    dacc_ref[:] = d_acc.astype(dacc_ref.dtype)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _zero():
+        if has_w2:
+            dw2_ref[:] = jnp.zeros_like(dw2_ref)
+            db2_ref[:] = jnp.zeros_like(db2_ref)
+        dncs_ref[:] = jnp.zeros_like(dncs_ref)
+        dncb_ref[:] = jnp.zeros_like(dncb_ref)
+        dngs_ref[:] = jnp.zeros_like(dngs_ref)
+        dngb_ref[:] = jnp.zeros_like(dngb_ref)
+
+    if has_w2:
+        dw2_ref[:] += pg["w2"].astype(dw2_ref.dtype)
+        db2_ref[:] += pg["b2"].reshape(1, -1).astype(db2_ref.dtype)
+    dncs_ref[:] += pg["nc_scale"].reshape(1, -1).astype(dncs_ref.dtype)
+    dncb_ref[:] += pg["nc_bias"].reshape(1, -1).astype(dncb_ref.dtype)
+    dngs_ref[:] += pg["ng_scale"].reshape(1, -1).astype(dngs_ref.dtype)
+    dngb_ref[:] += pg["ng_bias"].reshape(1, -1).astype(dngb_ref.dtype)
+
+
+def _backward_nw(acc_both, p2, g, *, interpret):
+    n_rows, two_dim = acc_both.shape
+    dim = two_dim // 2
+    has_w2 = "w2" in p2
+    n_tiles = pl.cdiv(n_rows, TILE)
+    pad = n_tiles * TILE - n_rows
+    if pad:
+        acc_both = jnp.pad(acc_both, ((0, pad), (0, 0)))
+        g = jnp.pad(g, ((0, pad), (0, 0)))
+    acc_spec = pl.BlockSpec(
+        (TILE, two_dim), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    w_spec = pl.BlockSpec(
+        (TILE, dim), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    mat_spec = pl.BlockSpec(
+        (two_dim, two_dim), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    b_spec = pl.BlockSpec((two_dim,), lambda i: (0,), memory_space=pltpu.VMEM)
+    d_spec = pl.BlockSpec((dim,), lambda i: (0,), memory_space=pltpu.VMEM)
+    row2_spec = pl.BlockSpec(
+        (1, two_dim), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    row1_spec = pl.BlockSpec(
+        (1, dim), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [acc_spec, w_spec]
+    operands = [acc_both, g]
+    if has_w2:
+        in_specs += [mat_spec, b_spec]
+        operands += [p2["w2"], p2["b2"]]
+    in_specs += [d_spec, d_spec, d_spec, d_spec]
+    operands += [
+        p2["nc_scale"], p2["nc_bias"], p2["ng_scale"], p2["ng_bias"]
+    ]
+    out_specs = [acc_spec]
+    out_shape = [
+        jax.ShapeDtypeStruct((n_tiles * TILE, two_dim), acc_both.dtype)
+    ]
+    if has_w2:
+        out_specs += [mat_spec, row2_spec]
+        out_shape += [
+            jax.ShapeDtypeStruct((two_dim, two_dim), p2["w2"].dtype),
+            jax.ShapeDtypeStruct((1, two_dim), p2["b2"].dtype),
+        ]
+    out_specs += [row1_spec] * 4
+    out_shape += [
+        jax.ShapeDtypeStruct((1, dim), p2["nc_scale"].dtype),
+        jax.ShapeDtypeStruct((1, dim), p2["nc_bias"].dtype),
+        jax.ShapeDtypeStruct((1, dim), p2["ng_scale"].dtype),
+        jax.ShapeDtypeStruct((1, dim), p2["ng_bias"].dtype),
+    ]
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel_nw, has_w2=has_w2),
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*operands)
+    d_acc = outs[0]
+    rest = list(outs[1:])
+    d_p2 = {}
+    if has_w2:
+        d_p2["w2"] = rest.pop(0)
+        d_p2["b2"] = rest.pop(0).reshape(-1)
+    d_p2["nc_scale"] = rest.pop(0).reshape(-1)
+    d_p2["nc_bias"] = rest.pop(0).reshape(-1)
+    d_p2["ng_scale"] = rest.pop(0).reshape(-1)
+    d_p2["ng_bias"] = rest.pop(0).reshape(-1)
+    return d_acc[:n_rows], d_p2
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _fused_nw(acc_both, resnet, p2, interpret):
+    return _forward_nw(acc_both, resnet, p2, interpret=interpret)
+
+
+def _fused_nw_fwd(acc_both, resnet, p2, interpret):
+    out = _forward_nw(acc_both, resnet, p2, interpret=interpret)
+    return out, (acc_both, p2)
+
+
+def _fused_nw_bwd(interpret, residuals, g):
+    acc_both, p2 = residuals
+    d_acc, d_p2 = _backward_nw(acc_both, p2, g, interpret=interpret)
+    # the resnet add is linear: d_resnet = g (cast to the resnet dtype)
+    return d_acc, g.astype(acc_both.dtype), d_p2
+
+
+_fused_nw.defvjp(_fused_nw_fwd, _fused_nw_bwd)
+
+
+def fused_gated_update(
+    acc_both: jnp.ndarray,  # [A, 2D] joint first-layer sums (core | gate)
+    resnet: jnp.ndarray,  # [A, D] residual stream added to the output
+    p2: dict,  # gated_mlp_fused_pack params
+    *,
+    use_pallas: bool | None = None,
+) -> jnp.ndarray:
+    """Weights-free fused gated-MLP tail with the resnet add folded in —
+    the AngleUpdate shape (``/root/reference/chgnet/model/layers.py:321-363``:
+    no aggregation, no bond-weight scaling). Same fallback rules as
+    :func:`fused_gated_message`."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if not use_pallas:
+        return _reference_nw(acc_both, resnet, p2)
+    interpret = jax.default_backend() != "tpu"
+    return _fused_nw(acc_both, resnet, p2, interpret)

@@ -678,7 +678,7 @@ def _energy_sharded(
                 edge_scatter,
                 sb.edge_bond,
                 sb.edge_mask,
-                activation=act,
+                activation=act, fused=cfg.fused_kernels,
                 plans=conv_plans,
                 weights_e=weights_e_h,
             )
@@ -695,7 +695,7 @@ def _energy_sharded(
                     bond_graph,
                     ang_scatter,
                     sb.ang_mask,
-                    activation=act,
+                    activation=act, fused=cfg.fused_kernels,
                     plans=ang_plans,
                     weights_a=weights_a_h,
                 )
@@ -709,7 +709,7 @@ def _energy_sharded(
                 bond_glob3,
                 angle_feas,
                 bond_graph,
-                activation=act,
+                activation=act, fused=cfg.fused_kernels,
                 plans=ang_plans,
             )
         if idx == cfg.n_conv - 2:
@@ -727,7 +727,7 @@ def _energy_sharded(
             edge_scatter,
             sb.edge_bond,
             sb.edge_mask,
-            activation=act,
+            activation=act, fused=cfg.fused_kernels,
             plans=conv_plans,
             weights_e=weights_e_h,
         )
@@ -1420,7 +1420,7 @@ def _energy_sharded_halo(
             params["atom_convs"][idx],
             atom_t, bond_t, bw_ag_t,
             atom_graph, edge_scatter, hb.edge_bond_h, sb.edge_mask,
-            activation=act, plans=conv_plans,
+            activation=act, fused=cfg.fused_kernels, plans=conv_plans,
             weights_e=weights_e_h,
         )[:n_loc]
         if cfg.update_bond:
@@ -1429,7 +1429,7 @@ def _energy_sharded_halo(
                 params["bond_convs"][idx],
                 atom_t2, bond_t, bw_bg_t, angle_feas,
                 bond_graph, ang_scatter, sb.ang_mask,
-                activation=act, plans=ang_plans,
+                activation=act, fused=cfg.fused_kernels, plans=ang_plans,
                 weights_a=weights_a_h,
             )[:u_loc]
         if cfg.update_angle:
@@ -1438,7 +1438,7 @@ def _energy_sharded_halo(
             angle_feas = angle_update_apply(
                 params["angle_updates"][idx],
                 atom_t3, bond_t3, angle_feas, bond_graph,
-                activation=act, plans=ang_plans,
+                activation=act, fused=cfg.fused_kernels, plans=ang_plans,
             )
         if idx == cfg.n_conv - 2:
             atom_feas_mid = atom_feas
@@ -1449,7 +1449,7 @@ def _energy_sharded_halo(
         params["atom_convs"][cfg.n_conv - 1],
         atom_t, bond_t, bw_ag_t,
         atom_graph, edge_scatter, hb.edge_bond_h, sb.edge_mask,
-        activation=act, plans=conv_plans,
+        activation=act, fused=cfg.fused_kernels, plans=conv_plans,
         weights_e=weights_e_h,
     )[:n_loc]
     if "readout_norm" in params:

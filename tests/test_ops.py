@@ -6,7 +6,12 @@ import jax
 import numpy as np
 import pytest
 
-from chgnet_tpu.ops.gated_message import _reference, fused_gated_message
+from chgnet_tpu.ops.gated_message import (
+    _reference,
+    _reference_nw,
+    fused_gated_message,
+    fused_gated_update,
+)
 
 
 @pytest.fixture
@@ -90,7 +95,8 @@ def test_model_with_fused_kernels_matches():
     struct = Structure.from_file(f"{ROOT}/examples/mp-18767-LiMnO2.cif")
     batch = batch_graphs([model.graph_converter(struct.perturb(0.05, seed=1))])
     kw = dict(compute_force=True, compute_stress=True, compute_magmom=True)
-    ref = compute_batch(model.params, batch, config=model.config, **kw)
+    cfg_plain = dataclasses.replace(model.config, fused_kernels=False)
+    ref = compute_batch(model.params, batch, config=cfg_plain, **kw)
     cfg_fused = dataclasses.replace(model.config, fused_kernels=True)
     out = compute_batch(model.params, batch, config=cfg_fused, **kw)
     np.testing.assert_allclose(
@@ -105,6 +111,55 @@ def test_model_with_fused_kernels_matches():
     np.testing.assert_allclose(
         np.asarray(out["m"]), np.asarray(ref["m"]), atol=1e-5
     )
+
+
+def test_fused_update_matches_reference(inputs):
+    """Weights-free tail (AngleUpdate shape) kernel == XLA composition,
+    forward and gradients."""
+    acc_both, _, _, p2 = inputs
+    rng = np.random.default_rng(3)
+    resnet = rng.normal(size=(acc_both.shape[0], 64)).astype(np.float32)
+    ref = _reference_nw(acc_both, resnet, p2)
+    out = fused_gated_update(acc_both, resnet, p2, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def loss_fused(ab, res, p):
+        return (fused_gated_update(ab, res, p, use_pallas=True) ** 2).sum()
+
+    def loss_ref(ab, res, p):
+        return (_reference_nw(ab, res, p) ** 2).sum()
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(acc_both, resnet, p2)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(acc_both, resnet, p2)
+    for a, b in zip(jax.tree.leaves(g_fused), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-5
+        )
+
+
+def test_fused_update_single_layer(inputs):
+    """Single-Linear branches (AngleUpdate's default shape,
+    angle_layer_hidden_dim=0): no w2/b2 — acc is y directly."""
+    acc_both, _, _, p2_full = inputs
+    p2 = {k: v for k, v in p2_full.items() if k not in ("w2", "b2")}
+    rng = np.random.default_rng(4)
+    resnet = rng.normal(size=(acc_both.shape[0], 64)).astype(np.float32)
+    ref = _reference_nw(acc_both, resnet, p2)
+    out = fused_gated_update(acc_both, resnet, p2, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def loss_fused(ab, res, p):
+        return (fused_gated_update(ab, res, p, use_pallas=True) ** 2).sum()
+
+    def loss_ref(ab, res, p):
+        return (_reference_nw(ab, res, p) ** 2).sum()
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(acc_both, resnet, p2)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(acc_both, resnet, p2)
+    for a, b in zip(jax.tree.leaves(g_fused), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-5
+        )
 
 
 def test_fused_bf16_runs():
