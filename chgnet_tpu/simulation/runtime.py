@@ -17,6 +17,7 @@ bucket grid to bound recompiles.
 from __future__ import annotations
 
 import functools
+import time
 from collections.abc import Sequence
 
 import jax
@@ -153,6 +154,15 @@ class GraphRuntime:
         self.sbatch = None
         self._shard_caps: tuple[int, int, int] | None = None
         self.n_rebuilds = -1  # first build is not a "rebuild"
+        # phase timings (seconds, cumulative) for throughput triage:
+        # graphs_s = host C++ graph builds, batch_s = padding + plans,
+        # put_s = host->device topology transfer, stall_s = simulation
+        # loop blocked waiting on a rebuild, sync_rebuilds = times the
+        # Verlet budget ran out with no finished background build.
+        self.stats = {
+            "graphs_s": 0.0, "batch_s": 0.0, "put_s": 0.0,
+            "stall_s": 0.0, "sync_rebuilds": 0,
+        }
         self._pending = None
         self._executor = None
         self.batch = self._build(
@@ -168,8 +178,10 @@ class GraphRuntime:
         cap_e: int,
         cap_a: int,
     ) -> dict:
-        """Thread-safe build: touches no runtime state (capacities in/out),
-        so it can run on the background rebuild executor."""
+        """Thread-safe build: touches no runtime state (capacities in/out,
+        cumulative-float stat adds), so it can run on the background
+        rebuild executor."""
+        t0 = time.perf_counter()
         graphs = []
         for idx in range(self.n_structs):
             struct = Structure(
@@ -178,11 +190,14 @@ class GraphRuntime:
                 np.asarray(frac_list[idx], dtype=np.float64),
             )
             graphs.append(self.converter(struct, graph_id=str(idx)))
+        t1 = time.perf_counter()
+        self.stats["graphs_s"] += t1 - t0
         tot_e = sum(g.n_directed for g in graphs)
         tot_a = sum(g.n_angles for g in graphs)
         cap_e = max(cap_e, round_up(tot_e))
         cap_a = max(cap_a, round_up(max(tot_a, 1)))
         batch = batch_graphs(graphs, capacities=(self.cap_n, cap_e, cap_a))
+        self.stats["batch_s"] += time.perf_counter() - t1
         ref_frac = batch.frac_coords.copy()
         ref_lat = batch.lattices.copy()
         atom_owner = batch.atom_owner.copy()
@@ -229,7 +244,11 @@ class GraphRuntime:
         # batch into a jitted step every chunk, and host numpy leaves
         # would be re-transferred each call (~3.6 s per call at the
         # 10k-atom scale through the dev tunnel — measured)
-        built["batch"] = jax.device_put(batch)
+        t2 = time.perf_counter()
+        put = jax.device_put(batch)
+        jax.block_until_ready(put)
+        self.stats["put_s"] += time.perf_counter() - t2
+        built["batch"] = put
         return built
 
     def _apply_build(self, built: dict) -> GraphBatch:
@@ -316,7 +335,9 @@ class GraphRuntime:
         return False if none was pending."""
         if self._pending is None:
             return False
+        t0 = time.perf_counter()
         self._apply_build(self._pending.result())
+        self.stats["stall_s"] += time.perf_counter() - t0
         self._pending = None
         return True
 
@@ -335,7 +356,10 @@ class GraphRuntime:
             if self.finish_rebuild():
                 drift = self.drift_fraction(frac, lattices)
             if drift >= 1.0:
+                self.stats["sync_rebuilds"] += 1
+                t0 = time.perf_counter()
                 self.rebuild(frac, lattices)
+                self.stats["stall_s"] += time.perf_counter() - t0
                 drift = 0.0
         elif drift >= trigger:
             self.launch_rebuild(frac, lattices)

@@ -67,6 +67,10 @@ def main() -> None:
         # force true completion
         float(md.state.epot[0])
         elapsed = time.perf_counter() - start
+        stats = {
+            k: (round(v, 2) if isinstance(v, float) else v)
+            for k, v in md.runtime.stats.items()
+        }
         print(
             json.dumps(
                 {
@@ -75,6 +79,7 @@ def main() -> None:
                     "unit": "steps/s",
                     "n_atoms": len(struct),
                     "rebuilds": md.runtime.n_rebuilds,
+                    "phase_s": stats,
                 }
             )
         )
