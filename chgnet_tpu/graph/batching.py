@@ -238,11 +238,16 @@ def batch_graphs(
     directed2undirected[e_off:] = max(u_off - 1, 0)
     undirected2directed[u_off:] = max(e_off - 1, 0)
     und_second[u_off:] = max(e_off - 1, 0)
-    bond_graph[an_off:, 0] = max(a_off - 1, 0)
-    bond_graph[an_off:, 1] = max(u_off - 1, 0)
-    bond_graph[an_off:, 3] = max(u_off - 1, 0)
-    bond_graph[an_off:, 2] = max(e_off - 1, 0)
-    bond_graph[an_off:, 4] = max(e_off - 1, 0)
+    # padded angle rows point at the LAST valid directed edge (cols 2/4);
+    # cols 0/1/3 are DERIVED from it exactly the way valid rows relate
+    # (center / d2u of that edge) so the device-side lean expansion
+    # (graph/leanship.py) reproduces these arrays bit-for-bit
+    last_e = max(e_off - 1, 0)
+    bond_graph[an_off:, 0] = atom_graph[last_e, 0]
+    bond_graph[an_off:, 1] = directed2undirected[last_e]
+    bond_graph[an_off:, 3] = directed2undirected[last_e]
+    bond_graph[an_off:, 2] = last_e
+    bond_graph[an_off:, 4] = last_e
 
     # DIRECTED angle-stream layout: sort angle rows by their directed
     # bond-i edge (pads keyed one-past-the-end stay at the tail). Every

@@ -1,0 +1,265 @@
+"""Lean topology shipping: transfer the minimal index streams — packed
+into ONE buffer — and derive the rest of the :class:`GraphBatch` on device.
+
+Simulation loops (``simulation/runtime.py``) rebuild topology on the host
+every time drift exhausts the Verlet skin budget and ship the padded batch
+to the device. Most of a ``GraphBatch`` is *derivable* from a small primary
+set, because padding is strictly tail-contiguous and every secondary array
+is an elementwise/masked/gathered function of the primary streams:
+
+* masks           = ``arange < n_valid`` (one scalar per stream),
+* ``edge_scatter``/``edge_owner``  from ``atom_graph`` + the edge count,
+* ``bond_graph`` cols 0/1/3        from cols 2/4 via ``atom_graph``/``d2u``
+  (``batch_graphs`` pads cols 2/4 with the last valid edge and derives the
+  padded 0/1/3 entries the same way, so the expansion is bit-exact),
+* ``angle_scatter``/``angle_scatter_dir`` from col 2 masked,
+* every ``GatherPlan``'s ``dst``/``raw`` = the masked key stream; raw-mode
+  plans drop their host permutation entirely (the streaming kernel consumes
+  ``raw`` directly; ``ops/scatter.py`` keeps a correct unsorted-segment-sum
+  fallback for kernel-ineligible call sites).
+
+At the 10,240-atom MD scale this cuts the per-rebuild host->device ship
+from ~188 MB to ~46 MB. The primary set is packed into a SINGLE int32
+blob (f32 fields bit-cast, the int8 image offsets byte-packed) because
+the dev tunnel charges a fixed per-transfer latency that dominates many
+small puts: one 46 MB transfer beats forty-five small ones by ~2x. The
+reference has no analog (it rebuilds and re-uploads its graph every step,
+``/root/reference/chgnet/model/dynamics.py:156-158``).
+
+Shapes are static per (capacity, plan-mode) signature, so the expansion
+jit caches across rebuilds; capacities only grow on the bucket grid.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from chgnet_tpu.graph.batching import GraphBatch
+from chgnet_tpu.ops.scatter import GatherPlan
+from chgnet_tpu.utils import hostmem
+
+_PLAN_FIELDS = ("nbr", "d2u", "u2d", "u2d2", "ang_vi", "ang_vj", "ang_c",
+                "center")
+
+
+class LeanMeta(NamedTuple):
+    """Static (hashable) expansion signature.
+
+    ``modes``: per-plan mode in {'sorted', 'perm', 'raw'} following the
+    host plan's shape pattern. ``layout``: the blob packing — one
+    ``(name, int32-offset, shape, dtype)`` entry per primary field.
+    """
+
+    modes: tuple[str, ...]
+    layout: tuple[tuple[str, int, tuple[int, ...], str], ...]
+
+
+def _mode(plan: GatherPlan) -> str:
+    if plan.perm.shape[0] == 0:
+        return "sorted"  # sorted by construction; dst is the key stream
+    if plan.raw.shape[0] > 0:
+        return "raw"  # block-local: kernel consumes raw, perm dropped
+    return "perm"  # unsorted, non-local: permutation must ship
+
+
+def _i32_len(arr: np.ndarray) -> int:
+    if arr.nbytes % 4:
+        raise ValueError(
+            f"field of {arr.nbytes} bytes does not pack into int32 words"
+        )
+    return arr.nbytes // 4
+
+
+def make_lean(batch: GraphBatch) -> tuple[np.ndarray, LeanMeta]:
+    """Pack the minimal primary arrays into one int32 blob.
+
+    The batch must come from ``batch_graphs`` (all plans built, CSR
+    layout — the dense-K fields must be empty, as simulation runtimes
+    guarantee).
+    """
+    if batch.dense_nbr.size:
+        raise ValueError("lean shipping is defined for the CSR layout only")
+    images = np.asarray(batch.images)
+    if not (np.abs(images) <= 127).all():
+        raise ValueError("periodic image offsets exceed int8 range")
+    n_e = int(np.asarray(batch.edge_mask).sum())
+    n_u = int(np.asarray(batch.und_mask).sum())
+    n_a = int(np.asarray(batch.angle_mask).sum())
+    modes = tuple(_mode(getattr(batch, f"plan_{n}")) for n in _PLAN_FIELDS)
+
+    fields: list[tuple[str, np.ndarray]] = [
+        ("counts", np.asarray([n_e, n_u, n_a], np.int32)),
+        ("atomic_numbers", np.asarray(batch.atomic_numbers)),
+        ("frac_coords", np.asarray(batch.frac_coords)),
+        ("lattices", np.asarray(batch.lattices)),
+        ("atom_owner", np.asarray(batch.atom_owner)),
+        ("atom_mask", np.asarray(batch.atom_mask)),
+        ("atom_graph", np.asarray(batch.atom_graph)),
+        # int8 image offsets ride a 4-wide row so every field packs into
+        # whole int32 words regardless of the edge capacity's parity
+        ("images_i8", np.concatenate(
+            [images.astype(np.int8),
+             np.zeros((images.shape[0], 1), np.int8)], axis=1,
+        )),
+        ("d2u", np.asarray(batch.directed2undirected)),
+        ("u2d", np.asarray(batch.undirected2directed)),
+        ("und_second", np.asarray(batch.und_second)),
+        ("bg_dir", np.ascontiguousarray(
+            np.asarray(batch.bond_graph)[:, (2, 4)]
+        )),
+    ]
+    for name, mode in zip(_PLAN_FIELDS, modes):
+        plan: GatherPlan = getattr(batch, f"plan_{name}")
+        if mode == "perm":
+            fields.append((f"{name}.perm", np.asarray(plan.perm)))
+        for small in ("blk_lo", "blk_cnt", "g_lo", "g_cnt"):
+            fields.append((f"{name}.{small}", np.asarray(getattr(plan, small))))
+
+    layout = []
+    off = 0
+    for name, arr in fields:
+        layout.append((name, off, tuple(arr.shape), str(arr.dtype)))
+        off += _i32_len(arr)
+    blob = hostmem.get_slab(off * 4).carve((max(off, 1),), np.int32)
+    for (name, arr), (_, start, _, _) in zip(fields, layout):
+        n = _i32_len(arr)
+        if n:
+            blob[start:start + n] = (
+                np.ascontiguousarray(arr).view(np.int32).reshape(-1)
+            )
+    return blob, LeanMeta(modes, tuple(layout))
+
+
+def _unpack(blob: jnp.ndarray, meta: LeanMeta) -> dict:
+    out = {}
+    for name, off, shape, dtype in meta.layout:
+        size = int(np.prod(shape, dtype=np.int64))
+        if size == 0:
+            out[name] = jnp.zeros(shape, jnp.dtype(dtype))
+            continue
+        words = size * np.dtype(dtype).itemsize // 4
+        sliced = jax.lax.slice(blob, (off,), (off + words,))
+        if dtype == "int8":
+            arr = jax.lax.bitcast_convert_type(sliced, jnp.int8)
+        elif dtype == "float32":
+            arr = jax.lax.bitcast_convert_type(sliced, jnp.float32)
+        else:
+            arr = sliced
+        out[name] = arr.reshape(shape)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("meta",))
+def expand_lean(blob: jnp.ndarray, meta: LeanMeta) -> GraphBatch:
+    """Derive the full padded :class:`GraphBatch` from the packed blob.
+
+    Every output array equals the host-built one bit-for-bit except
+    raw-mode plans, whose dropped permutation comes back empty and whose
+    (unread) ``dst`` aliases ``raw`` — the TPU streaming kernel consumes
+    ``raw`` directly, and the XLA fallback in ``ops/scatter.py`` sums
+    over ``raw`` too.
+    """
+    lean = _unpack(blob, meta)
+    atom_graph = lean["atom_graph"]
+    d2u = lean["d2u"]
+    u2d = lean["u2d"]
+    und_second = lean["und_second"]
+    bg_dir = lean["bg_dir"]
+    cap_n = lean["atomic_numbers"].shape[0]
+    cap_e = atom_graph.shape[0]
+    cap_u = u2d.shape[0]
+    cap_a = bg_dir.shape[0]
+    n_e, n_u, n_a = lean["counts"][0], lean["counts"][1], lean["counts"][2]
+
+    e_valid = jnp.arange(cap_e, dtype=jnp.int32) < n_e
+    u_valid = jnp.arange(cap_u, dtype=jnp.int32) < n_u
+    a_valid = jnp.arange(cap_a, dtype=jnp.int32) < n_a
+
+    center = atom_graph[:, 0]
+    edge_scatter = jnp.where(e_valid, center, cap_n).astype(jnp.int32)
+    edge_owner = jnp.where(
+        e_valid, lean["atom_owner"][center], 0
+    ).astype(jnp.int32)
+    col2 = bg_dir[:, 0]
+    col4 = bg_dir[:, 1]
+    col0 = atom_graph[col2, 0]
+    col1 = d2u[col2]
+    col3 = d2u[col4]
+    bond_graph = jnp.stack([col0, col1, col2, col3, col4], axis=1)
+    angle_scatter = jnp.where(a_valid, col1, cap_u).astype(jnp.int32)
+    angle_scatter_dir = jnp.where(a_valid, col2, cap_e).astype(jnp.int32)
+
+    keys = {
+        "nbr": jnp.where(e_valid, atom_graph[:, 1], cap_n),
+        "d2u": jnp.where(e_valid, d2u, cap_u),
+        "u2d": jnp.where(u_valid, u2d, cap_e),
+        "u2d2": jnp.where(u_valid, und_second, cap_e),
+        "ang_vi": angle_scatter_dir,
+        "ang_vj": jnp.where(a_valid, col4, cap_e),
+        "ang_c": jnp.where(a_valid, col0, cap_n),
+        "center": edge_scatter,
+    }
+    empty = jnp.zeros(0, jnp.int32)
+    plans = {}
+    for name, mode in zip(_PLAN_FIELDS, meta.modes):
+        key = keys[name].astype(jnp.int32)
+        if mode == "sorted":
+            perm, dst, raw = empty, key, empty
+        elif mode == "raw":
+            perm, dst, raw = empty, key, key
+        else:  # perm
+            perm = lean[f"{name}.perm"]
+            dst, raw = key[perm], empty
+        plans[name] = GatherPlan(
+            perm=perm, dst=dst, blk_lo=lean[f"{name}.blk_lo"],
+            blk_cnt=lean[f"{name}.blk_cnt"], raw=raw,
+            g_lo=lean[f"{name}.g_lo"], g_cnt=lean[f"{name}.g_cnt"],
+        )
+
+    return GraphBatch(
+        atomic_numbers=lean["atomic_numbers"],
+        frac_coords=lean["frac_coords"],
+        lattices=lean["lattices"],
+        atom_owner=lean["atom_owner"],
+        atom_mask=lean["atom_mask"],
+        atom_graph=atom_graph,
+        edge_scatter=edge_scatter,
+        edge_owner=edge_owner,
+        images=lean["images_i8"][:, :3].astype(jnp.float32),
+        directed2undirected=d2u,
+        edge_mask=e_valid.astype(jnp.float32),
+        undirected2directed=u2d,
+        und_second=und_second,
+        und_mask=u_valid.astype(jnp.float32),
+        bond_graph=bond_graph,
+        angle_scatter=angle_scatter,
+        angle_scatter_dir=angle_scatter_dir,
+        angle_mask=a_valid.astype(jnp.float32),
+        plan_nbr=plans["nbr"],
+        plan_d2u=plans["d2u"],
+        plan_u2d=plans["u2d"],
+        plan_u2d2=plans["u2d2"],
+        plan_ang_vi=plans["ang_vi"],
+        plan_ang_vj=plans["ang_vj"],
+        plan_ang_c=plans["ang_c"],
+        plan_center=plans["center"],
+    )
+
+
+def ship_lean(batch: GraphBatch) -> GraphBatch:
+    """One-call lean transfer: host batch -> device-resident full batch.
+
+    Ships ~4x fewer bytes than ``jax.device_put(batch)`` at MD scales —
+    in ONE transfer — and derives the remainder on device. Returns a
+    fully-populated device ``GraphBatch`` interchangeable with the
+    direct transfer (raw-mode plans come back without their host
+    permutation — see :func:`expand_lean`).
+    """
+    blob, meta = make_lean(batch)
+    blob_dev = jax.device_put(blob)
+    return expand_lean(blob_dev, meta)

@@ -150,6 +150,11 @@ def _planned_segsum(ct, perm, dst, blk_lo, blk_cnt, raw, num_segments):
         return stream_ops.segment_sum_sorted(
             ct, raw, blk_lo, blk_cnt, num_segments
         )
+    if perm.shape[0] == 0 and raw.shape[0] > 0:
+        # lean plans (graph/leanship.py device expansion) drop the host
+        # permutation for raw-mode streams; when the kernel is not
+        # eligible the unsorted raw stream is the only correct key
+        return jax.ops.segment_sum(ct, raw, num_segments)
     if perm.shape[0] > 0:
         ct = ct[perm]
     if raw.shape[0] == 0 and _stream_eligible(ct, blk_lo, num_segments):

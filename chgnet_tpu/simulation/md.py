@@ -443,6 +443,7 @@ class MolecularDynamics:
         skin: float = 0.3,
         chunk_size: int = 10,
         mesh: int | None = None,
+        lean: bool | None = None,
     ) -> None:
         if model is None:
             from chgnet_tpu.models.chgnet import CHGNet
@@ -492,6 +493,7 @@ class MolecularDynamics:
             skin=skin,
             on_isolated_atoms=on_isolated_atoms,
             shard_mesh=self._mesh,
+            lean=lean,
         )
         batch = self.runtime.batch
         # mesh mode: per-atom state lives in the sharded GLOBAL block

@@ -116,6 +116,7 @@ class GraphRuntime:
         skin: float = 0.3,
         on_isolated_atoms: str = "warn",
         shard_mesh=None,  # jax.sharding.Mesh: maintain a ShardedGraphBatch
+        lean: bool | None = None,  # lean topology shipping (None = on-TPU)
     ) -> None:
         if getattr(config, "dense_atom_conv", False):
             raise NotImplementedError(
@@ -151,6 +152,23 @@ class GraphRuntime:
         # the async-rebuild machinery hides shard prep too. Per-device
         # capacities grow monotonically (min_caps) to bound recompiles.
         self.shard_mesh = shard_mesh
+        # lean shipping: transfer the primary index streams only and
+        # derive the rest of the batch on device (graph/leanship.py) —
+        # ~5x fewer host->device bytes per rebuild at MD scales. Default
+        # on for real TPU backends (where the transfer dominates the
+        # rebuild); CHGNET_TPU_NO_LEAN_SHIP set to ANY non-empty value
+        # disables it (read at construction time).
+        import os
+
+        from chgnet_tpu.ops.stream_ops import tpu_backend
+
+        if os.environ.get("CHGNET_TPU_NO_LEAN_SHIP"):
+            lean = False
+        self.lean = (
+            bool(lean)
+            if lean is not None
+            else (shard_mesh is None and tpu_backend())
+        )
         self.sbatch = None
         self._shard_caps: tuple[int, int, int] | None = None
         self.n_rebuilds = -1  # first build is not a "rebuild"
@@ -245,7 +263,12 @@ class GraphRuntime:
         # would be re-transferred each call (~3.6 s per call at the
         # 10k-atom scale through the dev tunnel — measured)
         t2 = time.perf_counter()
-        put = jax.device_put(batch)
+        if self.lean:
+            from chgnet_tpu.graph.leanship import ship_lean
+
+            put = ship_lean(batch)
+        else:
+            put = jax.device_put(batch)
         jax.block_until_ready(put)
         self.stats["put_s"] += time.perf_counter() - t2
         built["batch"] = put
