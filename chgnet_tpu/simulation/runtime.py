@@ -164,11 +164,9 @@ class GraphRuntime:
 
         if os.environ.get("CHGNET_TPU_NO_LEAN_SHIP"):
             lean = False
-        self.lean = (
-            bool(lean)
-            if lean is not None
-            else (shard_mesh is None and tpu_backend())
-        )
+        self._lean_arg = lean
+        self.lean = bool(lean) if lean is not None else False
+        self._lean_auto = lean is None and shard_mesh is None and tpu_backend()
         self.sbatch = None
         self._shard_caps: tuple[int, int, int] | None = None
         self.n_rebuilds = -1  # first build is not a "rebuild"
@@ -263,6 +261,12 @@ class GraphRuntime:
         # would be re-transferred each call (~3.6 s per call at the
         # 10k-atom scale through the dev tunnel — measured)
         t2 = time.perf_counter()
+        # auto mode turns lean shipping on once the batch is big enough
+        # that transfer bytes beat the extra expansion dispatch (small
+        # systems rebuild in ms either way); capacities only grow, so the
+        # decision is sticky and downstream trace shapes stay stable
+        if self._lean_auto and not self.lean and cap_e + cap_a >= 1_000_000:
+            self.lean = True
         if self.lean:
             from chgnet_tpu.graph.leanship import ship_lean
 

@@ -33,8 +33,14 @@ def main() -> None:
 
     n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     base = Structure.from_file(f"{ROOT}/examples/mp-18767-LiMnO2.cif")
+    # experiment overrides (bench defaults unchanged when unset)
+    skin_env = os.environ.get("CHGNET_TPU_MD_SKIN")
+    remat_env = os.environ.get("CHGNET_TPU_MD_REMAT")
+    sizes_env = os.environ.get("CHGNET_TPU_MD_SIZES", "512,10240")
+    all_scales = {512: (4, 4, 4), 2560: (4, 10, 8), 10240: (16, 10, 8)}
+    scales = [all_scales[int(s)] for s in sizes_env.split(",")]
 
-    for scale in ((4, 4, 4), (16, 10, 8)):  # 512 and 10,240 atoms
+    for scale in scales:
         struct = base.make_supercell(scale)
         big = len(struct) > 4000
         # Big systems: bf16 streams + a SMALL skin. LiMnO2 has a dense
@@ -48,8 +54,9 @@ def main() -> None:
             seed=0,
             compute_dtype="bfloat16" if big else "float32",
             matmul_precision="default" if big else "highest",
-            remat=big,
+            remat=(remat_env == "1") if remat_env else big,
         )
+        skin = float(skin_env) if skin_env else (0.1 if big else 0.3)
         md = MolecularDynamics(
             struct,
             model=model,
@@ -59,7 +66,7 @@ def main() -> None:
             starting_temperature=300.0,
             timestep=1.0,
             seed=0,
-            skin=0.1 if big else 0.3,
+            skin=skin,
         )
         md.run(md.chunk_size)  # compiles the production-size scan chunk
         start = time.perf_counter()
@@ -78,6 +85,8 @@ def main() -> None:
                     "value": round(n_steps / elapsed, 3),
                     "unit": "steps/s",
                     "n_atoms": len(struct),
+                    "skin": skin,
+                    "lean": md.runtime.lean,
                     "rebuilds": md.runtime.n_rebuilds,
                     "phase_s": stats,
                 }
