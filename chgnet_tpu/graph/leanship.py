@@ -92,14 +92,32 @@ def make_lean(batch: GraphBatch) -> tuple[np.ndarray, LeanMeta]:
     n_a = int(np.asarray(batch.angle_mask).sum())
     modes = tuple(_mode(getattr(batch, f"plan_{n}")) for n in _PLAN_FIELDS)
 
+    # sorted index columns ship as RUN COUNTS and come back as a device
+    # `repeat` (edges are center-sorted, angle rows dir_i-sorted); the
+    # undirected maps come back as segment min/max of the edge index over
+    # d2u (first/second directed edge of each bond); perm-mode plans
+    # rebuild their permutation with an on-device stable argsort
+    edge_scatter = np.asarray(batch.edge_scatter)
+    cap_n = np.asarray(batch.atomic_numbers).shape[0]
+    deg_counts = np.bincount(
+        edge_scatter, minlength=cap_n + 1
+    )[:cap_n].astype(np.int32)
+    col2 = np.asarray(batch.bond_graph)[:, 2]
+    cap_e = np.asarray(batch.atom_graph).shape[0]
+    a_mask = np.asarray(batch.angle_mask) > 0
+    ang_counts = np.bincount(
+        col2[a_mask], minlength=cap_e
+    )[:cap_e].astype(np.int32)
+    n_n = int(np.asarray(batch.atom_mask).sum())
     fields: list[tuple[str, np.ndarray]] = [
-        ("counts", np.asarray([n_e, n_u, n_a], np.int32)),
+        ("counts", np.asarray([n_e, n_u, n_a, n_n], np.int32)),
         ("atomic_numbers", np.asarray(batch.atomic_numbers)),
         ("frac_coords", np.asarray(batch.frac_coords)),
         ("lattices", np.asarray(batch.lattices)),
         ("atom_owner", np.asarray(batch.atom_owner)),
         ("atom_mask", np.asarray(batch.atom_mask)),
-        ("atom_graph", np.asarray(batch.atom_graph)),
+        ("deg_counts", deg_counts),
+        ("nbr", np.ascontiguousarray(np.asarray(batch.atom_graph)[:, 1])),
         # int8 image offsets ride a 4-wide row so every field packs into
         # whole int32 words regardless of the edge capacity's parity
         ("images_i8", np.concatenate(
@@ -107,16 +125,11 @@ def make_lean(batch: GraphBatch) -> tuple[np.ndarray, LeanMeta]:
              np.zeros((images.shape[0], 1), np.int8)], axis=1,
         )),
         ("d2u", np.asarray(batch.directed2undirected)),
-        ("u2d", np.asarray(batch.undirected2directed)),
-        ("und_second", np.asarray(batch.und_second)),
-        ("bg_dir", np.ascontiguousarray(
-            np.asarray(batch.bond_graph)[:, (2, 4)]
-        )),
+        ("ang_counts", ang_counts),
+        ("col4", np.ascontiguousarray(np.asarray(batch.bond_graph)[:, 4])),
     ]
     for name, mode in zip(_PLAN_FIELDS, modes):
         plan: GatherPlan = getattr(batch, f"plan_{name}")
-        if mode == "perm":
-            fields.append((f"{name}.perm", np.asarray(plan.perm)))
         for small in ("blk_lo", "blk_cnt", "g_lo", "g_cnt"):
             fields.append((f"{name}.{small}", np.asarray(getattr(plan, small))))
 
@@ -165,28 +178,61 @@ def expand_lean(blob: jnp.ndarray, meta: LeanMeta) -> GraphBatch:
     over ``raw`` too.
     """
     lean = _unpack(blob, meta)
-    atom_graph = lean["atom_graph"]
     d2u = lean["d2u"]
-    u2d = lean["u2d"]
-    und_second = lean["und_second"]
-    bg_dir = lean["bg_dir"]
+    nbr = lean["nbr"]
+    col4 = lean["col4"]
     cap_n = lean["atomic_numbers"].shape[0]
-    cap_e = atom_graph.shape[0]
-    cap_u = u2d.shape[0]
-    cap_a = bg_dir.shape[0]
-    n_e, n_u, n_a = lean["counts"][0], lean["counts"][1], lean["counts"][2]
+    cap_e = nbr.shape[0]
+    cap_u = cap_e // 2
+    cap_a = col4.shape[0]
+    counts = lean["counts"]
+    n_e, n_u, n_a, n_n = counts[0], counts[1], counts[2], counts[3]
 
     e_valid = jnp.arange(cap_e, dtype=jnp.int32) < n_e
     u_valid = jnp.arange(cap_u, dtype=jnp.int32) < n_u
     a_valid = jnp.arange(cap_a, dtype=jnp.int32) < n_a
+    last_atom = jnp.maximum(n_n - 1, 0)
+    last_edge = jnp.maximum(n_e - 1, 0)
 
-    center = atom_graph[:, 0]
+    # center column: edges are center-sorted, so the run counts expand
+    # back with one repeat; the padded tail matches batch_graphs' fill
+    center = jnp.where(
+        e_valid,
+        jnp.repeat(
+            jnp.arange(cap_n, dtype=jnp.int32),
+            lean["deg_counts"],
+            total_repeat_length=cap_e,
+        ),
+        last_atom,
+    )
+    atom_graph = jnp.stack([center, nbr], axis=1)
     edge_scatter = jnp.where(e_valid, center, cap_n).astype(jnp.int32)
     edge_owner = jnp.where(
         e_valid, lean["atom_owner"][center], 0
     ).astype(jnp.int32)
-    col2 = bg_dir[:, 0]
-    col4 = bg_dir[:, 1]
+    # first/second directed edge of each undirected bond = segment
+    # min/max of the edge index over d2u (exactly two edges per bond;
+    # "first" = construction order = the smaller index)
+    key_d2u = jnp.where(e_valid, d2u, cap_u).astype(jnp.int32)
+    eidx = jnp.arange(cap_e, dtype=jnp.int32)
+    u2d = jnp.where(
+        u_valid,
+        jax.ops.segment_min(eidx, key_d2u, num_segments=cap_u),
+        last_edge,
+    ).astype(jnp.int32)
+    und_second = jnp.where(
+        u_valid,
+        jax.ops.segment_max(eidx, key_d2u, num_segments=cap_u),
+        last_edge,
+    ).astype(jnp.int32)
+    # angle rows are dir_i-sorted: col2 expands from per-edge run counts
+    col2 = jnp.where(
+        a_valid,
+        jnp.repeat(
+            eidx, lean["ang_counts"], total_repeat_length=cap_a
+        ),
+        last_edge,
+    )
     col0 = atom_graph[col2, 0]
     col1 = d2u[col2]
     col3 = d2u[col4]
@@ -212,8 +258,8 @@ def expand_lean(blob: jnp.ndarray, meta: LeanMeta) -> GraphBatch:
             perm, dst, raw = empty, key, empty
         elif mode == "raw":
             perm, dst, raw = empty, key, key
-        else:  # perm
-            perm = lean[f"{name}.perm"]
+        else:  # perm: rebuilt on device (stable argsort == the host's)
+            perm = jnp.argsort(key, stable=True).astype(jnp.int32)
             dst, raw = key[perm], empty
         plans[name] = GatherPlan(
             perm=perm, dst=dst, blk_lo=lean[f"{name}.blk_lo"],
