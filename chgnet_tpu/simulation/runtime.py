@@ -265,7 +265,7 @@ class GraphRuntime:
         # that transfer bytes beat the extra expansion dispatch (small
         # systems rebuild in ms either way); capacities only grow, so the
         # decision is sticky and downstream trace shapes stay stable
-        if self._lean_auto and not self.lean and cap_e + cap_a >= 1_000_000:
+        if self._lean_auto and not self.lean and cap_e + cap_a >= 400_000:
             self.lean = True
         if self.lean:
             from chgnet_tpu.graph.leanship import ship_lean

@@ -28,6 +28,7 @@ MODULES = [
     "chgnet_tpu.graph.crystalgraph",
     "chgnet_tpu.graph.graph",
     "chgnet_tpu.graph.batching",
+    "chgnet_tpu.graph.leanship",
     "chgnet_tpu.graph.builder",
     "chgnet_tpu.models.chgnet",
     "chgnet_tpu.models.layers",
