@@ -935,16 +935,42 @@ class CHGNet:
         known = {"0.3.0", "0.2.0", "r2scan"}
         if model_name not in known:
             raise ValueError(f"Unknown {model_name=}, choose from {known}")
-        native = os.path.join(module_dir, "..", "pretrained", f"{model_name}.npz")
-        if os.path.isfile(native):
-            model = cls.from_file(native, version=model_name)
-        else:
+        # search order: packaged npz, $CHGNET_TPU_WEIGHTS, user cache —
+        # each as native .npz or a reference torch .pth.tar (converted on
+        # the fly by from_file; the converter is parity-proven in
+        # tests/test_torch_parity.py / tests/test_checkpoint.py)
+        import glob
+
+        roots = [os.path.join(module_dir, "..", "pretrained")]
+        if os.environ.get("CHGNET_TPU_WEIGHTS"):
+            roots.append(os.environ["CHGNET_TPU_WEIGHTS"])
+        roots.append(
+            os.path.join(os.path.expanduser("~"), ".cache", "chgnet_tpu")
+        )
+        found = None
+        for root in roots:
+            for pattern in (
+                f"{model_name}.npz",
+                f"{model_name}/*.pth.tar",
+                f"*{model_name}*.pth.tar",
+            ):
+                hits = sorted(glob.glob(os.path.join(root, pattern)))
+                if hits:
+                    found = hits[0]
+                    break
+            if found:
+                break
+        if found is None:
             raise FileNotFoundError(
-                f"No pretrained weights for {model_name!r} at {native}. "
-                "Pretrained checkpoint blobs are not shipped in this "
-                "environment; convert a reference checkpoint with "
+                f"No pretrained weights for {model_name!r} under "
+                f"{[os.path.abspath(r) for r in roots]}. Pretrained "
+                "checkpoint blobs are not shipped in this environment; "
+                "place the published reference .pth.tar (or a converted "
+                ".npz) in one of these directories, or point "
+                "CHGNET_TPU_WEIGHTS at it. See "
                 "chgnet_tpu.models.checkpoint.convert_torch_checkpoint()."
             )
+        model = cls.from_file(found, version=model_name)
         if verbose:
             print(f"CHGNet-TPU {model_name} loaded ({model.n_params:,} params)")
         return model

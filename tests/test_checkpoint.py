@@ -146,3 +146,31 @@ def test_converted_params_count_and_run(li_mn_o2) -> None:
     )
     out = model.predict_structure(li_mn_o2, task="e")
     assert np.isfinite(out["e"])
+
+
+def test_load_discovers_torch_checkpoint(tmp_path, monkeypatch) -> None:
+    """CHGNet.load finds a reference-style .pth.tar via CHGNET_TPU_WEIGHTS
+    and converts it on the fly (and raises clearly when nothing exists)."""
+    import torch
+
+    from chgnet_tpu.models import CHGNet
+
+    monkeypatch.delenv("CHGNET_TPU_WEIGHTS", raising=False)
+    monkeypatch.setenv("HOME", str(tmp_path / "nohome"))
+    with pytest.raises(FileNotFoundError, match="CHGNET_TPU_WEIGHTS"):
+        CHGNet.load(verbose=False)
+
+    rng = np.random.default_rng(7)
+    sd = {
+        k: torch.from_numpy(np.ascontiguousarray(v))
+        for k, v in _synthetic_state_dict(rng).items()
+    }
+    torch.save(
+        {"model": {"model_args": dict(ARGS), "state_dict": sd}},
+        tmp_path / "chgnet_0.3.0_test.pth.tar",
+    )
+    monkeypatch.setenv("CHGNET_TPU_WEIGHTS", str(tmp_path))
+    model = CHGNet.load(verbose=False)
+    from chgnet_tpu.utils import count_params
+
+    assert count_params(model.params) == 412_525
