@@ -18,12 +18,16 @@ is an elementwise/masked/gathered function of the primary streams:
   ``raw`` directly; ``ops/scatter.py`` keeps a correct unsorted-segment-sum
   fallback for kernel-ineligible call sites).
 
-At the 10,240-atom MD scale this cuts the per-rebuild host->device ship
-from ~188 MB to ~46 MB. The primary set is packed into a SINGLE int32
-blob (f32 fields bit-cast, the int8 image offsets byte-packed) because
-the dev tunnel charges a fixed per-transfer latency that dominates many
-small puts: one 46 MB transfer beats forty-five small ones by ~2x. The
-reference has no analog (it rebuilds and re-uploads its graph every step,
+Further derivations shrink the primary set itself: sorted index columns
+(edge center, angle dir_i) ship as run counts and expand with one device
+``repeat``; ``undirected2directed``/``und_second`` come back as segment
+min/max of the edge index over ``d2u``; perm-mode plans rebuild their
+permutation with an on-device stable argsort. At the 10,240-atom MD
+scale the per-rebuild host->device ship drops from ~188 MB to ~25 MB,
+packed into a SINGLE int32 blob (f32 fields bit-cast, the int8 image
+offsets byte-packed) because the dev tunnel charges a fixed per-transfer
+latency that dominates many small puts. The reference has no analog (it
+rebuilds and re-uploads its graph every step,
 ``/root/reference/chgnet/model/dynamics.py:156-158``).
 
 Shapes are static per (capacity, plan-mode) signature, so the expansion
@@ -300,7 +304,7 @@ def expand_lean(blob: jnp.ndarray, meta: LeanMeta) -> GraphBatch:
 def ship_lean(batch: GraphBatch) -> GraphBatch:
     """One-call lean transfer: host batch -> device-resident full batch.
 
-    Ships ~4x fewer bytes than ``jax.device_put(batch)`` at MD scales —
+    Ships ~7x fewer bytes than ``jax.device_put(batch)`` at MD scales —
     in ONE transfer — and derives the remainder on device. Returns a
     fully-populated device ``GraphBatch`` interchangeable with the
     direct transfer (raw-mode plans come back without their host
