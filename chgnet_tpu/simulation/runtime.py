@@ -164,7 +164,6 @@ class GraphRuntime:
 
         if os.environ.get("CHGNET_TPU_NO_LEAN_SHIP"):
             lean = False
-        self._lean_arg = lean
         self.lean = bool(lean) if lean is not None else False
         self._lean_auto = lean is None and shard_mesh is None and tpu_backend()
         self.sbatch = None
