@@ -177,3 +177,19 @@ def test_lean_rebuild_after_drift(model):
         rtol=2e-6,
         atol=2e-6,
     )
+
+
+def test_lean_zero_angle_batch(model):
+    """A batch with no angle rows (tiny bond cutoff) survives the lean
+    round-trip: run counts are all zero and every mask row is padding."""
+    base = Structure.from_file(f"{ROOT}/examples/mp-18767-LiMnO2.cif")
+    conv = CrystalGraphConverter(
+        atom_graph_cutoff=model.config.atom_graph_cutoff, bond_graph_cutoff=0.5
+    )
+    b = batch_graphs([conv(base)])
+    assert float(np.asarray(b.angle_mask).sum()) == 0
+    out = jax.tree.map(np.asarray, ship_lean(b))
+    for f in b._fields:
+        if f.startswith(("plan_", "dense_")):
+            continue
+        np.testing.assert_array_equal(np.asarray(getattr(b, f)), getattr(out, f), err_msg=f)
