@@ -178,24 +178,25 @@ class GraphRuntime:
             "graphs_s": 0.0, "batch_s": 0.0, "put_s": 0.0,
             "stall_s": 0.0, "sync_rebuilds": 0,
         }
-        self._pending = None
-        self._executor = None
+        self._pipeline: list = []  # in-flight ship futures, launch order
+        self._launch_ref = None  # (frac, lat) of the newest launch
+        self._host_exec = None
+        self._ship_exec = None
         self.batch = self._build(
             [s.frac_coords for s in structures],
             np.stack([s.lattice.matrix for s in structures]),
         )
 
     # ----------------------------------------------------------------- build
-    def _build_worker(
+    def _host_stage(
         self,
         frac_list: list[np.ndarray],
         lattices: np.ndarray,
-        cap_e: int,
-        cap_a: int,
     ) -> dict:
-        """Thread-safe build: touches no runtime state (capacities in/out,
-        cumulative-float stat adds), so it can run on the background
-        rebuild executor."""
+        """CPU half of a rebuild: graph construction + padded batching
+        (+ the lean blob pack). Runs on the single host-stage executor, so
+        consecutive builds see monotonically growing capacities in order;
+        touches no other runtime state beyond cumulative stat adds."""
         t0 = time.perf_counter()
         graphs = []
         for idx in range(self.n_structs):
@@ -209,20 +210,42 @@ class GraphRuntime:
         self.stats["graphs_s"] += t1 - t0
         tot_e = sum(g.n_directed for g in graphs)
         tot_a = sum(g.n_angles for g in graphs)
-        cap_e = max(cap_e, round_up(tot_e))
-        cap_a = max(cap_a, round_up(max(tot_a, 1)))
+        cap_e = max(self._cap_e, round_up(tot_e))
+        cap_a = max(self._cap_a, round_up(max(tot_a, 1)))
+        self._cap_e, self._cap_a = cap_e, cap_a
         batch = batch_graphs(graphs, capacities=(self.cap_n, cap_e, cap_a))
-        self.stats["batch_s"] += time.perf_counter() - t1
-        ref_frac = batch.frac_coords.copy()
-        ref_lat = batch.lattices.copy()
-        atom_owner = batch.atom_owner.copy()
         built = {
-            "ref_frac": ref_frac,
-            "ref_lat": ref_lat,
-            "atom_owner": atom_owner,
+            "ref_frac": batch.frac_coords.copy(),
+            "ref_lat": batch.lattices.copy(),
+            "atom_owner": batch.atom_owner.copy(),
             "cap_e": cap_e,
             "cap_a": cap_a,
+            "batch": batch,
         }
+        if self.shard_mesh is None:
+            # auto mode turns lean shipping on once the batch is big
+            # enough that transfer bytes beat the extra expansion
+            # dispatch (small systems rebuild in ms either way);
+            # capacities only grow, so the decision is sticky and
+            # downstream trace shapes stay stable
+            if (
+                self._lean_auto
+                and not self.lean
+                and cap_e + cap_a >= 400_000
+            ):
+                self.lean = True
+            if self.lean:
+                from chgnet_tpu.graph.leanship import make_lean
+
+                built["lean"] = make_lean(batch)
+        self.stats["batch_s"] += time.perf_counter() - t1
+        return built
+
+    def _ship_stage(self, built: dict) -> dict:
+        """Device half of a rebuild: host->device transfer (+ lean
+        expansion). Runs on the single ship-stage executor so transfers
+        land in launch order while the NEXT build's host stage overlaps."""
+        batch = built["batch"]
         if self.shard_mesh is not None:
             from jax.sharding import NamedSharding
             from chgnet_tpu.parallel.graph_sharded import (
@@ -260,22 +283,25 @@ class GraphRuntime:
         # would be re-transferred each call (~3.6 s per call at the
         # 10k-atom scale through the dev tunnel — measured)
         t2 = time.perf_counter()
-        # auto mode turns lean shipping on once the batch is big enough
-        # that transfer bytes beat the extra expansion dispatch (small
-        # systems rebuild in ms either way); capacities only grow, so the
-        # decision is sticky and downstream trace shapes stay stable
-        if self._lean_auto and not self.lean and cap_e + cap_a >= 400_000:
-            self.lean = True
-        if self.lean:
-            from chgnet_tpu.graph.leanship import ship_lean
+        if "lean" in built:
+            from chgnet_tpu.graph.leanship import expand_lean
 
-            put = ship_lean(batch)
+            blob, meta = built.pop("lean")
+            put = expand_lean(jax.device_put(blob), meta)
         else:
             put = jax.device_put(batch)
         jax.block_until_ready(put)
         self.stats["put_s"] += time.perf_counter() - t2
         built["batch"] = put
         return built
+
+    def _build_worker(
+        self,
+        frac_list: list[np.ndarray],
+        lattices: np.ndarray,
+    ) -> dict:
+        """Both rebuild stages back to back (sync path)."""
+        return self._ship_stage(self._host_stage(frac_list, lattices))
 
     def _apply_build(self, built: dict) -> GraphBatch:
         self._cap_e = built["cap_e"]
@@ -294,9 +320,7 @@ class GraphRuntime:
     def _build(
         self, frac_list: list[np.ndarray], lattices: np.ndarray
     ) -> GraphBatch:
-        return self._apply_build(
-            self._build_worker(frac_list, lattices, self._cap_e, self._cap_a)
-        )
+        return self._apply_build(self._build_worker(frac_list, lattices))
 
     def _split(self, frac: np.ndarray) -> list[np.ndarray]:
         return [
@@ -306,13 +330,9 @@ class GraphRuntime:
 
     def rebuild(self, frac: np.ndarray, lattices: np.ndarray) -> GraphBatch:
         """Rebuild topology from padded frac [cap_n, 3] and lattices [B, 3, 3]."""
-        if self._pending is not None:
-            # a fresh synchronous build supersedes any in-flight one;
-            # wait it out (the worker may hold the native lib) and drop it
-            self._pending.cancel()
-            if not self._pending.cancelled():
-                self._pending.result()
-            self._pending = None
+        # a fresh synchronous build supersedes any in-flight ones; wait
+        # them out (the workers may hold the native lib) and drop them
+        self._drain_pipeline()
         frac = np.asarray(frac, dtype=np.float64)
         lattices = np.asarray(lattices, dtype=np.float64)
         self._build(self._split(frac), lattices)
@@ -326,46 +346,80 @@ class GraphRuntime:
     # stepping on the (still-valid) old topology; the Verlet criterion is
     # judged against the positions the pending build was launched from,
     # so correctness is unchanged.
-    def launch_rebuild(self, frac: np.ndarray, lattices: np.ndarray) -> bool:
-        """Start a background rebuild from these positions. Returns False
-        if one is already pending."""
-        if self._pending is not None:
-            return False
-        if self._executor is None:
+    #
+    # Rebuilds are a TWO-STAGE PIPELINE (depth 2): while build N occupies
+    # the device link (ship stage), build N+1's CPU stage (graphs +
+    # batching + blob pack) runs on a second worker. At 10k atoms the two
+    # stages are comparable (~0.9 s each), so pipelining nearly doubles
+    # the sustainable rebuild rate — the Verlet deadline at small skins.
+    _MAX_INFLIGHT = 2
+
+    def _executors(self):
+        if self._host_exec is None:
             from concurrent.futures import ThreadPoolExecutor
 
-            self._executor = ThreadPoolExecutor(
-                max_workers=1, thread_name_prefix="graph-rebuild"
+            self._host_exec = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="graph-host"
             )
+            self._ship_exec = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="graph-ship"
+            )
+        return self._host_exec, self._ship_exec
+
+    def launch_rebuild(self, frac: np.ndarray, lattices: np.ndarray) -> bool:
+        """Start a background rebuild from these positions. Returns False
+        when the pipeline is full (or these positions are too close to
+        the newest in-flight build's to be worth a fresh topology)."""
+        if len(self._pipeline) >= self._MAX_INFLIGHT:
+            return False
         frac = np.array(frac, dtype=np.float64)
         lattices = np.array(lattices, dtype=np.float64)
-        self._pending = self._executor.submit(
-            self._build_worker,
-            self._split(frac),
-            lattices,
-            self._cap_e,
-            self._cap_a,
-        )
+        if self._pipeline and self._launch_ref is not None:
+            # a second in-flight build only pays off once drift has
+            # advanced a meaningful fraction of the skin past the first's
+            # launch point
+            ref_frac, ref_lat = self._launch_ref
+            if self._drift_between(
+                ref_frac, ref_lat, frac, lattices
+            ) < 0.25:
+                return False
+        host_exec, ship_exec = self._executors()
+        hf = host_exec.submit(self._host_stage, self._split(frac), lattices)
+        sf = ship_exec.submit(lambda: self._ship_stage(hf.result()))
+        self._pipeline.append(sf)
+        self._launch_ref = (frac, lattices)
         return True
 
     def poll_rebuild(self) -> bool:
-        """Swap in a finished background rebuild; False if none ready."""
-        if self._pending is not None and self._pending.done():
-            self._apply_build(self._pending.result())
-            self._pending = None
-            return True
-        return False
+        """Swap in finished background rebuilds (in launch order); False
+        if none were ready."""
+        applied = False
+        while self._pipeline and self._pipeline[0].done():
+            self._apply_build(self._pipeline.pop(0).result())
+            applied = True
+        if not self._pipeline:
+            self._launch_ref = None
+        return applied
 
     def finish_rebuild(self) -> bool:
-        """Block until a pending background rebuild lands (True), or
-        return False if none was pending."""
-        if self._pending is None:
+        """Block until the oldest pending background rebuild lands
+        (True), or return False if none was pending."""
+        if not self._pipeline:
             return False
         t0 = time.perf_counter()
-        self._apply_build(self._pending.result())
+        self._apply_build(self._pipeline.pop(0).result())
         self.stats["stall_s"] += time.perf_counter() - t0
-        self._pending = None
+        if not self._pipeline:
+            self._launch_ref = None
         return True
+
+    def _drain_pipeline(self) -> None:
+        while self._pipeline:
+            fut = self._pipeline.pop(0)
+            fut.cancel()
+            if not fut.cancelled():
+                fut.result()
+        self._launch_ref = None
 
     def step_rebuild(
         self, frac: np.ndarray, lattices: np.ndarray, *, trigger: float = 0.4
@@ -378,31 +432,52 @@ class GraphRuntime:
         Returns the resulting drift fraction."""
         self.poll_rebuild()
         drift = self.drift_fraction(frac, lattices)
+        while drift >= 1.0 and self.finish_rebuild():
+            drift = self.drift_fraction(frac, lattices)
         if drift >= 1.0:
-            if self.finish_rebuild():
-                drift = self.drift_fraction(frac, lattices)
-            if drift >= 1.0:
-                self.stats["sync_rebuilds"] += 1
-                t0 = time.perf_counter()
-                self.rebuild(frac, lattices)
-                self.stats["stall_s"] += time.perf_counter() - t0
-                drift = 0.0
+            self.stats["sync_rebuilds"] += 1
+            t0 = time.perf_counter()
+            self.rebuild(frac, lattices)
+            self.stats["stall_s"] += time.perf_counter() - t0
+            drift = 0.0
         elif drift >= trigger:
             self.launch_rebuild(frac, lattices)
         return drift
 
     # --------------------------------------------------------- rebuild check
+    def _drift_between(
+        self,
+        ref_frac: np.ndarray,
+        ref_lat: np.ndarray,
+        frac: np.ndarray,
+        lattices: np.ndarray,
+    ) -> float:
+        """Skin-budget fraction consumed going from (ref_frac, ref_lat)
+        to (frac, lattices): 2 x max displacement + strain-stretched
+        build radius, over the skin."""
+        frac = np.asarray(frac)
+        lattices = np.asarray(lattices)
+        disp = np.einsum(
+            "ni,nij->nj", frac - ref_frac, lattices[self._atom_owner()]
+        )
+        max_disp = float(np.sqrt((disp**2).sum(axis=1)).max()) if len(disp) else 0.0
+        # operator-norm bound of the deformation relative to the build cell
+        strain = np.matmul(np.linalg.inv(ref_lat), lattices) - np.eye(3)
+        strain_norm = float(
+            max(np.linalg.norm(s, 2) for s in strain)
+        )
+        r_build = self.config.atom_graph_cutoff + self.skin
+        return (2.0 * max_disp + strain_norm * r_build) / self.skin
+
     def drift_fraction(self, frac: np.ndarray, lattices: np.ndarray) -> float:
         """Fraction of the skin budget consumed since the current batch was
-        built: 2 x max displacement + strain-stretched build radius, over
-        the skin. >= 1.0 means two atoms could have closed the shell."""
+        built. >= 1.0 means two atoms could have closed the shell."""
         frac = np.asarray(frac)
         lattices = np.asarray(lattices)
         disp = np.einsum(
             "ni,nij->nj", frac - self._ref_frac, lattices[self._atom_owner()]
         )
         max_disp = float(np.sqrt((disp**2).sum(axis=1)).max()) if len(disp) else 0.0
-        # operator-norm bound of the deformation relative to the build cell
         strain = np.matmul(self._ref_inv_lat, lattices) - np.eye(3)
         strain_norm = float(
             max(np.linalg.norm(s, 2) for s in strain)

@@ -193,3 +193,35 @@ def test_lean_zero_angle_batch(model):
         if f.startswith(("plan_", "dense_")):
             continue
         np.testing.assert_array_equal(np.asarray(getattr(b, f)), getattr(out, f), err_msg=f)
+
+
+def test_pipelined_rebuild_ordering(model):
+    """Two in-flight background rebuilds apply in launch order; the
+    final Verlet reference is the SECOND launch's positions, and a third
+    launch is refused while the pipeline is full."""
+    import time
+
+    rng = np.random.default_rng(11)
+    base = Structure.from_file(f"{ROOT}/examples/mp-18767-LiMnO2.cif")
+    struct = base.make_supercell((2, 2, 1))
+    rt = GraphRuntime(model.config, [struct], skin=0.8)
+    frac0 = np.asarray(rt.batch.frac_coords).copy()
+    lat = np.asarray(rt.batch.lattices).copy()
+    n = len(struct)
+
+    def perturbed(scale):
+        f = frac0.copy()
+        f[:n] += rng.normal(scale=scale, size=(n, 3)).astype(np.float32)
+        return f
+
+    f1, f2 = perturbed(0.02), perturbed(0.05)
+    assert rt.launch_rebuild(f1, lat)
+    assert rt.launch_rebuild(f2, lat)  # drift past the gate vs f1
+    assert not rt.launch_rebuild(perturbed(0.05), lat)  # pipeline full
+    deadline = time.time() + 120
+    while rt._pipeline and time.time() < deadline:
+        rt.poll_rebuild()
+        time.sleep(0.05)
+    assert not rt._pipeline
+    assert rt.n_rebuilds == 2
+    np.testing.assert_allclose(rt._ref_frac, f2, atol=1e-7)

@@ -42,10 +42,12 @@ def main() -> None:
 
     for scale in scales:
         struct = base.make_supercell(scale)
-        # bf16 + small skin pay off from a few thousand atoms; remat is
-        # only needed once the un-remat'ed EF graph nears the HBM budget
+        # bf16 + small skin pay off from a few thousand atoms. remat off
+        # by default: the un-remat'ed EF graph fits comfortably up to the
+        # ~2M-angle-row HBM boundary (skin 0.1 at 10k atoms is 1.97M) and
+        # steps 25% faster; CHGNET_TPU_MD_REMAT=1 restores it for larger
+        # streams (skin 0.2 at this size OOMs either way).
         big = len(struct) > 2000
-        huge = len(struct) > 4000
         # Big systems: bf16 streams + a SMALL skin. LiMnO2 has a dense
         # neighbor shell just above the 5 A cutoff, so skin=0.3 inflates
         # the angle stream 3.3x (docs/performance.md); skin=0.1 keeps the
@@ -57,7 +59,7 @@ def main() -> None:
             seed=0,
             compute_dtype="bfloat16" if big else "float32",
             matmul_precision="default" if big else "highest",
-            remat=(remat_env == "1") if remat_env else huge,
+            remat=(remat_env == "1") if remat_env else False,
         )
         skin = float(skin_env) if skin_env else (0.1 if big else 0.3)
         md = MolecularDynamics(
