@@ -55,6 +55,14 @@ class GraphBatch(NamedTuple):
     undirected2directed: np.ndarray  # i32 [U] gather index (first directed)
     und_second: np.ndarray  # i32 [U] the bond's SECOND directed edge
     und_mask: np.ndarray  # f32 [U]
+    # reverse-edge involution: twin[e] is the other directed edge of
+    # e's undirected bond (padding -> self). Drives the directed-native
+    # bond path (CHGNetConfig.directed_bonds): the [A]->[E] BondConv
+    # partial sums reduce per bond as partial + partial[twin], and the
+    # undirected bond table (plus its dispersed d2u expansions) never
+    # exists. twin is its own inverse, so the gather's transpose is the
+    # same gather (ops/scatter.py involution_gather).
+    twin: np.ndarray  # i32 [E]
     bond_graph: np.ndarray  # i32 [A, 5] gather indices (dir_i-sorted rows)
     angle_scatter: np.ndarray  # i32 [A] undirected bond i or U (drop)
     angle_scatter_dir: np.ndarray  # i32 [A] directed bond i or E (drop)
@@ -173,6 +181,7 @@ def batch_graphs(
     undirected2directed = np.zeros(cap_u, dtype=np.int32)
     und_second = np.zeros(cap_u, dtype=np.int32)
     und_mask = np.zeros(cap_u, dtype=np.float32)
+    twin = np.arange(cap_e, dtype=np.int32)  # padding: self (involution)
 
     bond_graph = np.zeros((cap_a, 5), dtype=np.int32)
     angle_scatter = np.full(cap_a, cap_u, dtype=np.int32)  # default: drop
@@ -212,6 +221,10 @@ def batch_graphs(
             )
         und_second[sl_u] = pairs[:, 1] + e_off
         und_mask[sl_u] = 1.0
+        twin_local = np.empty(e, np.int32)
+        twin_local[pairs[:, 0]] = pairs[:, 1]
+        twin_local[pairs[:, 1]] = pairs[:, 0]
+        twin[sl_e] = twin_local + e_off
 
         if a:
             sl_an = slice(an_off, an_off + a)
@@ -315,6 +328,7 @@ def batch_graphs(
         undirected2directed=undirected2directed,
         und_second=und_second,
         und_mask=und_mask,
+        twin=twin,
         bond_graph=bond_graph,
         angle_scatter=angle_scatter,
         angle_scatter_dir=angle_scatter_dir,

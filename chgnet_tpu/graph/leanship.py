@@ -229,6 +229,11 @@ def expand_lean(blob: jnp.ndarray, meta: LeanMeta) -> GraphBatch:
         jax.ops.segment_max(eidx, key_d2u, num_segments=cap_u),
         last_edge,
     ).astype(jnp.int32)
+    # reverse-edge involution: the OTHER directed edge of e's bond is
+    # (first + second - e); padding maps to self (batch_graphs invariant)
+    twin = jnp.where(
+        e_valid, u2d[d2u] + und_second[d2u] - eidx, eidx
+    ).astype(jnp.int32)
     # angle rows are dir_i-sorted: col2 expands from per-edge run counts
     col2 = jnp.where(
         a_valid,
@@ -286,6 +291,7 @@ def expand_lean(blob: jnp.ndarray, meta: LeanMeta) -> GraphBatch:
         undirected2directed=u2d,
         und_second=und_second,
         und_mask=u_valid.astype(jnp.float32),
+        twin=twin,
         bond_graph=bond_graph,
         angle_scatter=angle_scatter,
         angle_scatter_dir=angle_scatter_dir,

@@ -127,6 +127,16 @@ class CHGNetConfig:
     remat: bool = False  # checkpoint conv blocks (large-system memory)
     dense_atom_conv: bool = False  # [N, K] dense edge layout for AtomConv
     # (requires batches built with dense_k; K-reduce replaces the scatter)
+    directed_bonds: bool = True  # bond features/weights live on the
+    # DIRECTED edge stream ([E, *], twin-duplicated) instead of the
+    # undirected table: every per-layer d2u expansion (a dispersed
+    # whole-table row-gather forward + a permutation gather + segment sum
+    # backward — XLA's slowest TPU path) vanishes, and BondConv's
+    # [E] -> [U] reduction becomes one involution gather (partial +
+    # partial[twin]). Numerics match the undirected path to ~1 ulp (the
+    # reverse edge evaluates its own bond length; float non-associativity
+    # makes twin distances equal only to rounding). Ignored under
+    # dense_atom_conv (the dense slots index the undirected table).
     max_num_elements: int = 94
 
     def __post_init__(self) -> None:
@@ -323,16 +333,25 @@ def _energy_core(
         jnp.concatenate([unit, dist[:, None]], axis=1), ((0, 0), (0, 28))
     )
 
-    # undirected bond bases (both expansions on atom-graph bond lengths)
-    und_dist = plan_gather(geom, batch.undirected2directed, p_u2d)[:, 3]
+    # bond bases (both expansions on atom-graph bond lengths). Directed
+    # mode keys them on the DIRECTED distance stream — each reverse edge
+    # evaluates its own (twin-equal to rounding) length, so the dispersed
+    # u2d gather and every later d2u expansion disappear; undirected mode
+    # matches the reference layout ([U] tables, model.py:443-466).
+    directed = cfg.directed_bonds and not cfg.dense_atom_conv
+    bond_dist = (
+        dist
+        if directed
+        else plan_gather(geom, batch.undirected2directed, p_u2d)[:, 3]
+    )
     rbf_ag = basis.radial_bessel(
-        und_dist,
+        bond_dist,
         params["bond_basis"]["freq_ag"],
         cfg.atom_graph_cutoff,
         cfg.cutoff_coeff,
     )
     rbf_bg = basis.radial_bessel(
-        und_dist,
+        bond_dist,
         params["bond_basis"]["freq_bg"],
         cfg.bond_graph_cutoff,
         cfg.cutoff_coeff,
@@ -390,16 +409,27 @@ def _energy_core(
     # instead of per layer — deduping both the forward gathers and their
     # backward scatter-transposes (Pallas custom calls, which XLA's CSE
     # does not merge).
-    weights_e_h = None if cfg.dense_atom_conv else plan_gather(
-        bond_weights_ag, batch.directed2undirected,
-        atom_plans[1] if atom_plans is not None else None,
-    )
+    if cfg.dense_atom_conv:
+        weights_e_h = None
+    elif directed:
+        weights_e_h = bond_weights_ag  # already on the directed stream
+    else:
+        weights_e_h = plan_gather(
+            bond_weights_ag, batch.directed2undirected,
+            atom_plans[1] if atom_plans is not None else None,
+        )
     weights_a_h = None
     if cfg.update_bond:
         p_i_h, p_j_h, _, p_d2u_h = (
             bond_plans[:4] if bond_plans is not None else (None,) * 4
         )
-        w_dir_h = plan_gather(bond_weights_bg, batch.directed2undirected, p_d2u_h)
+        w_dir_h = (
+            bond_weights_bg
+            if directed
+            else plan_gather(
+                bond_weights_bg, batch.directed2undirected, p_d2u_h
+            )
+        )
         weights_a_h = plan_gather(
             w_dir_h, batch.bond_graph[:, 2], p_i_h
         ) * plan_gather(w_dir_h, batch.bond_graph[:, 4], p_j_h)
@@ -449,6 +479,7 @@ def _energy_core(
             dropout=conv_rate,
             rng=rng,
             weights_e=weights_e_h,
+            directed_table=directed,
         )
 
     def bond_step(bond_p, atom_feas, bond_feas, bond_weights_bg,
@@ -471,6 +502,8 @@ def _energy_core(
             dropout=conv_rate,
             rng=rng,
             weights_a=weights_a_h,
+            twin=batch.twin,
+            directed_table=directed,
         )
 
     def angle_step(angle_p, atom_feas, bond_feas, angle_feas, rng):
@@ -486,6 +519,7 @@ def _energy_core(
             plans=bond_plans,
             dropout=conv_rate,
             rng=rng,
+            directed_table=directed,
         )
 
     if cfg.remat:
@@ -558,6 +592,7 @@ def _energy_core(
             dropout=conv_rate,
             rng=block_rngs[3 * (cfg.n_conv - 1)],
             weights_e=weights_e_h,
+            directed_table=directed,
         )
     atom_feas = atom_feas.astype(jnp.float32)  # readout stays float32
     if "readout_norm" in params:

@@ -94,6 +94,7 @@ def atom_conv_apply(
     dropout: float = 0.0,
     rng: jnp.ndarray | None = None,
     weights_e: jnp.ndarray | None = None,  # [E, d] hoisted bond weights
+    directed_table: bool = False,
 ) -> jnp.ndarray:
     """Gated-MLP messages over directed edges -> bond-weight scaling ->
     sorted segment-sum into center atoms (``layers.py:81-137``). The
@@ -104,16 +105,29 @@ def atom_conv_apply(
     ``weights_e`` is the d2u-expanded bond-weight table — loop-invariant
     across conv layers, so callers hoist it out of the stack to dedup its
     gather (and the backward scatter-transpose) instead of paying it per
-    layer.
+    layer. With ``directed_table`` the bond features/weights live on the
+    DIRECTED edge stream ([E, *], twin-duplicated — see
+    ``CHGNetConfig.directed_bonds``): the bond part joins the first-layer
+    sum as an ALIGNED stream and the dispersed d2u expansion (forward
+    gather + backward permutation + segment sum, per layer) vanishes.
     """
     p_center, p_d2u, p_nbr = plans if plans is not None else (None,) * 3
+    bond_part = (
+        (bond_feas, None, None)
+        if directed_table
+        else (bond_feas, directed2undirected, p_d2u)
+    )
     parts = [
         (atom_feas, atom_graph[:, 0], p_center),
-        (bond_feas, directed2undirected, p_d2u),
+        bond_part,
         (atom_feas, atom_graph[:, 1], p_nbr),
     ]
     if weights_e is None:
-        weights_e = plan_gather(bond_weights, directed2undirected, p_d2u)
+        weights_e = (
+            bond_weights
+            if directed_table
+            else plan_gather(bond_weights, directed2undirected, p_d2u)
+        )
     gmlp = params["gated_mlp"]
     if rng is not None and dropout > 0.0:
         fused = False  # the Pallas tail has no dropout support
@@ -340,6 +354,8 @@ def bond_conv_apply_directed(
     dropout: float = 0.0,
     rng: jnp.ndarray | None = None,
     weights_a: jnp.ndarray | None = None,  # [A, d] hoisted weight product
+    twin: jnp.ndarray | None = None,  # [E] reverse-edge involution
+    directed_table: bool = False,
 ) -> jnp.ndarray:
     """BondConv over the DIRECTED angle-stream layout.
 
@@ -354,17 +370,28 @@ def bond_conv_apply_directed(
     through the d2u plan. Undirected-keyed rows (the und-sorted layout)
     reference first-appearance bond ids, which profile as whole-table
     random gathers — the round-2 bottleneck this layout removes.
+
+    With ``directed_table`` (CHGNetConfig.directed_bonds) the bond
+    features/weights already LIVE on the directed stream: the d2u
+    expansion disappears entirely, and the [A] -> [E] partial sums reduce
+    per bond as ``partial + partial[twin]`` — one involution gather whose
+    backward is the same gather — instead of the u2d/und_second pair.
+    The update then applies on the [E] stream (each bond's two rows stay
+    bitwise equal because float addition commutes).
     """
     p_i, p_j, p_c, p_d2u, p_u2d, p_u2d2 = (
         plans if plans is not None else (None,) * 6
     )
     dir_i = bond_graph[:, 2]
     dir_j = bond_graph[:, 4]
-    # ONE [E, d] d2u expansion per undirected table; the per-part first
-    # Linear then runs on the directed table (2x the matmul rows — sub-ms
-    # on the MXU) so the big per-angle gathers read the NARROW [E, d]
-    # stream instead of two projected [E, 2D] ones
-    bond_dir = plan_gather(bond_feas, d2u, p_d2u)
+    if directed_table:
+        bond_dir = bond_feas  # native [E, d]
+    else:
+        # ONE [E, d] d2u expansion per undirected table; the per-part
+        # first Linear then runs on the directed table (2x the matmul
+        # rows — sub-ms on the MXU) so the big per-angle gathers read the
+        # NARROW [E, d] stream instead of two projected [E, 2D] ones
+        bond_dir = plan_gather(bond_feas, d2u, p_d2u)
     parts = [
         (bond_dir, dir_i, p_i),
         (bond_dir, dir_j, p_j),
@@ -375,7 +402,11 @@ def bond_conv_apply_directed(
         # w_i * w_j per angle row; loop-invariant (bond_weights never
         # changes across conv layers), so callers hoist it — recomputed
         # here only for standalone use
-        w_dir = plan_gather(bond_weights, d2u, p_d2u)  # [E, d] shared
+        w_dir = (
+            bond_weights
+            if directed_table
+            else plan_gather(bond_weights, d2u, p_d2u)
+        )  # [E, d] shared
         weights_a = plan_gather(w_dir, dir_i, p_i) * plan_gather(
             w_dir, dir_j, p_j
         )
@@ -398,16 +429,24 @@ def bond_conv_apply_directed(
             gmlp, parts, activation=activation, dropout=dropout, rng=rng
         )
         update = update * weights_a * angle_mask[:, None]
-    # [A] -> [E] partial sums on the sorted directed stream, then [E] -> [U]
-    # as each bond's two directed partials: gather(first) + gather(second)
-    # — [U]-row gathers instead of a permutation segment-sum over [E] rows
-    # (fused into one kernel pass when both windows qualify)
+    # [A] -> [E] partial sums on the sorted directed stream
     partial = plan_segment_sum(
         update, angle_scatter_dir, d2u.shape[0], p_i
     )
-    new_bond_feas = gather_sum(
-        [(partial, u2d, p_u2d), (partial, und_second, p_u2d2)]
-    )
+    if directed_table:
+        # each bond's total on BOTH its directed rows: self + twin partial
+        # (twin-symmetric bitwise — float addition commutes)
+        from chgnet_tpu.ops.scatter import involution_gather
+
+        new_bond_feas = partial + involution_gather(partial, twin)
+    else:
+        # [E] -> [U] as each bond's two directed partials: gather(first) +
+        # gather(second) — [U]-row gathers instead of a permutation
+        # segment-sum over [E] rows (fused into one kernel pass when both
+        # windows qualify)
+        new_bond_feas = gather_sum(
+            [(partial, u2d, p_u2d), (partial, und_second, p_u2d2)]
+        )
     if "mlp_out" in params:
         new_bond_feas = mlp_apply(params["mlp_out"], new_bond_feas)
     if resnet:
@@ -431,15 +470,21 @@ def angle_update_apply_directed(
     plans: tuple | None = None,  # (dir_i, dir_j, center, d2u, u2d, u2d2)
     dropout: float = 0.0,
     rng: jnp.ndarray | None = None,
+    directed_table: bool = False,
 ) -> jnp.ndarray:
     """AngleUpdate over the directed layout (see
     :func:`bond_conv_apply_directed`); elementwise per angle row, so only
     the gather side changes. ``fused`` routes the gated-MLP tail + resnet
-    add through the weights-free Pallas kernel."""
+    add through the weights-free Pallas kernel. ``directed_table`` marks
+    bond features as natively directed (no d2u expansion needed)."""
     p_i, p_j, p_c, p_d2u = (
         plans[:4] if plans is not None else (None,) * 4
     )
-    bond_dir = plan_gather(bond_feas, d2u, p_d2u)  # [E, d] once
+    bond_dir = (
+        bond_feas
+        if directed_table
+        else plan_gather(bond_feas, d2u, p_d2u)  # [E, d] once
+    )
     parts = [
         (bond_dir, bond_graph[:, 2], p_i),
         (bond_dir, bond_graph[:, 4], p_j),

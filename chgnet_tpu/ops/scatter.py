@@ -269,6 +269,34 @@ def plan_segment_sum_perm(
     )
 
 
+# -------------------------------------------------- involution gather
+@jax.custom_vjp
+def involution_gather(x: jnp.ndarray, inv: jnp.ndarray) -> jnp.ndarray:
+    """``x[inv]`` for a self-inverse permutation ``inv`` (inv[inv] == id).
+
+    The transpose of a permutation gather is the gather by its inverse —
+    for an involution, the SAME gather. The custom vjp keeps both
+    directions on XLA's row-gather emitter (near random-access
+    speed-of-light for dispersed permutations) instead of letting the
+    backward lower to a scatter-add. Used for the reverse-edge ``twin``
+    stream of the directed-native bond path (graph/batching.py).
+    """
+    return jnp.take(x, inv, axis=0)
+
+
+def _involution_fwd(x, inv):
+    return jnp.take(x, inv, axis=0), inv
+
+
+def _involution_bwd(inv, ct):
+    # recurse through involution_gather so grad-of-grad (the force-loss
+    # training path) also rides gathers instead of scatter-add transposes
+    return (involution_gather(ct, inv), None)
+
+
+involution_gather.defvjp(_involution_fwd, _involution_bwd)
+
+
 # ----------------------------------------------------- fused gather-sum
 def _gather_sum_impl(tables, idxs, plans):
     """Fused kernel: sum of window-gathered parts (+ aligned streams)."""
@@ -352,7 +380,11 @@ def gather_sum(parts) -> jnp.ndarray:
         )
         (fusable if ok else rest).append((table, idx, plan))
     n_windowed = sum(1 for _, i, _ in fusable if i is not None)
-    if n_windowed < 2 or not stream_ops.tpu_backend():
+    n_streams = len(fusable) - n_windowed
+    # fuse whenever the kernel absorbs at least one add boundary: >= 2
+    # windowed parts, or one windowed part + an aligned stream (the
+    # directed-bond AtomConv shape: center window + native bond stream)
+    if n_windowed < 1 or n_windowed + min(n_streams, 1) < 2 or not stream_ops.tpu_backend():
         # plain path, original order
         acc = None
         for table, idx, plan in parts:
@@ -463,8 +495,13 @@ def plan_segment_sum(
         and plan.raw.shape[0] == 0
         and _stream_eligible(data, plan.blk_lo, num_segments)
     ):
+        # the plan's gather window (when present) routes the backward's
+        # ct[dst] expansion through the streaming window-gather kernel
+        g_lo = plan.g_lo if plan.g_lo.shape[0] else None
+        g_cnt = plan.g_cnt if g_lo is not None else None
         return stream_ops.segment_sum_sorted(
-            data, plan.dst, plan.blk_lo, plan.blk_cnt, num_segments
+            data, plan.dst, plan.blk_lo, plan.blk_cnt, num_segments,
+            g_lo, g_cnt,
         )
     return jax.ops.segment_sum(
         data, segment_ids, num_segments, indices_are_sorted=indices_are_sorted

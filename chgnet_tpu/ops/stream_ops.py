@@ -238,6 +238,8 @@ def segment_sum_sorted(
     blk_lo: jnp.ndarray,  # [ceil(n_out/BO)] from build_block_plan[_local]
     blk_cnt: jnp.ndarray,
     n_out: int,
+    g_lo: jnp.ndarray | None = None,  # optional gather-window plan over
+    g_cnt: jnp.ndarray | None = None,  # dst (GatherPlan.g_lo/g_cnt)
 ) -> jnp.ndarray:
     """Segment sum via the streaming kernel.
 
@@ -248,21 +250,32 @@ def segment_sum_sorted(
     ``x.shape[0] % C == 0`` (graph batching aligns stream capacities; see
     ``graph/batching.py``). Differentiable in ``x`` (training does
     grad-of-grad through the force backward).
+
+    ``g_lo``/``g_cnt``, when given, are the forward-GATHER window plan of
+    the same index stream (``GatherPlan.g_lo/g_cnt``): the backward's
+    ``ct[dst]`` expansion then rides the streaming window-gather kernel
+    instead of XLA's row-at-a-time gather. Rows outside their window —
+    only padded rows, whose clipped index may fall anywhere — are zeroed
+    by the kernel or the trailing validity mask either way.
     """
     return _segsum_pallas(x, dst, blk_lo, blk_cnt, n_out=n_out)
 
 
-def _segsum_sorted_fwd(x, dst, blk_lo, blk_cnt, n_out):
+def _segsum_sorted_fwd(x, dst, blk_lo, blk_cnt, n_out, g_lo=None, g_cnt=None):
     out = _segsum_pallas(x, dst, blk_lo, blk_cnt, n_out=n_out)
-    return out, dst
+    return out, (dst, g_lo, g_cnt)
 
 
-def _segsum_sorted_bwd(n_out, dst, ct):
+def _segsum_sorted_bwd(n_out, res, ct):
     # d x[i] = ct[dst[i]]; dropped rows (dst >= n_out) get zero
+    dst, g_lo, g_cnt = res
     safe = jnp.minimum(dst, n_out - 1)
-    d_x = jnp.take(ct, safe, axis=0)
+    if stream_gather_ok(ct, dst.shape[0], g_lo):
+        d_x = _gather_pallas(ct, safe, g_lo, g_cnt)
+    else:
+        d_x = jnp.take(ct, safe, axis=0)
     d_x = jnp.where((dst < n_out)[:, None], d_x, 0)
-    return (d_x.astype(ct.dtype), None, None, None)
+    return (d_x.astype(ct.dtype), None, None, None, None, None)
 
 
 segment_sum_sorted.defvjp(_segsum_sorted_fwd, _segsum_sorted_bwd)
