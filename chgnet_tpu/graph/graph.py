@@ -160,10 +160,10 @@ class Graph:
         d < cutoff, excluding the left bond's own directed edge."""
         if len(self.directed_edges_list) != 2 * len(self.undirected_edges_list):
             raise ValueError(
-                f"Error: number of directed edges={len(self.directed_edges_list)}"
-                f" != 2 * number of undirected edges="
-                f"{len(self.undirected_edges_list)}!"
-                f"This indicates directed edges are not complete"
+                "inconsistent graph: expected exactly two directed edges "
+                f"per undirected bond, got {len(self.directed_edges_list)} "
+                f"directed vs {len(self.undirected_edges_list)} undirected "
+                "(some bond is missing its reverse edge)"
             )
         line_graph: list[list[int]] = []
         undirected2directed: list[int] = []

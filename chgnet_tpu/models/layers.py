@@ -379,6 +379,11 @@ def bond_conv_apply_directed(
     The update then applies on the [E] stream (each bond's two rows stay
     bitwise equal because float addition commutes).
     """
+    if directed_table and twin is None:
+        raise ValueError(
+            "directed_table=True needs the reverse-edge `twin` involution "
+            "stream (GraphBatch.twin) to reduce the per-edge partial sums"
+        )
     p_i, p_j, p_c, p_d2u, p_u2d, p_u2d2 = (
         plans if plans is not None else (None,) * 6
     )

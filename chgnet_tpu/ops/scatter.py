@@ -186,7 +186,12 @@ def _gather_planned(
 def _gather_planned_fwd(
     table, idx, perm, dst, blk_lo, blk_cnt, raw, g_lo, g_cnt, num_segments
 ):
-    out = _gather_fwd_impl(table, idx, g_lo, g_cnt)
+    # recurse through the custom op: higher-order autodiff differentiates
+    # this fwd itself, and the raw windowed-gather pallas_call has no JVP
+    out = _gather_planned(
+        table, idx, perm, dst, blk_lo, blk_cnt, raw, g_lo, g_cnt,
+        num_segments,
+    )
     return out, (perm, dst, blk_lo, blk_cnt, raw)
 
 
@@ -325,7 +330,9 @@ def _gather_sum_planned(tables, idxs, plans, num_segments):
 
 
 def _gather_sum_fwd(tables, idxs, plans, num_segments):
-    return _gather_sum_impl(tables, idxs, plans), (idxs, plans)
+    # recurse through the custom op (see _gather_planned_fwd)
+    out = _gather_sum_planned(tables, idxs, plans, num_segments)
+    return out, (idxs, plans)
 
 
 def _gather_sum_bwd(num_segments, res, ct):

@@ -262,23 +262,62 @@ def segment_sum_sorted(
 
 
 def _segsum_sorted_fwd(x, dst, blk_lo, blk_cnt, n_out, g_lo=None, g_cnt=None):
-    out = _segsum_pallas(x, dst, blk_lo, blk_cnt, n_out=n_out)
-    return out, (dst, g_lo, g_cnt)
+    # recurse through the custom op (NOT the raw pallas_call): higher-order
+    # autodiff differentiates this fwd function itself, and the
+    # scalar-prefetch pallas_call has no JVP rule — the recursive call
+    # keeps every order inside custom-vjp ops
+    out = segment_sum_sorted(x, dst, blk_lo, blk_cnt, n_out, g_lo, g_cnt)
+    return out, (dst, blk_lo, blk_cnt, g_lo, g_cnt)
 
 
 def _segsum_sorted_bwd(n_out, res, ct):
-    # d x[i] = ct[dst[i]]; dropped rows (dst >= n_out) get zero
-    dst, g_lo, g_cnt = res
+    # d x[i] = ct[dst[i]]; dropped rows (dst >= n_out) get zero. Routed
+    # through expand_rows (a custom-vjp op) so grad-of-grad — the force
+    # training path differentiates this backward — sees a transpose rule
+    # (the raw _gather_pallas pallas_call has none).
+    dst, blk_lo, blk_cnt, g_lo, g_cnt = res
+    d_x = expand_rows(ct, dst, blk_lo, blk_cnt, g_lo, g_cnt, n_out)
+    return (d_x, None, None, None, None, None)
+
+
+segment_sum_sorted.defvjp(_segsum_sorted_fwd, _segsum_sorted_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def expand_rows(ct, dst, blk_lo, blk_cnt, g_lo, g_cnt, n_out):
+    """``ct[dst]`` with dropped rows (``dst >= n_out``) zeroed — the
+    transpose of a segment sum by ``dst``. The forward rides the
+    streaming window-gather kernel when ``g_lo`` carries a window plan;
+    the custom vjp closes the recursion for arbitrary-order autodiff:
+    this op's transpose is :func:`segment_sum_sorted` over the SAME block
+    plan, whose transpose is this op again."""
     safe = jnp.minimum(dst, n_out - 1)
     if stream_gather_ok(ct, dst.shape[0], g_lo):
         d_x = _gather_pallas(ct, safe, g_lo, g_cnt)
     else:
         d_x = jnp.take(ct, safe, axis=0)
-    d_x = jnp.where((dst < n_out)[:, None], d_x, 0)
-    return (d_x.astype(ct.dtype), None, None, None, None, None)
+    return jnp.where((dst < n_out)[:, None], d_x, 0).astype(ct.dtype)
 
 
-segment_sum_sorted.defvjp(_segsum_sorted_fwd, _segsum_sorted_bwd)
+def _expand_rows_fwd(ct, dst, blk_lo, blk_cnt, g_lo, g_cnt, n_out):
+    out = expand_rows(ct, dst, blk_lo, blk_cnt, g_lo, g_cnt, n_out)
+    return out, (dst, blk_lo, blk_cnt, g_lo, g_cnt)
+
+
+def _expand_rows_bwd(n_out, res, g):
+    dst, blk_lo, blk_cnt, g_lo, g_cnt = res
+    if stream_segsum_ok(g, blk_lo, n_out):
+        d_ct = segment_sum_sorted(
+            g, dst, blk_lo, blk_cnt, n_out, g_lo, g_cnt
+        )
+    else:
+        # dst may be the RAW (unsorted) key stream of a block-local plan:
+        # never claim sortedness here (XLA exploits the hint on TPU)
+        d_ct = jax.ops.segment_sum(g, dst, n_out)
+    return (d_ct, None, None, None, None, None)
+
+
+expand_rows.defvjp(_expand_rows_fwd, _expand_rows_bwd)
 
 
 def build_gather_plan(

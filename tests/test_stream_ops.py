@@ -140,6 +140,154 @@ def test_batch_capacities_are_stream_aligned():
             == batch.atom_graph[batch.bond_graph[valid, 2], 0]).all()
 
 
+def _force_kernels(monkeypatch):
+    """Open every streaming-kernel gate on CPU (pallas interpret mode)."""
+    import functools as ft
+
+    monkeypatch.setattr(so, "tpu_backend", lambda: True)
+    for name in ("_multi_gather_pallas", "_gather_pallas", "_segsum_pallas"):
+        monkeypatch.setattr(
+            so, name, ft.partial(getattr(so, name), interpret=True)
+        )
+
+
+def test_segsum_gather_window_backward_second_order(monkeypatch):
+    """The segment-sum backward's ct[dst] expansion rides the streaming
+    window-gather kernel when the plan carries g_lo — and training takes
+    grad-of-grad THROUGH that backward (force loss), so the whole chain
+    must be twice-differentiable on the kernel path (round-3 advisor
+    finding: the raw pallas gather had no transpose rule)."""
+    import jax
+    import jax.numpy as jnp
+
+    _force_kernels(monkeypatch)
+    rng = np.random.default_rng(7)
+    n_out, L = 2 * so.BO, 2 * so.BO
+    dst = np.sort(rng.integers(0, n_out, L - 64)).astype(np.int32)
+    dst = np.concatenate([dst, np.full(64, n_out, np.int32)])  # padding
+    blk_lo, blk_cnt = so.build_block_plan(dst, n_out)
+    gw = so.build_gather_plan(
+        np.minimum(dst, n_out - 1), dst < n_out, n_out
+    )
+    assert gw is not None
+    g_lo, g_cnt, _ = gw
+    x = jnp.asarray(rng.standard_normal((L, 64)), jnp.float32)
+    args = (jnp.asarray(dst), jnp.asarray(blk_lo), jnp.asarray(blk_cnt))
+
+    def energy(x, segsum):
+        return (segsum(x) ** 2).sum()
+
+    def force_loss(x, segsum):
+        f = jax.grad(energy)(x, segsum)
+        return (f ** 2).sum()
+
+    kern = lambda v: so.segment_sum_sorted(
+        v, *args, n_out, jnp.asarray(g_lo), jnp.asarray(g_cnt)
+    )
+    ref = lambda v: jax.ops.segment_sum(v, jnp.asarray(dst), n_out)
+    np.testing.assert_allclose(
+        energy(x, kern), energy(x, ref), rtol=1e-6)
+    np.testing.assert_allclose(
+        force_loss(x, kern), force_loss(x, ref), rtol=1e-5)
+    g_k = jax.grad(force_loss)(x, kern)  # grad THROUGH the backward
+    g_r = jax.grad(force_loss)(x, ref)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_r), atol=1e-4)
+
+
+def test_gather_sum_one_window_plus_stream(monkeypatch):
+    """K=1 windowed part + aligned stream — the directed-bond AtomConv
+    shape — through the fused multi-gather kernel, values and both grad
+    orders vs the plain XLA composition (round-3 advisor: this fast path
+    had no coverage off-TPU)."""
+    import jax
+    import jax.numpy as jnp
+
+    from chgnet_tpu.ops.scatter import gather_sum, make_plan
+
+    _force_kernels(monkeypatch)
+    rng = np.random.default_rng(8)
+    n_src, L = 2 * so.C, 2 * so.BO
+    idx = np.sort(rng.integers(0, n_src, L)).astype(np.int32)
+    plan = make_plan(idx, np.ones(L, bool), n_src)
+    assert plan.g_lo.shape[0] == L // so.BO  # window gate passed
+    table = jnp.asarray(rng.standard_normal((n_src, 64)), jnp.float32)
+    stream = jnp.asarray(rng.standard_normal((L, 64)), jnp.float32)
+    jidx = jnp.asarray(idx)
+
+    def fused(t, s):
+        return gather_sum([(t, jidx, plan), (s, None, None)])
+
+    def plain(t, s):
+        return t[jidx] + s
+
+    np.testing.assert_allclose(
+        np.asarray(fused(table, stream)),
+        np.asarray(plain(table, stream)),
+        atol=1e-6,
+    )
+
+    def loss(f):
+        return lambda t, s: (f(t, s) ** 2).sum()
+
+    for g_f, g_p in zip(
+        jax.grad(loss(fused), argnums=(0, 1))(table, stream),
+        jax.grad(loss(plain), argnums=(0, 1))(table, stream),
+    ):
+        np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_p), atol=1e-4)
+
+    def gradnorm(f):
+        return lambda t, s: sum(
+            (g ** 2).sum()
+            for g in jax.grad(loss(f), argnums=(0, 1))(t, s)
+        )
+
+    for g_f, g_p in zip(
+        jax.grad(gradnorm(fused), argnums=(0, 1))(table, stream),
+        jax.grad(gradnorm(plain), argnums=(0, 1))(table, stream),
+    ):
+        np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_p), atol=1e-3)
+
+
+def test_force_training_grad_of_grad_on_kernel_path(monkeypatch):
+    """Gradient of a force loss w.r.t. params — the trainer's
+    grad-of-grad — with every streaming-kernel gate forced open. This is
+    the exact TPU trace the round-3 advisor proved fails (raw pallas in a
+    custom-vjp fwd has no JVP rule); CPU-pinned tests can't see it
+    without forcing the gates."""
+    import jax
+    import jax.numpy as jnp
+
+    from chgnet_tpu import ROOT
+    from chgnet_tpu.core.structure import Structure
+    from chgnet_tpu.graph.batching import batch_graphs
+    from chgnet_tpu.models.chgnet import CHGNet, compute_batch
+
+    model = CHGNet(seed=0)
+    struct = Structure.from_file(
+        f"{ROOT}/examples/mp-18767-LiMnO2.cif"
+    ).perturb(0.03, seed=0)
+    batch = batch_graphs([model.graph_converter(struct)])
+    f_target = jnp.zeros((batch.frac_coords.shape[0], 3), jnp.float32)
+
+    def loss(params):
+        out = compute_batch(
+            params, batch, config=model.config, compute_force=True
+        )
+        return ((out["f"] - f_target) ** 2).mean() + out["e"].sum() ** 2
+
+    g_ref = jax.grad(loss)(model.params)
+
+    _force_kernels(monkeypatch)
+    jax.clear_caches()
+    g_kern = jax.grad(loss)(model.params)
+    flat_r, _ = jax.tree_util.tree_flatten(g_ref)
+    flat_k, _ = jax.tree_util.tree_flatten(g_kern)
+    for a, b in zip(flat_r, flat_k):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4
+        )
+
+
 def test_full_model_kernel_path_matches_xla(monkeypatch):
     """E+F+S+M through the model with EVERY streaming-kernel gate forced
     open (pallas in interpret mode) must match the plain XLA path — the
