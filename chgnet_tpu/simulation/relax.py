@@ -602,6 +602,288 @@ def lbfgs_chunk(
     return state, trajectory
 
 
+class BFGS(NamedTuple):
+    """Exact-Hessian BFGS hyperparameters (ASE ``BFGS`` conventions:
+    H0 = alpha * I with alpha = 70 eV/A^2, maxstep 0.2 A)."""
+
+    alpha: float = 70.0
+    maxstep: float = 0.2
+
+
+class BfgsState(NamedTuple):
+    """Batched dense-Hessian BFGS state: one (3 * n_max + 9)-DOF Hessian
+    per graph (positions + scaled strain, the unit-cell-filter DOF)."""
+
+    frac: jnp.ndarray  # [N, 3]
+    lat: jnp.ndarray  # [B, 3, 3]
+    hessian: jnp.ndarray  # [B, D, D] with D = 3 * n_max + 9
+    prev_grad: jnp.ndarray  # [B, D]
+    prev_dr: jnp.ndarray  # [B, D]
+    have_prev: jnp.ndarray  # [B] bool
+    converged: jnp.ndarray  # [B] bool
+
+
+def _graph_slots(batch: GraphBatch) -> tuple[np.ndarray, int]:
+    """Host map flat atoms -> per-graph slots: ``pg_idx[b, k]`` is the
+    flat index of graph ``b``'s ``k``-th atom (padding repeats the last
+    valid flat row; its force is zero so it never moves the DOF)."""
+    owner = np.asarray(batch.atom_owner)
+    mask = np.asarray(batch.atom_mask) > 0
+    n_graphs = batch.n_graphs
+    counts = np.bincount(owner[mask], minlength=n_graphs)
+    n_max = max(int(counts.max()) if counts.size else 1, 1)
+    pg_idx = np.zeros((n_graphs, n_max), np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    for b in range(n_graphs):
+        rows = offsets[b] + np.arange(counts[b])
+        pg_idx[b, : counts[b]] = rows
+        pg_idx[b, counts[b]:] = rows[-1] if counts[b] else 0
+    return pg_idx.astype(np.int32), n_max
+
+
+def _init_bfgs_state(
+    batch: GraphBatch, bfgs: BFGS, n_max: int
+) -> BfgsState:
+    n_graphs = batch.n_graphs
+    dof = 3 * n_max + 9
+    eye = jnp.eye(dof, dtype=jnp.float32) * bfgs.alpha
+    return BfgsState(
+        frac=jnp.asarray(batch.frac_coords, jnp.float32),
+        lat=jnp.asarray(batch.lattices, jnp.float32),
+        hessian=jnp.broadcast_to(eye, (n_graphs, dof, dof)),
+        prev_grad=jnp.zeros((n_graphs, dof), jnp.float32),
+        prev_dr=jnp.zeros((n_graphs, dof), jnp.float32),
+        have_prev=jnp.zeros((n_graphs,), bool),
+        converged=jnp.zeros((n_graphs,), bool),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "config", "bfgs", "n_steps", "n_max", "relax_cell", "record",
+        "line_search",
+    ),
+)
+def bfgs_chunk(
+    params,
+    batch: GraphBatch,
+    state: BfgsState,
+    pg_idx: jnp.ndarray,  # [B, n_max] flat atom index per graph slot
+    *,
+    config: CHGNetConfig,
+    bfgs: BFGS,
+    n_steps: int,
+    n_max: int,
+    fmax_target: float,
+    cell_factor: jnp.ndarray,  # [B]
+    relax_cell: bool,
+    record: bool,
+    line_search: bool = False,
+):
+    """Batched EXACT-Hessian BFGS (ASE ``BFGS`` semantics,
+    ``/root/reference/chgnet/model/dynamics.py:46-55`` offers it via ASE):
+    per graph, a dense (3 n + 9)-DOF Hessian updated with the two
+    rank-one BFGS terms, stepped through its eigendecomposition
+    ``dr = V (V^T f / |omega|)`` — curvature is handled by the absolute
+    eigenvalues exactly as ASE does, so saddle directions are walked
+    downhill. The (3N)^2 memory/eigh cost is what makes this small-system
+    only; LBFGS covers large systems. ``line_search`` adds the same
+    per-graph Armijo backtracking the L-BFGS variant uses, on the
+    BFGS direction (ASE's BFGSLineSearch analog)."""
+    n_graphs = batch.n_graphs
+    owner = batch.atom_owner
+    atom_mask = batch.atom_mask[:, None]
+    dof = 3 * n_max + 9
+    slot_valid = (
+        jnp.asarray(batch.atom_mask)[pg_idx] > 0
+    )  # [B, n_max] (padding repeats a valid row; mask via position)
+    # padded slots repeat the last valid flat row — keep only the FIRST
+    # occurrence so to-graph scatters are well-defined
+    first = jnp.concatenate(
+        [
+            jnp.ones((n_graphs, 1), bool),
+            pg_idx[:, 1:] != pg_idx[:, :-1],
+        ],
+        axis=1,
+    )
+    slot_ok = (slot_valid & first).astype(jnp.float32)[..., None]  # [B,K,1]
+
+    def to_graph(x_atoms, x_cell):
+        """Flat per-atom [N, 3] + per-graph cell [B, 3, 3] -> [B, D]."""
+        per = x_atoms[pg_idx] * slot_ok  # [B, n_max, 3]
+        return jnp.concatenate(
+            [per.reshape(n_graphs, 3 * n_max), x_cell.reshape(n_graphs, 9)],
+            axis=1,
+        )
+
+    def from_graph(v):
+        """[B, D] -> flat per-atom [N, 3] + per-graph cell [B, 3, 3]."""
+        per = v[:, : 3 * n_max].reshape(n_graphs, n_max, 3)
+        flat = jnp.zeros(
+            (batch.frac_coords.shape[0], 3), v.dtype
+        ).at[pg_idx.reshape(-1)].add(
+            (per * slot_ok).reshape(-1, 3)
+        )
+        return flat, v[:, 3 * n_max:].reshape(n_graphs, 3, 3)
+
+    def seg_max(per_atom):
+        return jax.ops.segment_max(
+            per_atom, owner, num_segments=n_graphs, indices_are_sorted=True
+        )
+
+    def evaluate(frac, lat):
+        cur = batch._replace(frac_coords=frac, lattices=lat)
+        out = compute_batch_dynamic(
+            params,
+            cur,
+            config=config,
+            compute_stress=relax_cell or record,
+            compute_magmom=record,
+        )
+        n_atoms = jnp.maximum(out["atoms_per_graph"], 1.0)
+        e_total = out["e"] * (n_atoms if config.is_intensive else 1.0)
+        forces = out["f"] * atom_mask
+        if relax_cell or record:
+            volume = jnp.abs(jnp.linalg.det(lat))
+            virial = out["s"] * GPA_TO_EV_A3 * volume[:, None, None]
+            virial = 0.5 * (virial + jnp.swapaxes(virial, 1, 2))
+        else:
+            virial = jnp.zeros((n_graphs, 3, 3), forces.dtype)
+        return e_total, forces, virial, out
+
+    def step(state: BfgsState, _):
+        e_total, forces, virial, out = evaluate(state.frac, state.lat)
+        cell_forces = (
+            -virial / cell_factor[:, None, None]
+            if relax_cell
+            else jnp.zeros((n_graphs, 3, 3), forces.dtype)
+        )
+        f_vec = to_graph(forces, cell_forces)  # [B, D] forces (= -grad)
+        grad = -f_vec
+
+        f2_atom = (forces**2).sum(axis=1)
+        fmax2 = seg_max(jnp.where(atom_mask[:, 0] > 0, f2_atom, 0.0))
+        if relax_cell:
+            fmax2 = jnp.maximum(
+                fmax2, (cell_forces**2).sum(axis=2).max(axis=1)
+            )
+        fmax = jnp.sqrt(fmax2)
+        converged = state.converged | (fmax < fmax_target)
+
+        # ASE BFGS.update: H -= df df^T / (s . df) + dg dg^T / (s . dg)
+        # with s the previous step, df the force difference, dg = H s;
+        # skipped when the previous step was (numerically) zero.
+        s = state.prev_dr  # [B, D]
+        df = f_vec - (-state.prev_grad)  # force difference
+        a = jnp.einsum("bd,bd->b", s, df)
+        dg = jnp.einsum("bij,bj->bi", state.hessian, s)
+        b = jnp.einsum("bd,bd->b", s, dg)
+        upd_ok = (
+            state.have_prev
+            & (jnp.abs(s).max(axis=1) > 1e-7)
+            & (jnp.abs(a) > 1e-30)
+            & (jnp.abs(b) > 1e-30)
+        )
+        # masked-out graphs still evaluate the division: keep denominators
+        # away from zero or 0 * inf poisons the whole Hessian with NaN
+        a_safe = jnp.where(upd_ok, a, 1.0)[:, None, None]
+        b_safe = jnp.where(upd_ok, b, 1.0)[:, None, None]
+        hessian = state.hessian - upd_ok.astype(jnp.float32)[
+            :, None, None
+        ] * (
+            jnp.einsum("bi,bj->bij", df, df) / a_safe
+            + jnp.einsum("bi,bj->bij", dg, dg) / b_safe
+        )
+
+        # step through the eigendecomposition, |omega| regularized
+        omega, vecs = jnp.linalg.eigh(hessian)
+        f_modes = jnp.einsum("bdk,bd->bk", vecs, f_vec)
+        dr = jnp.einsum(
+            "bdk,bk->bd", vecs, f_modes / jnp.abs(omega)
+        )  # [B, D]
+
+        # per-graph scale so the longest per-atom (or cell) step length
+        # stays under maxstep (ASE determine_step)
+        dr_atoms, dr_cell = from_graph(dr)
+        step_len2 = (dr_atoms**2).sum(axis=1)
+        longest2 = seg_max(
+            jnp.where(batch.atom_mask > 0, step_len2, 0.0)
+        )
+        longest2 = jnp.maximum(longest2, (dr_cell**2).sum(axis=(1, 2)))
+        longest = jnp.sqrt(jnp.maximum(longest2, 1e-30))
+        scale = jnp.minimum(1.0, bfgs.maxstep / longest)
+        active = scale * jnp.where(converged, 0.0, 1.0)
+        dr = dr * active[:, None]
+        dr_atoms = dr_atoms * active[owner][:, None] * atom_mask
+        dr_cell = dr_cell * active[:, None, None]
+
+        def apply_step(alpha_b):
+            d_strain = dr_cell * (alpha_b / cell_factor)[:, None, None]
+            deform = jnp.eye(3, dtype=state.lat.dtype)[None] + d_strain
+            lat_n = jnp.einsum("bij,bjk->bik", state.lat, deform)
+            cart = jnp.einsum(
+                "ni,nij->nj", state.frac, state.lat[owner]
+            ) + dr_atoms * alpha_b[owner][:, None]
+            cart = jnp.einsum("ni,nij->nj", cart, deform[owner])
+            return (
+                jnp.einsum(
+                    "ni,nij->nj", cart, jnp.linalg.inv(lat_n)[owner]
+                ),
+                lat_n,
+            )
+
+        if line_search:
+            g_dot_d = jnp.einsum("bd,bd->b", grad, dr)
+            c1 = 1e-4
+            alpha_sel = jnp.full((n_graphs,), 0.25, e_total.dtype)
+            accepted = jnp.zeros((n_graphs,), bool)
+            for trial in (1.0, 0.5, 0.25):
+                frac_t, lat_t = apply_step(
+                    jnp.full((n_graphs,), trial, e_total.dtype)
+                )
+                out_t = compute_batch_dynamic(
+                    params,
+                    batch._replace(frac_coords=frac_t, lattices=lat_t),
+                    config=config,
+                )
+                n_at = jnp.maximum(out_t["atoms_per_graph"], 1.0)
+                e_t = out_t["e"] * (n_at if config.is_intensive else 1.0)
+                ok = (~accepted) & (e_t <= e_total + c1 * trial * g_dot_d)
+                alpha_sel = jnp.where(ok, trial, alpha_sel)
+                accepted = accepted | ok
+            frac_new, lat_new = apply_step(alpha_sel)
+            dr = dr * alpha_sel[:, None]
+        else:
+            frac_new, lat_new = apply_step(
+                jnp.ones((n_graphs,), e_total.dtype)
+            )
+
+        new_state = BfgsState(
+            frac=frac_new,
+            lat=lat_new,
+            hessian=hessian,
+            prev_grad=grad,
+            prev_dr=dr,
+            have_prev=jnp.ones((n_graphs,), bool),
+            converged=converged,
+        )
+        ys = {"energy": e_total, "fmax": fmax}
+        if record:
+            ys.update(
+                forces=forces,
+                stress=out["s"],
+                magmom=out["m"],
+                crystal_fea=out["crystal_fea"],
+                frac=state.frac,
+                lat=state.lat,
+            )
+        return new_state, ys
+
+    state, trajectory = jax.lax.scan(step, state, None, length=n_steps)
+    return state, trajectory
+
+
 class StructOptimizer:
     """Structure relaxation via batched on-device FIRE.
 
@@ -620,24 +902,13 @@ class StructOptimizer:
         on_isolated_atoms: str = "warn",
         fire_params: FIRE | None = None,
         lbfgs_params: LBFGS | None = None,
+        bfgs_params: BFGS | None = None,
         mesh: int | None = None,
     ) -> None:
-        import warnings
-
         optimizer_class = optimizer_class or "FIRE"
-        if optimizer_class == "BFGS":
-            warnings.warn(
-                "BFGS maps to the batched limited-memory BFGS in chgnet-tpu"
-            )
-            optimizer_class = "LBFGS"
-        elif optimizer_class == "BFGSLineSearch":
-            warnings.warn(
-                "BFGSLineSearch maps to the batched limited-memory BFGS "
-                "with Armijo line search in chgnet-tpu"
-            )
-            optimizer_class = "LBFGSLineSearch"
         supported = {
             "FIRE", "LBFGS", "LBFGSLineSearch", "MDMin",
+            "BFGS", "BFGSLineSearch",
             "SciPyFminCG", "SciPyFminBFGS",
         }
         if optimizer_class not in supported:
@@ -655,6 +926,7 @@ class StructOptimizer:
         self.model = model
         self.fire = fire_params or FIRE()
         self.lbfgs = lbfgs_params or LBFGS()
+        self.bfgs = bfgs_params or BFGS()
         self.on_isolated_atoms = on_isolated_atoms
         # graph-partitioned relaxation over a device mesh (FIRE/MDMin —
         # the LBFGS history buffers and the SciPy host loop are
@@ -732,6 +1004,7 @@ class StructOptimizer:
             )
         record = loginterval is not None or crystal_feas_save_path is not None
         use_lbfgs = self.optimizer_class in {"LBFGS", "LBFGSLineSearch"}
+        use_bfgs = self.optimizer_class in {"BFGS", "BFGSLineSearch"}
         # mesh mode: per-atom state in the sharded global block layout
         n_state = None
         if self._mesh is not None:
@@ -739,11 +1012,13 @@ class StructOptimizer:
                 runtime.sbatch.frac_coords.shape[0]
                 * runtime.sbatch.frac_coords.shape[1]
             )
-        state = (
-            _init_lbfgs_state(runtime.batch, self.lbfgs)
-            if use_lbfgs
-            else _init_state(runtime.batch, self.fire, n_state)
-        )
+        if use_bfgs:
+            pg_idx, n_max = _graph_slots(runtime.batch)
+            state = _init_bfgs_state(runtime.batch, self.bfgs, n_max)
+        elif use_lbfgs:
+            state = _init_lbfgs_state(runtime.batch, self.lbfgs)
+        else:
+            state = _init_state(runtime.batch, self.fire, n_state)
         observers = [
             TrajectoryObserver(atomic_numbers=s.atomic_numbers)
             for s in structures
@@ -758,7 +1033,23 @@ class StructOptimizer:
         last_energy = np.zeros(len(structures))
         while total < steps:
             n_steps = min(chunk_size, steps - total)
-            if use_lbfgs:
+            if use_bfgs:
+                state, traj = bfgs_chunk(
+                    self.model.params,
+                    runtime.batch,
+                    state,
+                    jnp.asarray(pg_idx),
+                    config=self.model.config,
+                    bfgs=self.bfgs,
+                    n_steps=n_steps,
+                    n_max=n_max,
+                    fmax_target=fmax,
+                    cell_factor=cell_factor,
+                    relax_cell=relax_cell,
+                    record=record,
+                    line_search=self.optimizer_class == "BFGSLineSearch",
+                )
+            elif use_lbfgs:
                 state, traj = lbfgs_chunk(
                     self.model.params,
                     runtime.batch,

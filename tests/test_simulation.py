@@ -539,8 +539,6 @@ def test_relax_lbfgs(model, struct):
     fmax_start = np.sqrt((traj.forces[0] ** 2).sum(axis=1).max())
     assert fmax_end < fmax_start
 
-    with pytest.warns(UserWarning, match="maps to"):
-        StructOptimizer(model=model, optimizer_class="BFGS")
     with pytest.raises(NotImplementedError):
         StructOptimizer(model=model, optimizer_class="NoSuchOptimizer")
 
@@ -558,11 +556,75 @@ def test_relax_lbfgs_line_search(model, struct):
     traj = result["trajectory"]
     assert traj.energies[-1] < traj.energies[0]
 
-    with pytest.warns(UserWarning, match="line search"):
-        aliased = StructOptimizer(
-            model=model, optimizer_class="BFGSLineSearch"
-        )
-    assert aliased.optimizer_class == "LBFGSLineSearch"
+
+def test_relax_bfgs_exact_hessian(model, struct):
+    """optimizer_class='BFGS' runs the DENSE-Hessian algorithm (ASE BFGS
+    semantics, reference dynamics.py:46-55) — no L-BFGS aliasing, no
+    warning — and converges on the LiMnO2 fixture, batched."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # aliasing used to warn here
+        relaxer = StructOptimizer(model=model, optimizer_class="BFGS")
+    assert relaxer.optimizer_class == "BFGS"
+    results = relaxer.relax(
+        [struct.perturb(0.08, seed=1), struct.perturb(0.1, seed=2)],
+        relax_cell=True, fmax=0.03, steps=120, assign_magmoms=False,
+    )
+    for res in results:
+        traj = res["trajectory"]
+        assert traj.energies[-1] < traj.energies[0]
+        fmax_end = np.sqrt((traj.forces[-1] ** 2).sum(axis=1).max())
+        assert fmax_end < 0.05
+
+
+def test_bfgs_matches_then_departs_lbfgs(model, struct):
+    """Algorithm identity check: L-BFGS with H0 = I/alpha IS exact BFGS
+    while its memory holds every (s, y) pair, so the two trajectories
+    must AGREE inside the window and DIVERGE once a short memory starts
+    dropping pairs — which distinguishes the dense implementation from
+    any aliasing."""
+    import jax.numpy as jnp
+
+    from chgnet_tpu.graph.batching import batch_graphs
+    from chgnet_tpu.simulation import relax as R
+
+    batch = batch_graphs([model.graph_converter(struct.perturb(0.05, seed=1))])
+    pg_idx, n_max = R._graph_slots(batch)
+    cf = jnp.asarray([float(batch.n_atoms_padded)])
+    st_b = R._init_bfgs_state(batch, R.BFGS(), n_max)
+    _, tr_b = R.bfgs_chunk(
+        model.params, batch, st_b, jnp.asarray(pg_idx),
+        config=model.config, bfgs=R.BFGS(), n_steps=12, n_max=n_max,
+        fmax_target=1e-6, cell_factor=cf, relax_cell=True, record=False,
+    )
+    lb = R.LBFGS(memory=3)
+    st_l = R._init_lbfgs_state(batch, lb)
+    _, tr_l = R.lbfgs_chunk(
+        model.params, batch, st_l,
+        config=model.config, lbfgs=lb, n_steps=12,
+        fmax_target=1e-6, cell_factor=cf, relax_cell=True, record=False,
+    )
+    eb = np.asarray(tr_b["energy"][:, 0])
+    el = np.asarray(tr_l["energy"][:, 0])
+    # first steps (within the 3-pair window + steepest start) coincide
+    np.testing.assert_allclose(eb[:4], el[:4], atol=5e-5)
+    # after the memory window the algorithms measurably part ways
+    assert np.abs(eb[6:] - el[6:]).max() > 1e-4
+
+
+def test_relax_bfgs_line_search(model, struct):
+    """BFGSLineSearch: Armijo backtracking along the dense-BFGS direction."""
+    relaxer = StructOptimizer(
+        model=model, optimizer_class="BFGSLineSearch"
+    )
+    assert relaxer.optimizer_class == "BFGSLineSearch"
+    result = relaxer.relax(
+        struct.perturb(0.1, seed=0), relax_cell=True, fmax=0.03, steps=80,
+        assign_magmoms=False,
+    )
+    traj = result["trajectory"]
+    assert traj.energies[-1] < traj.energies[0]
 
 
 @pytest.mark.parametrize("opt", ["SciPyFminCG", "SciPyFminBFGS"])
