@@ -520,22 +520,114 @@ def shard_batch(
     return out
 
 
-def _energy_sharded(
+class _AllGatherComm:
+    """Row-exchange strategy: all-gather full feature tables each layer.
+
+    The unified energy core (:func:`_energy_sharded_core`) is written
+    against this small interface; the halo variant (:class:`_HaloComm`)
+    implements the same surface with boundary all_to_all exchanges, so the
+    conv stack exists exactly once for both wire protocols.
+    """
+
+    def __init__(self, sb: ShardedGraphBatch, axis: str):
+        self.axis = axis
+        self._dev = jax.lax.axis_index(axis)
+        d = jax.lax.axis_size(axis)
+        self.n_loc = sb.atomic_numbers.shape[0]
+        self.u_loc = sb.und_mask.shape[0]
+        self.n_atom_rows = self.n_loc * d  # table length == drop target
+        self.n_bond_rows = self.u_loc * d
+        self.plans = sb.plans or {}
+        # index arrays into the exchanged tables (GLOBAL block ids here)
+        self.edge_center = sb.edge_center  # scatter target AND gather idx
+        self.edge_neighbor = sb.edge_neighbor
+        self.edge_bond = sb.edge_bond
+        self.und_center = sb.und_center
+        self.und_neighbor = sb.und_neighbor
+        self.ang_center = sb.ang_center
+        self.ang_nbr_i = sb.ang_nbr_i
+        self.ang_nbr_j = sb.ang_nbr_j
+        self.ang_bond_i = sb.ang_bond_i  # scatter target AND gather idx
+        self.ang_bond_j = sb.ang_bond_j
+
+    def atoms(self, local: jnp.ndarray) -> jnp.ndarray:
+        """Local [n_loc, F] -> exchanged table the atom indices address."""
+        return jax.lax.all_gather(local, self.axis, tiled=True)
+
+    def bonds(self, local: jnp.ndarray) -> jnp.ndarray:
+        return jax.lax.all_gather(local, self.axis, tiled=True)
+
+    def own_atoms(self, table: jnp.ndarray) -> jnp.ndarray:
+        """Slice this device's atom block back out of a conv output."""
+        return jax.lax.dynamic_slice_in_dim(
+            table, self._dev * self.n_loc, self.n_loc
+        )
+
+    def own_bonds(self, table: jnp.ndarray) -> jnp.ndarray:
+        return jax.lax.dynamic_slice_in_dim(
+            table, self._dev * self.u_loc, self.u_loc
+        )
+
+
+class _HaloComm:
+    """Row-exchange strategy: send only referenced boundary rows
+    (``jax.lax.all_to_all``); index arrays arrive pre-remapped to the
+    [own block | halo slots] layout (see :func:`shard_batch_halo`)."""
+
+    def __init__(self, sb: ShardedGraphBatch, hb: HaloBatch, axis: str):
+        self.axis = axis
+        d = jax.lax.axis_size(axis)
+        self.n_loc = sb.atomic_numbers.shape[0]
+        self.u_loc = sb.und_mask.shape[0]
+        self.n_atom_rows = self.n_loc + d * hb.atom_send.shape[1]
+        self.n_bond_rows = self.u_loc + d * hb.bond_send.shape[1]
+        self.plans = hb.plans or {}
+        self._atom_send = hb.atom_send
+        self._bond_send = hb.bond_send
+        self.edge_center = hb.edge_center_local
+        self.edge_neighbor = hb.edge_neighbor_h
+        self.edge_bond = hb.edge_bond_h
+        self.und_center = hb.und_center_h
+        self.und_neighbor = hb.und_neighbor_h
+        self.ang_center = hb.ang_center_h
+        self.ang_nbr_i = hb.ang_nbr_i_h
+        self.ang_nbr_j = hb.ang_nbr_j_h
+        self.ang_bond_i = sb.ang_bond_i_local
+        self.ang_bond_j = hb.ang_bond_j_h
+
+    def atoms(self, local: jnp.ndarray) -> jnp.ndarray:
+        return jnp.concatenate(
+            [local, _halo_exchange(local, self._atom_send, self.axis)]
+        )
+
+    def bonds(self, local: jnp.ndarray) -> jnp.ndarray:
+        return jnp.concatenate(
+            [local, _halo_exchange(local, self._bond_send, self.axis)]
+        )
+
+    def own_atoms(self, table: jnp.ndarray) -> jnp.ndarray:
+        return table[: self.n_loc]
+
+    def own_bonds(self, table: jnp.ndarray) -> jnp.ndarray:
+        return table[: self.u_loc]
+
+
+def _energy_sharded_core(
     params,
     cfg: CHGNetConfig,
     sb: ShardedGraphBatch,
+    comm,  # _AllGatherComm | _HaloComm
     cart: jnp.ndarray,  # [N_loc, 3] undeformed local cartesians (diff var)
     strains: jnp.ndarray,  # [B, 3, 3] replicated
-    axis: str,
     *,
     dynamic_cutoff: bool = False,
 ):
-    """Per-device energy partial with gather-based halo exchange.
+    """Per-device energy partial, parameterized by a row-exchange strategy.
 
     Runs INSIDE shard_map: sb leaves arrive with the leading device axis
     stripped. Returns (local_energy_partial [B] — NOT psum'ed, so it can
     sit inside jax.grad without D-fold cotangent inflation; cross-device
-    force terms flow through the all_gather transpose — and an aux dict
+    force terms flow through the collective transposes — and an aux dict
     of local arrays).
 
     ``dynamic_cutoff`` restores exact-cutoff semantics for skin-built
@@ -543,16 +635,15 @@ def _energy_sharded(
     recomputed from the CURRENT positions at the model cutoffs, mirroring
     ``simulation.runtime.apply_dynamic_cutoff``."""
     n_graphs = sb.lattices.shape[0]
-    n_loc = sb.atomic_numbers.shape[0]
-    dev = jax.lax.axis_index(axis)
 
     eye = jnp.eye(3, dtype=cart.dtype)
     deform = eye[None] + strains  # [B, 3, 3]
     lat = jnp.einsum("bij,bjk->bik", sb.lattices, deform)
 
-    # global positions: deform local cart -> all_gather (the halo exchange)
+    # positions of every row the local streams reference (the one
+    # geometry exchange per evaluation)
     cart_loc = jnp.einsum("ni,nij->nj", cart, deform[sb.atom_owner])
-    pos = jax.lax.all_gather(cart_loc, axis, tiled=True)  # [N_glob, 3]
+    pos = comm.atoms(cart_loc)
 
     def bond_vec(center, neighbor, image, owner):
         return (
@@ -562,7 +653,9 @@ def _energy_sharded(
         )
 
     # undirected bond bases (local bonds)
-    und_vec = bond_vec(sb.und_center, sb.und_neighbor, sb.und_image, sb.und_owner)
+    und_vec = bond_vec(
+        comm.und_center, comm.und_neighbor, sb.und_image, sb.und_owner
+    )
     und_dist = jnp.linalg.norm(und_vec, axis=1)
     rbf_ag = basis.radial_bessel(
         und_dist, params["bond_basis"]["freq_ag"],
@@ -574,8 +667,12 @@ def _energy_sharded(
     )
 
     # angle basis from per-row bond vectors (no directed-edge exchange)
-    vec_i = bond_vec(sb.ang_center, sb.ang_nbr_i, sb.ang_img_i, sb.ang_owner)
-    vec_j = bond_vec(sb.ang_center, sb.ang_nbr_j, sb.ang_img_j, sb.ang_owner)
+    vec_i = bond_vec(
+        comm.ang_center, comm.ang_nbr_i, sb.ang_img_i, sb.ang_owner
+    )
+    vec_j = bond_vec(
+        comm.ang_center, comm.ang_nbr_j, sb.ang_img_j, sb.ang_owner
+    )
     unit_i = vec_i / jnp.linalg.norm(vec_i, axis=1, keepdims=True)
     unit_j = vec_j / jnp.linalg.norm(vec_j, axis=1, keepdims=True)
     cos_ij = jnp.sum(unit_i * unit_j, axis=1) * (1 - 1e-6)
@@ -585,27 +682,26 @@ def _energy_sharded(
         # exact-cutoff masks from the current geometry (the topology was
         # built with skin-enlarged cutoffs): edges stay valid while their
         # UNDIRECTED bond is inside atom_graph_cutoff (the per-bond flag
-        # travels to edge rows through one all_gather — edges may sit on
-        # a different device than their bond), angle rows while bond i is
-        # within (<=) and directed bond j strictly within (<) the
-        # bond-graph cutoff. Mirrors apply_dynamic_cutoff's comparisons;
-        # padded rows keep mask 0 via the multiplication.
+        # travels to edge rows through one bond-table exchange — edges may
+        # sit on a different device than their bond), angle rows while
+        # bond i is within (<=) and directed bond j strictly within (<)
+        # the bond-graph cutoff. Mirrors apply_dynamic_cutoff's
+        # comparisons; padded rows keep mask 0 via the multiplication.
         tol = 1e-8
-        und_ok = und_dist <= cfg.atom_graph_cutoff + tol
-        und_ok_glob = jax.lax.all_gather(und_ok, axis, tiled=True)
-        edge_mask_dyn = sb.edge_mask * und_ok_glob[sb.edge_bond].astype(
-            sb.edge_mask.dtype
+        und_ok = (und_dist <= cfg.atom_graph_cutoff + tol).astype(
+            sb.und_mask.dtype
         )
+        und_ok_t = comm.bonds(und_ok[:, None])[:, 0]
+        edge_mask_dyn = sb.edge_mask * und_ok_t[comm.edge_bond]
         dist_i = jnp.linalg.norm(vec_i, axis=1)
         dist_j = jnp.linalg.norm(vec_j, axis=1)
         ang_ok = (dist_i <= cfg.bond_graph_cutoff + tol) & (
             dist_j < cfg.bond_graph_cutoff - tol
         )
-        ang_mask_dyn = sb.ang_mask * ang_ok.astype(sb.ang_mask.dtype)
         sb = sb._replace(
             edge_mask=edge_mask_dyn,
-            ang_mask=ang_mask_dyn,
-            und_mask=sb.und_mask * und_ok.astype(sb.und_mask.dtype),
+            ang_mask=sb.ang_mask * ang_ok.astype(sb.ang_mask.dtype),
+            und_mask=sb.und_mask * und_ok,
         )
 
     # embeddings (local)
@@ -616,38 +712,26 @@ def _energy_sharded(
     bw_bg = linear_apply(params["bond_weights_bg"], rbf_bg)
     angle_feas = linear_apply(params["angle_embedding"], angle_bases)
 
-    # one-time gathered tables for edge-level weights
-    bw_ag_glob = jax.lax.all_gather(bw_ag, axis, tiled=True)  # [U_glob, d]
-    bw_bg_glob = jax.lax.all_gather(bw_bg, axis, tiled=True)
+    # weight tables change only with geometry: exchange once, reuse per layer
+    bw_ag_t = comm.bonds(bw_ag)
+    bw_bg_t = comm.bonds(bw_bg)
 
-    # GLOBAL scatter indices: the conv ops run on the gathered global
-    # tables; each device computes sums for its OWN rows only (its edges
-    # only target its centers/bonds), then slices its block back out.
-    n_glob = n_loc * jax.lax.axis_size(axis)
-    u_loc = bond_feas.shape[0]
-    u_glob = u_loc * jax.lax.axis_size(axis)
     edge_scatter = jnp.where(
-        sb.edge_mask > 0, sb.edge_center, n_glob
+        sb.edge_mask > 0, comm.edge_center, comm.n_atom_rows
     ).astype(jnp.int32)
-    atom_graph = jnp.stack([sb.edge_center, sb.edge_neighbor], axis=1)
+    atom_graph = jnp.stack([comm.edge_center, comm.edge_neighbor], axis=1)
     ang_scatter = jnp.where(
-        sb.ang_mask > 0, sb.ang_bond_i, u_glob
+        sb.ang_mask > 0, comm.ang_bond_i, comm.n_bond_rows
     ).astype(jnp.int32)
     bond_graph = jnp.stack(
-        [sb.ang_center, sb.ang_bond_i, jnp.zeros_like(sb.ang_bond_i),
-         sb.ang_bond_j, jnp.zeros_like(sb.ang_bond_j)],
+        [comm.ang_center, comm.ang_bond_i, jnp.zeros_like(comm.ang_bond_i),
+         comm.ang_bond_j, jnp.zeros_like(comm.ang_bond_j)],
         axis=1,
     )
 
-    def my_atoms(glob):
-        return jax.lax.dynamic_slice_in_dim(glob, dev * n_loc, n_loc)
-
-    def my_bonds(glob):
-        return jax.lax.dynamic_slice_in_dim(glob, dev * u_loc, u_loc)
-
-    # per-device streaming/backward plans (built by shard_batch): scatters
-    # and gather-backwards ride sorted segment sums / streaming kernels
-    pl = sb.plans or {}
+    # per-device streaming/backward plans (built by shard_batch[_halo]):
+    # scatters and gather-backwards ride sorted segment sums / kernels
+    pl = comm.plans
     conv_plans = (
         pl.get("e_center"), pl.get("e_bond"), pl.get("e_nbr"),
     )
@@ -656,41 +740,42 @@ def _energy_sharded(
     # loop-invariant weight streams: the bond-weight tables never change
     # across conv layers, so their edge/angle expansions are gathered ONCE
     # instead of per layer (forward gather + backward scatter dedup)
-    weights_e_h = plan_gather(bw_ag_glob, sb.edge_bond, conv_plans[1])
+    weights_e_h = plan_gather(bw_ag_t, comm.edge_bond, conv_plans[1])
     weights_a_h = (
-        plan_gather(bw_bg_glob, bond_graph[:, 1], ang_plans[0])
-        * plan_gather(bw_bg_glob, bond_graph[:, 3], ang_plans[1])
+        plan_gather(bw_bg_t, bond_graph[:, 1], ang_plans[0])
+        * plan_gather(bw_bg_t, bond_graph[:, 3], ang_plans[1])
     ) if cfg.update_bond else None
 
     act = cfg.non_linearity
     atom_feas_mid = atom_feas
 
-    for idx in range(cfg.n_conv - 1):
-        bond_glob = jax.lax.all_gather(bond_feas, axis, tiled=True)
-        atom_glob = jax.lax.all_gather(atom_feas, axis, tiled=True)
-        atom_feas = my_atoms(
+    def atom_step(idx, atom_t, bond_t):
+        return comm.own_atoms(
             atom_conv_apply(
                 params["atom_convs"][idx],
-                atom_glob,
-                bond_glob,
-                bw_ag_glob,
+                atom_t,
+                bond_t,
+                bw_ag_t,
                 atom_graph,
                 edge_scatter,
-                sb.edge_bond,
+                comm.edge_bond,
                 sb.edge_mask,
                 activation=act, fused=cfg.fused_kernels,
                 plans=conv_plans,
                 weights_e=weights_e_h,
             )
         )
+
+    for idx in range(cfg.n_conv - 1):
+        bond_t = comm.bonds(bond_feas)
+        atom_feas = atom_step(idx, comm.atoms(atom_feas), bond_t)
         if cfg.update_bond:
-            atom_glob2 = jax.lax.all_gather(atom_feas, axis, tiled=True)
-            bond_feas = my_bonds(
+            bond_feas = comm.own_bonds(
                 bond_conv_apply(
                     params["bond_convs"][idx],
-                    atom_glob2,
-                    bond_glob,
-                    bw_bg_glob,
+                    comm.atoms(atom_feas),
+                    bond_t,
+                    bw_bg_t,
                     angle_feas,
                     bond_graph,
                     ang_scatter,
@@ -701,12 +786,10 @@ def _energy_sharded(
                 )
             )
         if cfg.update_angle:
-            atom_glob3 = jax.lax.all_gather(atom_feas, axis, tiled=True)
-            bond_glob3 = jax.lax.all_gather(bond_feas, axis, tiled=True)
             angle_feas = angle_update_apply(
                 params["angle_updates"][idx],
-                atom_glob3,
-                bond_glob3,
+                comm.atoms(atom_feas),
+                comm.bonds(bond_feas),
                 angle_feas,
                 bond_graph,
                 activation=act, fused=cfg.fused_kernels,
@@ -715,22 +798,8 @@ def _energy_sharded(
         if idx == cfg.n_conv - 2:
             atom_feas_mid = atom_feas
 
-    bond_glob = jax.lax.all_gather(bond_feas, axis, tiled=True)
-    atom_glob = jax.lax.all_gather(atom_feas, axis, tiled=True)
-    atom_feas = my_atoms(
-        atom_conv_apply(
-            params["atom_convs"][cfg.n_conv - 1],
-            atom_glob,
-            bond_glob,
-            bw_ag_glob,
-            atom_graph,
-            edge_scatter,
-            sb.edge_bond,
-            sb.edge_mask,
-            activation=act, fused=cfg.fused_kernels,
-            plans=conv_plans,
-            weights_e=weights_e_h,
-        )
+    atom_feas = atom_step(
+        cfg.n_conv - 1, comm.atoms(atom_feas), comm.bonds(bond_feas)
     )
     if "readout_norm" in params:
         atom_feas = layer_norm_apply(params["readout_norm"], atom_feas)
@@ -763,6 +832,23 @@ def _energy_sharded(
     return energy_partial, aux
 
 
+def _energy_sharded(
+    params,
+    cfg: CHGNetConfig,
+    sb: ShardedGraphBatch,
+    cart: jnp.ndarray,
+    strains: jnp.ndarray,
+    axis: str,
+    *,
+    dynamic_cutoff: bool = False,
+):
+    """All-gather row exchange (see :func:`_energy_sharded_core`)."""
+    return _energy_sharded_core(
+        params, cfg, sb, _AllGatherComm(sb, axis), cart, strains,
+        dynamic_cutoff=dynamic_cutoff,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -774,6 +860,7 @@ def _energy_sharded(
 def compute_batch_sharded(
     params,
     sbatch: ShardedGraphBatch,
+    halo: HaloBatch | None = None,
     *,
     config: CHGNetConfig,
     mesh: Mesh,
@@ -789,23 +876,33 @@ def compute_batch_sharded(
     GPa, m [D, N_loc] — per-atom outputs keep the sharded block layout
     (``unshard_atoms`` flattens them back). ``dynamic_cutoff`` recomputes
     edge/angle masks at the model cutoffs from the current positions
-    (skin-built topologies, see ``simulation.runtime``).
+    (skin-built topologies, see ``simulation.runtime``). ``halo`` (from
+    :func:`shard_batch_halo`) switches the per-layer row exchange from
+    full-table all-gathers to boundary all_to_all.
     """
     cfg = config
     n_graphs = sbatch.n_graphs
 
     sharded_spec = _sbatch_spec(sbatch, axis)
+    halo_spec = jax.tree.map(lambda _: P(axis), halo)
 
-    def local_fn(params, sbatch_l, frac_l, strains):
+    def local_fn(params, sbatch_l, halo_l, frac_l, strains):
         # leading device axis is stripped by shard_map on P(axis) leaves
         sb = _strip(sbatch_l, sharded_spec, axis)
 
         def energy_of(cart, strains):
             with jax.default_matmul_precision(cfg.matmul_precision):
-                e_partial, aux = _energy_sharded(
-                    params, cfg, sb, cart, strains, axis,
-                    dynamic_cutoff=dynamic_cutoff,
-                )
+                if halo_l is not None:
+                    hb = jax.tree.map(lambda leaf: leaf[0], halo_l)
+                    e_partial, aux = _energy_sharded_halo(
+                        params, cfg, sb, hb, cart, strains, axis,
+                        dynamic_cutoff=dynamic_cutoff,
+                    )
+                else:
+                    e_partial, aux = _energy_sharded(
+                        params, cfg, sb, cart, strains, axis,
+                        dynamic_cutoff=dynamic_cutoff,
+                    )
             return e_partial.sum(), (e_partial, aux)
 
         frac = frac_l[0]
@@ -878,7 +975,7 @@ def compute_batch_sharded(
     fn = shard_map(
         functools.partial(local_fn),
         mesh=mesh,
-        in_specs=(P(), sharded_spec, P(axis), P()),
+        in_specs=(P(), sharded_spec, halo_spec, P(axis), P()),
         out_specs=out_specs,
         check_vma=True,
     )
@@ -886,6 +983,7 @@ def compute_batch_sharded(
     return fn(
         params,
         jax.tree.map(jnp.asarray, sbatch),
+        jax.tree.map(jnp.asarray, halo),
         jnp.asarray(sbatch.frac_coords),
         strains0,
     )
@@ -1137,16 +1235,26 @@ class HaloBatch(NamedTuple):
 
 
 def shard_batch_halo(
-    batch: GraphBatch, n_devices: int, *, plans: bool = True
+    batch: GraphBatch,
+    n_devices: int,
+    *,
+    plans: bool = True,
+    min_caps: tuple[int, int, int] | None = None,
+    min_halo: tuple[int, int] | None = None,
 ) -> tuple[ShardedGraphBatch, HaloBatch]:
-    """shard_batch plus precomputed boundary-exchange index plans."""
+    """shard_batch plus precomputed boundary-exchange index plans.
+
+    ``min_caps`` floors the per-device stream capacities (see
+    :func:`shard_batch`); ``min_halo`` = (atom halo cap, bond halo cap)
+    floors the per-peer halo slot counts — simulation loops grow both
+    monotonically so rebuilds keep stable trace shapes."""
     # the halo forward never reads the global-layout plans; skip them
-    sb = shard_batch(batch, n_devices, plans=False)
+    sb = shard_batch(batch, n_devices, plans=False, min_caps=min_caps)
     d = n_devices
     n_loc = sb.atomic_numbers.shape[1]
     u_loc = sb.und_mask.shape[1]
 
-    def build_plan(ref_arrays, masks, block_size):
+    def build_plan(ref_arrays, masks, block_size, h_floor):
         """Remap global-id references into [own | halo] positions and build
         per-peer send lists. ``ref_arrays``/``masks`` are parallel lists of
         stacked [D, cap_k] arrays (block layout: owner = id // block_size).
@@ -1159,7 +1267,7 @@ def shard_batch_halo(
             remote = refs[(refs // block_size) != dev]
             needed.append(np.unique(remote))
         h_cap = max(
-            [1]
+            [1, int(h_floor)]
             + [
                 int(np.bincount(ids // block_size, minlength=d).max())
                 for ids in needed
@@ -1202,9 +1310,11 @@ def shard_batch_halo(
          sb.ang_center, sb.ang_nbr_i, sb.ang_nbr_j],
         [e_mask, u_mask, u_mask, a_mask, a_mask, a_mask],
         n_loc,
+        min_halo[0] if min_halo else 0,
     )
     bond_send, bond_remapped = build_plan(
-        [sb.edge_bond, sb.ang_bond_j], [e_mask, a_mask], u_loc
+        [sb.edge_bond, sb.ang_bond_j], [e_mask, a_mask], u_loc,
+        min_halo[1] if min_halo else 0,
     )
 
     halo = HaloBatch(
@@ -1280,217 +1390,23 @@ def _energy_sharded_halo(
     cfg: CHGNetConfig,
     sb: ShardedGraphBatch,
     hb: HaloBatch,
-    cart: jnp.ndarray,  # [N_loc, 3] undeformed local cartesians (diff var)
-    strains: jnp.ndarray,  # [B, 3, 3] replicated
+    cart: jnp.ndarray,
+    strains: jnp.ndarray,
     axis: str,
     *,
     dynamic_cutoff: bool = False,
 ):
-    """Per-device energy partial with BOUNDARY halo exchange: every layer
-    sends only the referenced border rows to peers (all_to_all), instead
-    of all-gathering full tables. Index arrays arrive pre-remapped to the
-    [own block | halo slots] layout (see :func:`shard_batch_halo`).
-    Returns the same (local partial, aux) contract as _energy_sharded;
-    ``dynamic_cutoff`` recomputes exact-cutoff masks from the current
-    positions (skin-built topologies), the per-bond flag reaching edge
-    rows through the bond halo exchange."""
-    n_graphs = sb.lattices.shape[0]
-    n_loc = sb.atomic_numbers.shape[0]
-
-    eye = jnp.eye(3, dtype=cart.dtype)
-    deform = eye[None] + strains
-    lat = jnp.einsum("bij,bjk->bik", sb.lattices, deform)
-
-    cart_loc = jnp.einsum("ni,nij->nj", cart, deform[sb.atom_owner])
-    pos = jnp.concatenate(
-        [cart_loc, _halo_exchange(cart_loc, hb.atom_send, axis)]
+    """Boundary halo-exchange row transport (all_to_all of only the
+    referenced border rows — 47% of the all-gather wire bytes at D=8,
+    improving with D). Same math and contract as :func:`_energy_sharded`:
+    both are one :func:`_energy_sharded_core` under different comm
+    strategies."""
+    return _energy_sharded_core(
+        params, cfg, sb, _HaloComm(sb, hb, axis), cart, strains,
+        dynamic_cutoff=dynamic_cutoff,
     )
 
-    def bond_vec(center_h, neighbor_h, image, owner):
-        return (
-            pos[center_h]
-            - pos[neighbor_h]
-            - jnp.einsum("ei,eij->ej", image, lat[owner])
-        )
 
-    und_vec = bond_vec(hb.und_center_h, hb.und_neighbor_h, sb.und_image,
-                       sb.und_owner)
-    und_dist = jnp.linalg.norm(und_vec, axis=1)
-    rbf_ag = basis.radial_bessel(
-        und_dist, params["bond_basis"]["freq_ag"],
-        cfg.atom_graph_cutoff, cfg.cutoff_coeff,
-    )
-    rbf_bg = basis.radial_bessel(
-        und_dist, params["bond_basis"]["freq_bg"],
-        cfg.bond_graph_cutoff, cfg.cutoff_coeff,
-    )
-
-    vec_i = bond_vec(hb.ang_center_h, hb.ang_nbr_i_h, sb.ang_img_i,
-                     sb.ang_owner)
-    vec_j = bond_vec(hb.ang_center_h, hb.ang_nbr_j_h, sb.ang_img_j,
-                     sb.ang_owner)
-    unit_i = vec_i / jnp.linalg.norm(vec_i, axis=1, keepdims=True)
-    unit_j = vec_j / jnp.linalg.norm(vec_j, axis=1, keepdims=True)
-    cos_ij = jnp.sum(unit_i * unit_j, axis=1) * (1 - 1e-6)
-    angle_bases = basis.fourier(
-        jnp.arccos(cos_ij), params["angle_basis"]["freq"]
-    )
-
-    if dynamic_cutoff:
-        # exact-cutoff masks from current geometry (see _energy_sharded);
-        # here the per-bond in-cutoff flag travels to edge rows through
-        # the SAME bond halo exchange the weight tables use
-        tol = 1e-8
-        und_ok = (und_dist <= cfg.atom_graph_cutoff + tol).astype(
-            sb.und_mask.dtype
-        )
-        und_ok_t = jnp.concatenate(
-            [
-                und_ok[:, None],
-                _halo_exchange(und_ok[:, None], hb.bond_send, axis),
-            ]
-        )[:, 0]
-        edge_mask_dyn = sb.edge_mask * und_ok_t[hb.edge_bond_h]
-        dist_i = jnp.linalg.norm(vec_i, axis=1)
-        dist_j = jnp.linalg.norm(vec_j, axis=1)
-        ang_ok = (dist_i <= cfg.bond_graph_cutoff + tol) & (
-            dist_j < cfg.bond_graph_cutoff - tol
-        )
-        sb = sb._replace(
-            edge_mask=edge_mask_dyn,
-            ang_mask=sb.ang_mask * ang_ok.astype(sb.ang_mask.dtype),
-            und_mask=sb.und_mask * und_ok,
-        )
-
-    z_index = jnp.clip(sb.atomic_numbers - 1, 0, cfg.max_num_elements - 1)
-    atom_feas = params["atom_embedding"]["weight"][z_index]
-    bond_feas = linear_apply(params["bond_embedding"], rbf_ag)
-    bw_ag = linear_apply(params["bond_weights_ag"], rbf_ag)
-    bw_bg = linear_apply(params["bond_weights_bg"], rbf_bg)
-    angle_feas = linear_apply(params["angle_embedding"], angle_bases)
-
-    # weight tables change only with geometry: exchange halos once
-    bw_ag_t = jnp.concatenate(
-        [bw_ag, _halo_exchange(bw_ag, hb.bond_send, axis)]
-    )
-    bw_bg_t = jnp.concatenate(
-        [bw_bg, _halo_exchange(bw_bg, hb.bond_send, axis)]
-    )
-
-    u_loc = bond_feas.shape[0]
-    atom_table_rows = pos.shape[0]
-    bond_table_rows = bw_ag_t.shape[0]
-    edge_scatter = jnp.where(
-        sb.edge_mask > 0, hb.edge_center_local, atom_table_rows
-    ).astype(jnp.int32)
-    atom_graph = jnp.stack([hb.edge_center_local, hb.edge_neighbor_h], axis=1)
-    ang_scatter = jnp.where(
-        sb.ang_mask > 0, sb.ang_bond_i_local, bond_table_rows
-    ).astype(jnp.int32)
-    bond_graph = jnp.stack(
-        [hb.ang_center_h, sb.ang_bond_i_local,
-         jnp.zeros_like(sb.ang_bond_i_local),
-         hb.ang_bond_j_h, jnp.zeros_like(hb.ang_bond_j_h)],
-        axis=1,
-    )
-
-    act = cfg.non_linearity
-    atom_feas_mid = atom_feas
-
-    # per-device streaming/backward plans over the [own | halo] layout
-    pl = hb.plans or {}
-    conv_plans = (pl.get("e_center"), pl.get("e_bond"), pl.get("e_nbr"))
-    ang_plans = (pl.get("ang_bi"), pl.get("ang_bj"), pl.get("ang_c"))
-
-    def with_halo(local, send):
-        return jnp.concatenate([local, _halo_exchange(local, send, axis)])
-
-    # loop-invariant weight streams (see the all-gather path): gathered
-    # once over the [own | halo] tables, reused by every layer
-    weights_e_h = plan_gather(bw_ag_t, hb.edge_bond_h, conv_plans[1])
-    weights_a_h = (
-        plan_gather(bw_bg_t, bond_graph[:, 1], ang_plans[0])
-        * plan_gather(bw_bg_t, bond_graph[:, 3], ang_plans[1])
-    ) if cfg.update_bond else None
-
-    for idx in range(cfg.n_conv - 1):
-        atom_t = with_halo(atom_feas, hb.atom_send)
-        bond_t = with_halo(bond_feas, hb.bond_send)
-        atom_feas = atom_conv_apply(
-            params["atom_convs"][idx],
-            atom_t, bond_t, bw_ag_t,
-            atom_graph, edge_scatter, hb.edge_bond_h, sb.edge_mask,
-            activation=act, fused=cfg.fused_kernels, plans=conv_plans,
-            weights_e=weights_e_h,
-        )[:n_loc]
-        if cfg.update_bond:
-            atom_t2 = with_halo(atom_feas, hb.atom_send)
-            bond_feas = bond_conv_apply(
-                params["bond_convs"][idx],
-                atom_t2, bond_t, bw_bg_t, angle_feas,
-                bond_graph, ang_scatter, sb.ang_mask,
-                activation=act, fused=cfg.fused_kernels, plans=ang_plans,
-                weights_a=weights_a_h,
-            )[:u_loc]
-        if cfg.update_angle:
-            atom_t3 = with_halo(atom_feas, hb.atom_send)
-            bond_t3 = with_halo(bond_feas, hb.bond_send)
-            angle_feas = angle_update_apply(
-                params["angle_updates"][idx],
-                atom_t3, bond_t3, angle_feas, bond_graph,
-                activation=act, fused=cfg.fused_kernels, plans=ang_plans,
-            )
-        if idx == cfg.n_conv - 2:
-            atom_feas_mid = atom_feas
-
-    atom_t = with_halo(atom_feas, hb.atom_send)
-    bond_t = with_halo(bond_feas, hb.bond_send)
-    atom_feas = atom_conv_apply(
-        params["atom_convs"][cfg.n_conv - 1],
-        atom_t, bond_t, bw_ag_t,
-        atom_graph, edge_scatter, hb.edge_bond_h, sb.edge_mask,
-        activation=act, fused=cfg.fused_kernels, plans=conv_plans,
-        weights_e=weights_e_h,
-    )[:n_loc]
-    if "readout_norm" in params:
-        atom_feas = layer_norm_apply(params["readout_norm"], atom_feas)
-
-    atom_scatter = jnp.where(
-        sb.atom_mask > 0, sb.atom_owner, n_graphs
-    ).astype(jnp.int32)
-    atoms_per_graph_local = segment_sum(
-        sb.atom_mask[:, None], atom_scatter, n_graphs
-    ).reshape(-1)
-    if not cfg.mlp_first:
-        raise NotImplementedError(
-            "graph-sharded forward supports mlp_first readout only"
-        )
-    site_energies = mlp_apply(params["mlp"], atom_feas, activation=act)
-    site_energies = site_energies * sb.atom_mask[:, None]
-    energy_partial = segment_sum(
-        site_energies, atom_scatter, n_graphs
-    ).reshape(-1)
-    aux = {
-        "atoms_per_graph_local": atoms_per_graph_local,
-        "atom_feas_mid": atom_feas_mid,
-        "site_energies": site_energies.reshape(-1),
-        # local partial of the pooled crystal feature (psum for the full
-        # [B, d] vector -- compute_batch's mlp_first crystal_fea)
-        "crystal_fea_local": segment_sum(
-            atom_feas * sb.atom_mask[:, None], atom_scatter, n_graphs
-        ),
-    }
-    return energy_partial, aux
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "config", "mesh", "axis",
-        "compute_force", "compute_stress", "compute_magmom",
-        "dynamic_cutoff",
-    ),
-)
 def compute_batch_sharded_halo(
     params,
     sbatch: ShardedGraphBatch,
@@ -1506,98 +1422,17 @@ def compute_batch_sharded_halo(
 ) -> dict[str, jnp.ndarray]:
     """Graph-partitioned prediction with boundary halo exchange
     (all_to_all of referenced border rows) instead of full all-gathers.
-    Same outputs as :func:`compute_batch_sharded`."""
-    cfg = config
-    n_graphs = sbatch.n_graphs
-
-    sharded_spec = _sbatch_spec(sbatch, axis)
-    halo_spec = jax.tree.map(lambda _: P(axis), halo)
-
-    def local_fn(params, sbatch_l, halo_l, frac_l, strains):
-        sb = _strip(sbatch_l, sharded_spec, axis)
-        hb = jax.tree.map(lambda leaf: leaf[0], halo_l)
-
-        def energy_of(cart, strains):
-            with jax.default_matmul_precision(cfg.matmul_precision):
-                e_partial, aux = _energy_sharded_halo(
-                    params, cfg, sb, hb, cart, strains, axis,
-                    dynamic_cutoff=dynamic_cutoff,
-                )
-            return e_partial.sum(), (e_partial, aux)
-
-        frac = frac_l[0]
-        cart0 = jnp.einsum("ni,nij->nj", frac, sb.lattices[sb.atom_owner])
-        # pvary: strains arrive replicated; each device differentiates
-        # its OWN partial energy wrt them, so the cotangent must stay
-        # per-device (the virial psum below does the cross-device sum).
-        # Without this, check_vma's transpose inserts an extra psum and
-        # the stress comes out D-fold inflated.
-        strains0 = _pvary(strains, axis)
-        out = {}
-        if compute_force or compute_stress:
-            argnums = (0, 1) if compute_stress else (0,)
-            (_, (e_partial, aux)), grads = jax.value_and_grad(
-                energy_of, argnums=argnums, has_aux=True
-            )(cart0, strains0)
-            if compute_force:
-                out["f"] = -grads[0][None]
-            if compute_stress:
-                volumes = jnp.abs(jnp.linalg.det(sb.lattices))
-                virial = jax.lax.psum(grads[-1], axis)
-                out["s"] = virial * EV_A3_TO_GPA / volumes[:, None, None]
-        else:
-            _, (e_partial, aux) = energy_of(cart0, strains0)
-
-        e_ext = jax.lax.psum(e_partial, axis)
-        atoms_per_graph = jax.lax.psum(aux["atoms_per_graph_local"], axis)
-        safe = jnp.maximum(atoms_per_graph, 1.0)
-        energy = e_ext / safe if cfg.is_intensive else e_ext
-        if "composition" in params:
-            site_ref = params["composition"]["weight"][
-                jnp.clip(sb.atomic_numbers - 1, 0, cfg.max_num_elements - 1)
-            ] * sb.atom_mask
-            atom_scatter = jnp.where(
-                sb.atom_mask > 0, sb.atom_owner, n_graphs
-            ).astype(jnp.int32)
-            comp_ext = jax.lax.psum(
-                segment_sum(site_ref[:, None], atom_scatter, n_graphs
-                            ).reshape(-1),
-                axis,
-            )
-            energy = energy + (
-                comp_ext / safe if cfg.atom_ref_is_intensive else comp_ext
-            )
-        out["e"] = energy
-        out["atoms_per_graph"] = atoms_per_graph
-        if compute_magmom:
-            out["m"] = (
-                jnp.abs(
-                    linear_apply(params["site_wise"], aux["atom_feas_mid"])
-                ).reshape(-1)
-                * sb.atom_mask
-            )[None]
-        return out
-
-    out_specs = {"e": P(), "atoms_per_graph": P()}
-    if compute_force:
-        out_specs["f"] = P(axis)
-    if compute_stress:
-        out_specs["s"] = P()
-    if compute_magmom:
-        out_specs["m"] = P(axis)
-
-    fn = shard_map(
-        local_fn,
-        mesh=mesh,
-        in_specs=(P(), sharded_spec, halo_spec, P(axis), P()),
-        out_specs=out_specs,
-        check_vma=True,
-    )
-    strains0 = jnp.zeros((n_graphs, 3, 3), jnp.float32)
-    return fn(
+    Same outputs as :func:`compute_batch_sharded` (of which this is now a
+    thin alias — the halo batch just selects the comm strategy)."""
+    return compute_batch_sharded(
         params,
-        jax.tree.map(jnp.asarray, sbatch),
-        jax.tree.map(jnp.asarray, halo),
-        jnp.asarray(sbatch.frac_coords),
-        strains0,
+        sbatch,
+        halo,
+        config=config,
+        mesh=mesh,
+        axis=axis,
+        compute_force=compute_force,
+        compute_stress=compute_stress,
+        compute_magmom=compute_magmom,
+        dynamic_cutoff=dynamic_cutoff,
     )

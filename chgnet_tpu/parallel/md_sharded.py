@@ -37,6 +37,7 @@ from chgnet_tpu.models.functions import linear_apply, segment_sum
 from chgnet_tpu.parallel.graph_sharded import (
     ShardedGraphBatch,
     _energy_sharded,
+    _energy_sharded_halo,
     _pvary,
     _sbatch_spec,
     _strip,
@@ -58,6 +59,7 @@ def sharded_energy_eval(
     *,
     need_stress: bool,
     record: bool,
+    hb=None,  # stripped HaloBatch: boundary all_to_all row exchange
 ):
     """Local E/F(/S) evaluation inside a sharded simulation step.
 
@@ -72,10 +74,16 @@ def sharded_energy_eval(
 
     def energy_of(cart, strains):
         with jax.default_matmul_precision(cfg.matmul_precision):
-            e_partial, aux = _energy_sharded(
-                params, cfg, sb._replace(lattices=lat), cart,
-                strains, axis, dynamic_cutoff=True,
-            )
+            if hb is not None:
+                e_partial, aux = _energy_sharded_halo(
+                    params, cfg, sb._replace(lattices=lat), hb, cart,
+                    strains, axis, dynamic_cutoff=True,
+                )
+            else:
+                e_partial, aux = _energy_sharded(
+                    params, cfg, sb._replace(lattices=lat), cart,
+                    strains, axis, dynamic_cutoff=True,
+                )
         return e_partial.sum(), (e_partial, aux)
 
     cart0 = jnp.einsum("ni,nij->nj", frac, lat[owner])
@@ -162,6 +170,7 @@ def md_chunk_sharded(
     md: MDParams,
     masses: jnp.ndarray,  # [N_glob] amu (padding: 1), block layout
     dof: jnp.ndarray,  # [B]
+    halo=None,  # HaloBatch: boundary all_to_all instead of all-gathers
     *,
     config: CHGNetConfig,
     mesh: Mesh,
@@ -180,10 +189,16 @@ def md_chunk_sharded(
     cfg = config
     n_graphs = sbatch.n_graphs
     sharded_spec = _sbatch_spec(sbatch, axis)
+    halo_spec = jax.tree.map(lambda _: P(axis), halo)
     need_stress = ensemble == "npt" or record
 
-    def local_chunk(params, sbatch_l, state, md, masses, dof):
+    def local_chunk(params, sbatch_l, halo_l, state, md, masses, dof):
         sb = _strip(sbatch_l, sharded_spec, axis)
+        hb = (
+            None
+            if halo_l is None
+            else jax.tree.map(lambda leaf: leaf[0], halo_l)
+        )
         owner = sb.atom_owner  # [N_loc] sorted graph ids
         atom_mask = sb.atom_mask[:, None]
 
@@ -196,7 +211,7 @@ def md_chunk_sharded(
         def evaluate(frac, lat):
             out = sharded_energy_eval(
                 params, cfg, sb, owner, axis, frac, lat,
-                need_stress=need_stress, record=record,
+                need_stress=need_stress, record=record, hb=hb,
             )
             accel = (
                 out.pop("forces")
@@ -239,13 +254,16 @@ def md_chunk_sharded(
     fn = shard_map(
         local_chunk,
         mesh=mesh,
-        in_specs=(P(), sharded_spec, state_spec, P(), P(axis), P()),
+        in_specs=(
+            P(), sharded_spec, halo_spec, state_spec, P(), P(axis), P(),
+        ),
         out_specs=(state_spec, ys_spec),
         check_vma=True,
     )
     return fn(
         params,
         jax.tree.map(jnp.asarray, sbatch),
+        jax.tree.map(jnp.asarray, halo),
         state,
         md,
         jnp.asarray(masses),

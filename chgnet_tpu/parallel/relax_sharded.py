@@ -59,6 +59,7 @@ def fire_chunk_sharded(
     params,
     sbatch: ShardedGraphBatch,
     state: FireState,
+    halo=None,  # HaloBatch: boundary all_to_all instead of all-gathers
     *,
     config: CHGNetConfig,
     mesh: Mesh,
@@ -80,10 +81,16 @@ def fire_chunk_sharded(
     cfg = config
     n_graphs = sbatch.n_graphs
     sharded_spec = _sbatch_spec(sbatch, axis)
+    halo_spec = jax.tree.map(lambda _: P(axis), halo)
     need_stress = relax_cell or record
 
-    def local_chunk(params, sbatch_l, state, fmax_t, cell_factor):
+    def local_chunk(params, sbatch_l, halo_l, state, fmax_t, cell_factor):
         sb = _strip(sbatch_l, sharded_spec, axis)
+        hb = (
+            None
+            if halo_l is None
+            else jax.tree.map(lambda leaf: leaf[0], halo_l)
+        )
         owner = sb.atom_owner
         atom_mask = sb.atom_mask[:, None]
 
@@ -105,7 +112,7 @@ def fire_chunk_sharded(
         def evaluate(frac, lat):
             out = sharded_energy_eval(
                 params, cfg, sb, owner, axis, frac, lat,
-                need_stress=need_stress, record=record,
+                need_stress=need_stress, record=record, hb=hb,
             )
             forces = out.pop("forces") * atom_mask
             if need_stress:
@@ -148,13 +155,14 @@ def fire_chunk_sharded(
     fn = shard_map(
         local_chunk,
         mesh=mesh,
-        in_specs=(P(), sharded_spec, state_spec, P(), P()),
+        in_specs=(P(), sharded_spec, halo_spec, state_spec, P(), P()),
         out_specs=(state_spec, ys_spec),
         check_vma=True,
     )
     return fn(
         params,
         jax.tree.map(jnp.asarray, sbatch),
+        jax.tree.map(jnp.asarray, halo),
         state,
         jnp.float32(fmax_target),
         jnp.asarray(cell_factor),

@@ -443,6 +443,7 @@ class MolecularDynamics:
         skin: float = 0.3,
         chunk_size: int = 10,
         mesh: int | None = None,
+        halo: bool = False,
         lean: bool | None = None,
     ) -> None:
         if model is None:
@@ -493,6 +494,7 @@ class MolecularDynamics:
             skin=skin,
             on_isolated_atoms=on_isolated_atoms,
             shard_mesh=self._mesh,
+            halo=halo,
             lean=lean,
         )
         batch = self.runtime.batch
@@ -589,6 +591,7 @@ class MolecularDynamics:
                     frac_coords=jnp.reshape(frac, (-1, n_loc, 3)),
                     lattices=jnp.asarray(lat),
                 ),
+                self.runtime.hbatch,
                 config=cfg,
                 mesh=self._mesh,
                 compute_force=True,
@@ -677,6 +680,7 @@ class MolecularDynamics:
                     self.md_params,
                     self.masses,
                     self.dof,
+                    self.runtime.hbatch,
                     config=self.model.config,
                     mesh=self._mesh,
                     ensemble=self.ensemble,

@@ -904,6 +904,7 @@ class StructOptimizer:
         lbfgs_params: LBFGS | None = None,
         bfgs_params: BFGS | None = None,
         mesh: int | None = None,
+        halo: bool = False,
     ) -> None:
         optimizer_class = optimizer_class or "FIRE"
         supported = {
@@ -941,6 +942,7 @@ class StructOptimizer:
             from chgnet_tpu.parallel.mesh import make_mesh
 
             self._mesh = make_mesh(int(mesh), axis_name="graph")
+        self._halo = bool(halo)
 
     @property
     def version(self) -> str | None:
@@ -993,6 +995,7 @@ class StructOptimizer:
             skin=skin,
             on_isolated_atoms=self.on_isolated_atoms,
             shard_mesh=self._mesh,
+            halo=self._halo,
         )
         cell_factor = jnp.asarray(
             [max(len(s), 1) for s in structures], jnp.float32
@@ -1072,6 +1075,7 @@ class StructOptimizer:
                     self.model.params,
                     runtime.sbatch,
                     state,
+                    runtime.hbatch,
                     config=self.model.config,
                     mesh=self._mesh,
                     fire=self.fire,

@@ -116,6 +116,9 @@ class GraphRuntime:
         skin: float = 0.3,
         on_isolated_atoms: str = "warn",
         shard_mesh=None,  # jax.sharding.Mesh: maintain a ShardedGraphBatch
+        halo: bool = False,  # with shard_mesh: also maintain a HaloBatch
+        # (boundary all_to_all row exchange — 47% of all-gather wire bytes
+        # at D=8, improving with D)
         lean: bool | None = None,  # lean topology shipping (None = on-TPU)
     ) -> None:
         if getattr(config, "dense_atom_conv", False):
@@ -152,6 +155,9 @@ class GraphRuntime:
         # the async-rebuild machinery hides shard prep too. Per-device
         # capacities grow monotonically (min_caps) to bound recompiles.
         self.shard_mesh = shard_mesh
+        self.shard_halo = bool(halo) and shard_mesh is not None
+        self.hbatch = None
+        self._halo_caps: tuple[int, int] | None = None
         # lean shipping: transfer the primary index streams only and
         # derive the rest of the batch on device (graph/leanship.py) —
         # ~5x fewer host->device bytes per rebuild at MD scales. Default
@@ -247,18 +253,28 @@ class GraphRuntime:
         land in launch order while the NEXT build's host stage overlaps."""
         batch = built["batch"]
         if self.shard_mesh is not None:
-            from jax.sharding import NamedSharding
+            from jax.sharding import NamedSharding, PartitionSpec
             from chgnet_tpu.parallel.graph_sharded import (
                 _sbatch_spec,
                 shard_batch,
+                shard_batch_halo,
             )
 
             axis = self.shard_mesh.axis_names[0]
-            sbatch = shard_batch(
-                batch,
-                self.shard_mesh.devices.size,
-                min_caps=self._shard_caps,
-            )
+            hbatch = None
+            if self.shard_halo:
+                sbatch, hbatch = shard_batch_halo(
+                    batch,
+                    self.shard_mesh.devices.size,
+                    min_caps=self._shard_caps,
+                    min_halo=self._halo_caps,
+                )
+            else:
+                sbatch = shard_batch(
+                    batch,
+                    self.shard_mesh.devices.size,
+                    min_caps=self._shard_caps,
+                )
             # device-resident with the step's sharding, so chunked loops
             # don't re-transfer the whole topology every call
             spec = _sbatch_spec(sbatch, axis)
@@ -269,6 +285,18 @@ class GraphRuntime:
                 sbatch,
                 spec,
             )
+            if hbatch is not None:
+                built["hbatch"] = jax.tree.map(
+                    lambda leaf: jax.device_put(
+                        leaf,
+                        NamedSharding(self.shard_mesh, PartitionSpec(axis)),
+                    ),
+                    hbatch,
+                )
+                built["halo_caps"] = (
+                    hbatch.atom_send.shape[2],
+                    hbatch.bond_send.shape[2],
+                )
             built["shard_caps"] = (
                 sbatch.edge_center.shape[1],
                 sbatch.und_center.shape[1],
@@ -315,6 +343,9 @@ class GraphRuntime:
         if "sbatch" in built:
             self.sbatch = built["sbatch"]
             self._shard_caps = built["shard_caps"]
+        if "hbatch" in built:
+            self.hbatch = built["hbatch"]
+            self._halo_caps = built["halo_caps"]
         return self.batch
 
     def _build(

@@ -177,6 +177,63 @@ def test_mesh_md_matches_single_device(model, limno2_2x):
     assert abs(sh.get_temperature() - ref.get_temperature()) < 0.1
 
 
+def test_mesh_md_halo_matches_allgather(model, limno2_2x):
+    """MolecularDynamics(mesh=8, halo=True) rides the boundary
+    all_to_all exchange (47% of the all-gather wire bytes at D=8) and
+    must reproduce the all-gather trajectory bit-for-near: same
+    integrator, same topology, different row transport."""
+    ag = _run_md(limno2_2x, model, 8)
+    hl = _run_md(limno2_2x, model, 8, halo=True)
+    assert hl.runtime.hbatch is not None
+    ag.run(12)
+    hl.run(12)
+    np.testing.assert_allclose(
+        np.asarray(hl.state.frac),
+        np.asarray(ag.state.frac),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(hl.state.vel), np.asarray(ag.state.vel), atol=1e-6
+    )
+    assert abs(float(hl.state.epot[0]) - float(ag.state.epot[0])) < 5e-3
+
+
+def test_mesh_md_halo_rebuild_path(model, limno2_2x):
+    """Halo MD across topology rebuilds: the re-shard worker must rebuild
+    the HaloBatch too (monotone halo caps keep trace shapes stable)."""
+    ref = _run_md(limno2_2x, model, None, skin=0.08, chunk_size=4)
+    hl = _run_md(limno2_2x, model, 8, skin=0.08, chunk_size=4, halo=True)
+    ref.run(16)
+    hl.run(16)
+    assert hl.runtime.n_rebuilds >= 1, "test did not exercise a rebuild"
+    cap = ref.runtime.batch.n_atoms_padded
+    np.testing.assert_allclose(
+        np.asarray(hl.state.frac)[:cap],
+        np.asarray(ref.state.frac),
+        atol=1e-5,
+    )
+
+
+def test_mesh_relax_halo_matches_allgather(model, limno2_2x):
+    """StructOptimizer(mesh=8, halo=True): FIRE relaxation over the halo
+    transport lands on the all-gather result."""
+    from chgnet_tpu.simulation import StructOptimizer
+
+    start = limno2_2x.perturb(0.06, seed=2)
+    ag = StructOptimizer(model=model, mesh=8).relax(
+        start, fmax=0.08, steps=60, relax_cell=True
+    )
+    hl = StructOptimizer(model=model, mesh=8, halo=True).relax(
+        start, fmax=0.08, steps=60, relax_cell=True
+    )
+    np.testing.assert_allclose(
+        hl["final_structure"].frac_coords,
+        ag["final_structure"].frac_coords,
+        atol=1e-5,
+    )
+    assert abs(hl["final_energy"] - ag["final_energy"]) < 5e-3
+
+
 def test_mesh_md_rebuild_path(model, limno2_2x):
     """A small skin forces topology rebuilds mid-run: the re-shard path
     must keep the trajectory on course (positions still match the
