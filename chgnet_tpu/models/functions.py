@@ -264,6 +264,32 @@ def _split_part(part):
     return table, idx, None
 
 
+def project_parts(
+    layers_c: Sequence[Params],
+    layers_g: Sequence[Params],
+    parts: Sequence[tuple],
+) -> tuple[list[tuple], jnp.ndarray]:
+    """Per-part first-Linear projections (core | gate lane-packed) plus
+    the joint first-layer bias: the pre-gather half of
+    :func:`first_layer_acc_joint`, exposed so the mono-kernel conv pass
+    (``ops/fused_pass.py``) can consume the projected tables directly."""
+    first_w = jnp.concatenate([layers_c[0]["w"], layers_g[0]["w"]], axis=1)
+    offset = 0
+    projected = []
+    for part in parts:
+        table, idx, plan = _split_part(part)
+        d_k = table.shape[1]
+        projected.append(
+            (jnp.dot(table, first_w[offset: offset + d_k]), idx, plan)
+        )
+        offset += d_k
+    if "b" in layers_c[0]:
+        b1 = jnp.concatenate([layers_c[0]["b"], layers_g[0]["b"]])
+    else:
+        b1 = jnp.zeros(first_w.shape[1], first_w.dtype)
+    return projected, b1
+
+
 def first_layer_acc_joint(
     layers_c: Sequence[Params],
     layers_g: Sequence[Params],

@@ -34,6 +34,7 @@ from chgnet_tpu.models.functions import (
     mlp_apply,
     mlp_init,
     norm_init,
+    project_parts,
     segment_mean,
     segment_sum,
 )
@@ -132,15 +133,17 @@ def atom_conv_apply(
     if rng is not None and dropout > 0.0:
         fused = False  # the Pallas tail has no dropout support
     if fused and gated_mlp_fusable(gmlp, activation):
-        from chgnet_tpu.ops.gated_message import fused_gated_message
+        from chgnet_tpu.ops.fused_pass import fused_layer_pass
 
-        messages = fused_gated_message(
-            first_layer_acc_joint(
-                gmlp["core"]["layers"], gmlp["gate"]["layers"], parts
-            ),
-            weights_e,
-            edge_mask,
+        projected, b1 = project_parts(
+            gmlp["core"]["layers"], gmlp["gate"]["layers"], parts
+        )
+        messages = fused_layer_pass(
+            projected,
+            b1,
             gated_mlp_fused_pack(gmlp),
+            weights=weights_e,
+            mask=edge_mask,
         )
     else:
         messages = gated_mlp_gather_apply(
@@ -302,15 +305,17 @@ def bond_conv_apply(
     if rng is not None and dropout > 0.0:
         fused = False  # the Pallas tail has no dropout support
     if fused and gated_mlp_fusable(gmlp, activation):
-        from chgnet_tpu.ops.gated_message import fused_gated_message
+        from chgnet_tpu.ops.fused_pass import fused_layer_pass
 
-        update = fused_gated_message(
-            first_layer_acc_joint(
-                gmlp["core"]["layers"], gmlp["gate"]["layers"], parts
-            ),
-            weights_a,
-            angle_mask,
+        projected, b1 = project_parts(
+            gmlp["core"]["layers"], gmlp["gate"]["layers"], parts
+        )
+        update = fused_layer_pass(
+            projected,
+            b1,
             gated_mlp_fused_pack(gmlp),
+            weights=weights_a,
+            mask=angle_mask,
         )
     else:
         update = gated_mlp_gather_apply(
@@ -419,15 +424,17 @@ def bond_conv_apply_directed(
     if rng is not None and dropout > 0.0:
         fused = False  # the Pallas tail has no dropout support
     if fused and gated_mlp_fusable(gmlp, activation):
-        from chgnet_tpu.ops.gated_message import fused_gated_message
+        from chgnet_tpu.ops.fused_pass import fused_layer_pass
 
-        update = fused_gated_message(
-            first_layer_acc_joint(
-                gmlp["core"]["layers"], gmlp["gate"]["layers"], parts
-            ),
-            weights_a,
-            angle_mask,
+        projected, b1 = project_parts(
+            gmlp["core"]["layers"], gmlp["gate"]["layers"], parts
+        )
+        update = fused_layer_pass(
+            projected,
+            b1,
             gated_mlp_fused_pack(gmlp),
+            weights=weights_a,
+            mask=angle_mask,
         )
     else:
         update = gated_mlp_gather_apply(
@@ -505,14 +512,16 @@ def angle_update_apply_directed(
         and "norm" not in params
         and gated_mlp_update_fusable(gmlp, activation)
     ):
-        from chgnet_tpu.ops.gated_message import fused_gated_update
+        from chgnet_tpu.ops.fused_pass import fused_layer_pass
 
-        return fused_gated_update(
-            first_layer_acc_joint(
-                gmlp["core"]["layers"], gmlp["gate"]["layers"], parts
-            ),
-            angle_feas,
+        projected, b1 = project_parts(
+            gmlp["core"]["layers"], gmlp["gate"]["layers"], parts
+        )
+        return fused_layer_pass(
+            projected,
+            b1,
             gated_mlp_fused_pack(gmlp),
+            resnet=angle_feas,
         )
     new_angle_feas = gated_mlp_gather_apply(
         gmlp, parts, activation=activation, dropout=dropout, rng=rng
@@ -582,14 +591,16 @@ def angle_update_apply(
         and "norm" not in params
         and gated_mlp_update_fusable(gmlp, activation)
     ):
-        from chgnet_tpu.ops.gated_message import fused_gated_update
+        from chgnet_tpu.ops.fused_pass import fused_layer_pass
 
-        return fused_gated_update(
-            first_layer_acc_joint(
-                gmlp["core"]["layers"], gmlp["gate"]["layers"], parts
-            ),
-            angle_feas,
+        projected, b1 = project_parts(
+            gmlp["core"]["layers"], gmlp["gate"]["layers"], parts
+        )
+        return fused_layer_pass(
+            projected,
+            b1,
             gated_mlp_fused_pack(gmlp),
+            resnet=angle_feas,
         )
     new_angle_feas = gated_mlp_gather_apply(
         gmlp, parts, activation=activation, dropout=dropout, rng=rng

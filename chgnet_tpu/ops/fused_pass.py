@@ -1,0 +1,434 @@
+"""Mono-kernel conv-layer pass: K streaming window-gathers + gated-MLP
+tail in ONE Pallas kernel.
+
+Every conv layer's hot path used to be two custom calls with an HBM
+round trip between them:
+
+    acc [L, 2D] = multi_gather(projected parts)        (ops/stream_ops.py)
+    out [L, D]  = gated tail(acc) * weights * mask     (ops/gated_message.py)
+
+pallas_call boundaries block XLA fusion, so ``acc`` — the widest stream
+in the model, [L, 128] per layer — was written to HBM by the first
+kernel and read back by the second. This kernel computes the tail on the
+accumulator while it is still in VMEM: per BO-row block, DMA the K
+source windows, reduce them with one-hot MXU matmuls (exact
+``_multi_gather_kernel`` body), add the aligned streams and first-layer
+bias, then apply silu -> block-diagonal W2 -> per-half layer norms ->
+silu * sigmoid gating -> optional per-row weights / mask / resnet — and
+write only the final [BO, D] block.
+
+Shapes follow the lane-packed convention (``models/functions.py``): the
+core|gate branches ride one 2D = 128-lane accumulator; single-Linear
+branches (AngleUpdate's default) skip the W2 stage.
+
+Backward: recompute from inputs through the UNFUSED composition
+(``jax.vjp`` over gather_sum + fused_gated_message, both custom-vjp ops
+with hand-written backward kernels), so autodiff of any order works and
+the backward rides the same streaming kernels as before. The reference
+hot loop this replaces: ``/root/reference/chgnet/model/layers.py:112-137,
+237-263, 321-363`` (gather-concat-matmul per layer).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from chgnet_tpu.ops import stream_ops
+from chgnet_tpu.ops.stream_ops import BO, C
+
+
+def _tail_math(acc, p2, weights, mask, resnet, out_dtype):
+    """Post-accumulator math in f32 (shared: kernel body + reference)."""
+    f32 = jnp.float32
+    dim = (
+        p2["nc_scale"].shape[-1]
+        if p2["nc_scale"].ndim == 1
+        else p2["nc_scale"].shape[-1]
+    )
+    y = acc
+    if "w2" in p2:
+        y = (
+            jnp.dot(
+                jax.nn.silu(acc),
+                p2["w2"].astype(f32),
+                preferred_element_type=f32,
+            )
+            + p2["b2"].astype(f32)
+        )
+
+    def ln(x, scale, bias, eps=1e-5):
+        mean = x.mean(axis=-1, keepdims=True)
+        var = ((x - mean) ** 2).mean(axis=-1, keepdims=True)
+        return (x - mean) * jax.lax.rsqrt(var + eps) * scale.astype(
+            f32
+        ) + bias.astype(f32)
+
+    core = ln(y[:, :dim], p2["nc_scale"], p2["nc_bias"])
+    gate = ln(y[:, dim:], p2["ng_scale"], p2["ng_bias"])
+    out = jax.nn.silu(core) * jax.nn.sigmoid(gate)
+    if weights is not None:
+        out = out * weights.astype(f32)
+    if mask is not None:
+        out = out * mask.astype(f32).reshape(-1, 1)
+    if resnet is not None:
+        out = out + resnet.astype(f32)
+    return out.astype(out_dtype)
+
+
+def _kernel(*refs, K, n_aligned, has_w2, has_weights, has_mask, has_resnet,
+            n_srcs, d2, dim, prec):
+    """One output block: K window-gathers + aligned streams + bias, then
+    the gated tail — all in VMEM. Gather body mirrors
+    ``stream_ops._multi_gather_kernel`` (int-side re-read mask etc.)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    scalars = refs[: 2 * K]
+    pos = 2 * K
+    idx_hbm = refs[pos]; pos += 1
+    srcs = refs[pos: pos + K]; pos += K
+    aligned = refs[pos: pos + n_aligned]; pos += n_aligned
+    b1_ref = refs[pos]; pos += 1
+    p2 = {}
+    if has_w2:
+        p2["w2"] = refs[pos]; pos += 1
+        p2["b2"] = refs[pos]; pos += 1
+    p2["nc_scale"] = refs[pos]; pos += 1
+    p2["nc_bias"] = refs[pos]; pos += 1
+    p2["ng_scale"] = refs[pos]; pos += 1
+    p2["ng_bias"] = refs[pos]; pos += 1
+    weights_ref = None
+    if has_weights:
+        weights_ref = refs[pos]; pos += 1
+    mask_ref = None
+    if has_mask:
+        mask_ref = refs[pos]; pos += 1
+    resnet_ref = None
+    if has_resnet:
+        resnet_ref = refs[pos]; pos += 1
+    out_ref = refs[pos]; pos += 1
+    sbufs = refs[pos: pos + K]; pos += K
+    ibuf = refs[pos]; pos += 1
+    acc = refs[pos]; pos += 1
+    ssems = refs[pos: pos + K]; pos += K
+    isem = refs[pos]
+
+    C2 = C  # feature width is 2D = 128: P == 1, no row packing
+    j = pl.program_id(0)
+
+    def idma():
+        return pltpu.make_async_copy(idx_hbm.at[pl.ds(j, 1)], ibuf, isem)
+
+    idma().start()
+    acc[...] = jnp.zeros_like(acc)
+    idma().wait()
+    iall = ibuf[0]  # [Kp, BO]
+
+    for k in range(K):
+        lo = scalars[2 * k][j]
+        n_chunks = scalars[2 * k + 1][j]
+        n2 = n_srcs[k]
+        idx = iall[k: k + 1, :]
+        src_hbm = srcs[k]
+        sbuf = sbufs[k]
+        ssem = ssems[k]
+
+        def dma(slot, step, lo=lo, n2=n2, src_hbm=src_hbm, sbuf=sbuf,
+                ssem=ssem):
+            start2 = pl.multiple_of(
+                jnp.minimum(lo + step * C2, n2 - C2), C2
+            )
+            return pltpu.make_async_copy(
+                src_hbm.at[pl.ds(start2, C2), :], sbuf.at[slot],
+                ssem.at[slot],
+            )
+
+        @pl.when(n_chunks > 0)
+        def _():
+            dma(0, 0).start()
+
+        def body(step, _, lo=lo, n2=n2, idx=idx, dma=dma, sbuf=sbuf):
+            slot = jax.lax.rem(step, 2)
+
+            @pl.when(step + 1 < n_chunks)
+            def _():
+                dma(1 - slot, step + 1).start()
+
+            dma(slot, step).wait()
+            start2 = jnp.minimum(lo + step * C2, n2 - C2)
+            row2 = jax.lax.broadcasted_iota(jnp.int32, (C2, 1), 0) + start2
+            row2 = jnp.where(row2 >= (lo + step * C2), row2, -2)
+            onehot_t = (row2 == idx).astype(sbuf.dtype)  # [C2, BO]
+            acc[0] += jax.lax.dot_general(
+                onehot_t,
+                sbuf[slot],
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, body, 0, unroll=False)
+
+    total = acc[0]  # [BO, 2D] f32
+    for a in aligned:
+        total = total + a[...].astype(jnp.float32)
+    total = total + b1_ref[...].astype(jnp.float32)
+
+    p2v = {k: v[...] for k, v in p2.items()}
+    out_ref[...] = _tail_math(
+        total,
+        p2v,
+        weights_ref[...] if weights_ref is not None else None,
+        mask_ref[...] if mask_ref is not None else None,
+        resnet_ref[...] if resnet_ref is not None else None,
+        out_ref.dtype,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_aligned", "has_w2", "has_weights", "has_mask", "has_resnet",
+        "interpret",
+    ),
+)
+def _fused_pass_pallas(
+    srcs, idxs, chunk_los, chunk_cnts, aligned, b1, p2, weights, mask,
+    resnet, *, n_aligned, has_w2, has_weights, has_mask, has_resnet,
+    interpret=False,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    K = len(srcs)
+    d2 = srcs[0].shape[1] if K else aligned[0].shape[1]
+    dim = d2 // 2
+    L = idxs[0].shape[0] if K else aligned[0].shape[0]
+    n_blocks = L // BO
+    dtype = srcs[0].dtype if K else aligned[0].dtype
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    scalars = []
+    for lo, cnt in zip(chunk_los, chunk_cnts):
+        scalars += [lo, cnt]
+    # per-block index rows, Kp padded to the 8-row i32 tile (see
+    # _multi_gather_pallas)
+    Kp = -(-max(K, 1) // 8) * 8
+    idx_all = jnp.stack(
+        [i.reshape(n_blocks, BO) for i in idxs]
+        + [jnp.zeros((n_blocks, BO), jnp.int32)] * (Kp - K),
+        axis=1,
+    )  # [n_blocks, Kp, BO]
+
+    row_spec = pl.BlockSpec((BO, d2), lambda j, *_: (j, 0))
+    out_spec = pl.BlockSpec((BO, dim), lambda j, *_: (j, 0))
+    vecd_spec = pl.BlockSpec((dim,), lambda j, *_: (0,))
+    vec2d_spec = pl.BlockSpec((d2,), lambda j, *_: (0,))
+    mat_spec = pl.BlockSpec((d2, d2), lambda j, *_: (0, 0))
+
+    in_specs = (
+        [pl.BlockSpec(memory_space=pl.ANY)]  # idx_all
+        + [pl.BlockSpec(memory_space=pl.ANY)] * K  # src tables
+        + [row_spec] * n_aligned
+        + [vec2d_spec]  # b1
+    )
+    operands = [idx_all] + list(srcs) + list(aligned) + [b1]
+    if has_w2:
+        in_specs += [mat_spec, vec2d_spec]
+        operands += [p2["w2"], p2["b2"]]
+    in_specs += [vecd_spec] * 4
+    operands += [
+        p2["nc_scale"], p2["nc_bias"], p2["ng_scale"], p2["ng_bias"]
+    ]
+    if has_weights:
+        in_specs.append(out_spec)
+        operands.append(weights)
+    if has_mask:
+        in_specs.append(pl.BlockSpec((BO,), lambda j, *_: (j,)))
+        operands.append(mask)
+    if has_resnet:
+        in_specs.append(out_spec)
+        operands.append(resnet)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2 * K,
+        grid=(n_blocks,),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        scratch_shapes=(
+            [pltpu.VMEM((2, C, d2), dtype) for _ in range(K)]
+            + [pltpu.VMEM((1, Kp, BO), jnp.int32)]
+            + [pltpu.VMEM((1, BO, d2), jnp.float32)]
+            + [pltpu.SemaphoreType.DMA((2,)) for _ in range(K)]
+            + [pltpu.SemaphoreType.DMA]
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _kernel,
+            K=K,
+            n_aligned=n_aligned,
+            has_w2=has_w2,
+            has_weights=has_weights,
+            has_mask=has_mask,
+            has_resnet=has_resnet,
+            n_srcs=tuple(s.shape[0] for s in srcs),
+            d2=d2,
+            dim=dim,
+            prec=prec,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((L, dim), dtype),
+        interpret=interpret,
+    )(*scalars, *operands)
+
+
+# ------------------------------------------------------------ public op
+def _reference_pass(tables, idxs, plans, b1, p2, weights, mask, resnet):
+    """Unfused composition (custom-vjp building blocks): the math the
+    kernel must match, and the path the backward recomputes through."""
+    from chgnet_tpu.ops.gated_message import (
+        fused_gated_message,
+        fused_gated_update,
+    )
+    from chgnet_tpu.ops.scatter import gather_sum
+
+    acc = gather_sum(list(zip(tables, idxs, plans))) + b1
+    if weights is not None:
+        # message shape (AtomConv / BondConv): weights and mask together
+        out = fused_gated_message(
+            acc,
+            weights,
+            mask if mask is not None else jnp.ones(acc.shape[0], acc.dtype),
+            p2,
+        )
+        if resnet is not None:
+            out = out + resnet
+        return out
+    # update shape (AngleUpdate): no weights/mask, resnet folded in
+    if mask is not None:
+        raise NotImplementedError("mask without weights is unsupported")
+    resnet_in = (
+        resnet
+        if resnet is not None
+        else jnp.zeros((acc.shape[0], p2["nc_scale"].shape[-1]), acc.dtype)
+    )
+    return fused_gated_update(acc, resnet_in, p2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _fused_pass_op(tables, idxs, plans, b1, p2, weights, mask, resnet):
+    win = [i is not None for i in idxs]
+    srcs = tuple(t for t, w in zip(tables, win) if w)
+    widxs = tuple(i for i in idxs if i is not None)
+    wplans = tuple(p for p, w in zip(plans, win) if w)
+    aligned = tuple(t for t, w in zip(tables, win) if not w)
+    return _fused_pass_pallas(
+        srcs,
+        widxs,
+        tuple(p.g_lo for p in wplans),
+        tuple(p.g_cnt for p in wplans),
+        aligned,
+        b1,
+        p2,
+        weights,
+        mask,
+        resnet,
+        n_aligned=len(aligned),
+        has_w2="w2" in p2,
+        has_weights=weights is not None,
+        has_mask=mask is not None,
+        has_resnet=resnet is not None,
+        interpret=jax.default_backend() != "tpu",
+    )
+
+
+def _fused_pass_fwd(tables, idxs, plans, b1, p2, weights, mask, resnet):
+    out = _fused_pass_op(tables, idxs, plans, b1, p2, weights, mask, resnet)
+    return out, (tables, idxs, plans, b1, p2, weights, mask, resnet)
+
+
+def _fused_pass_bwd(res, ct):
+    tables, idxs, plans, b1, p2, weights, mask, resnet = res
+    # recompute-from-inputs through the unfused composition: every block
+    # (gather_sum, fused tails) is a custom-vjp op with a hand-optimized
+    # backward, and stays arbitrarily differentiable
+    diff = (tables, b1, p2, weights, mask, resnet)
+
+    def f(diff_args):
+        tables_, b1_, p2_, weights_, mask_, resnet_ = diff_args
+        return _reference_pass(
+            tables_, idxs, plans, b1_, p2_, weights_, mask_, resnet_
+        )
+
+    _, vjp = jax.vjp(f, diff)
+    (d_tables, d_b1, d_p2, d_weights, d_mask, d_resnet) = vjp(ct)[0]
+    return (d_tables, None, None, d_b1, d_p2, d_weights, d_mask, d_resnet)
+
+
+_fused_pass_op.defvjp(_fused_pass_fwd, _fused_pass_bwd)
+
+
+def fused_layer_pass(
+    parts,  # [(projected table [S, 2D], idx [L] | None, plan)]
+    b1: jnp.ndarray,  # [2D] joint first-layer bias (zeros if none)
+    p2: dict,  # gated_mlp_fused_pack params (w2/b2 optional, norms)
+    *,
+    weights: jnp.ndarray | None = None,  # [L, D] per-row scale
+    mask: jnp.ndarray | None = None,  # [L]
+    resnet: jnp.ndarray | None = None,  # [L, D] residual added at the end
+) -> jnp.ndarray:
+    """One conv-layer pass — first-layer gather-sum plus gated tail — in
+    a single Pallas kernel when every part qualifies, else the unfused
+    custom-op composition (bit-comparable math either way).
+
+    Qualification: >= 1 windowed part whose plan carries a gather window
+    (``stream_ops.stream_gather_ok``), all parts 2D-wide and aligned to
+    the block grid, TPU backend, and no kill switch
+    (``CHGNET_TPU_NO_FUSED_PASS``)."""
+    tables = tuple(t for t, _, _ in parts)
+    idxs = tuple(i for _, i, _ in parts)
+    plans = tuple(p for _, _, p in parts)
+    L = next(
+        (i.shape[0] for i in idxs if i is not None), tables[0].shape[0]
+    )
+    d2 = tables[0].shape[1]
+    n_windowed = 0
+    ok = (
+        not os.environ.get("CHGNET_TPU_NO_FUSED_PASS")
+        and stream_ops.tpu_backend()
+        and L % BO == 0
+        and d2 % 128 == 0
+    )
+    if ok:
+        for t, i, p in parts:
+            if t.shape[1] != d2:
+                ok = False
+                break
+            if i is None:
+                if t.shape[0] != L:
+                    ok = False
+                    break
+            else:
+                if p is None or not stream_ops.stream_gather_ok(
+                    t, L, p.g_lo
+                ):
+                    ok = False
+                    break
+                n_windowed += 1
+    if not ok or n_windowed < 1:
+        return _reference_pass(
+            tables, idxs, plans, b1, p2, weights, mask, resnet
+        )
+    return _fused_pass_op(
+        tables, idxs, plans, b1, p2, weights, mask, resnet
+    )
