@@ -151,6 +151,24 @@ def main() -> None:
         best = min(best, time.perf_counter() - start)
 
     edges_per_s = n_edges * n_iters / best
+
+    # energy-only screening throughput (forward pass, no backward): the
+    # high-volume stability-screening workload — regression-tracked as a
+    # second field so the driver's BENCH_r*.json captures both paths
+    def run_e():
+        return compute_batch(model.params, batch, config=model.config)
+
+    out_e = run_e()
+    jax.block_until_ready(out_e)
+    best_e = float("inf")
+    for _ in range(5):
+        start = time.perf_counter()
+        for _ in range(n_iters):
+            out_e = run_e()
+        float(out_e["e"][0])
+        best_e = min(best_e, time.perf_counter() - start)
+    e_only_edges_per_s = n_edges * n_iters / best_e
+
     # roofline: achieved HBM GB/s against the measured effective bound
     # (makes the "speed-of-light" target falsifiable; see roofline_bytes)
     bytes_per_iter = roofline_bytes(batch, model.config)
@@ -160,6 +178,7 @@ def main() -> None:
         "value": round(edges_per_s, 1),
         "unit": "directed edges/s",
         "vs_baseline": round(edges_per_s / BASELINE_EDGES_PER_S, 4),
+        "energy_only_edges_per_s": round(e_only_edges_per_s, 1),
         "roofline": {
             "stream_bytes_per_iter": bytes_per_iter,
             "achieved_gbps_floor": round(achieved_gbps, 2),

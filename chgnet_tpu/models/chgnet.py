@@ -124,7 +124,11 @@ class CHGNetConfig:
     sorted_grads: bool = True  # backward scatters as sorted segment sums
     # via host-precomputed permutation plans (ops/scatter.py); False falls
     # back to XLA's default random scatter-add transpose
-    remat: bool = False  # checkpoint conv blocks (large-system memory)
+    remat: bool | str = False  # rematerialize conv layers (large-system
+    # memory): True/"all" checkpoints every layer; "angle" checkpoints
+    # only BondConv + AngleUpdate — the two layers whose [A, *]
+    # angle-stream temps dominate the backward's peak (the atom stream
+    # is ~A/2 smaller), at roughly half the recompute of "all"
     dense_atom_conv: bool = False  # [N, K] dense edge layout for AtomConv
     # (requires batches built with dense_k; K-reduce replaces the scatter)
     directed_bonds: bool = True  # bond features/weights live on the
@@ -522,13 +526,21 @@ def _energy_core(
             directed_table=directed,
         )
 
-    if cfg.remat:
+    remat_mode = (
+        cfg.remat if isinstance(cfg.remat, str) else
+        ("all" if cfg.remat else "")
+    )
+    if remat_mode not in ("", "all", "angle"):
+        raise ValueError(f"remat={cfg.remat!r}: use False, True/'all', or 'angle'")
+    if remat_mode:
         # trade recompute for memory: per-LAYER rematerialization. A
         # whole-block checkpoint peaks at AtomConv + BondConv +
         # AngleUpdate angle-stream temps simultaneously during the block
         # backward (>16 GB at 10k atoms / 3.9M angle rows); checkpointing
         # each layer caps the peak at one layer's [E,*]/[A,*] pipeline.
-        atom_step = jax.checkpoint(atom_step)
+        # "angle" checkpoints only the angle-stream layers.
+        if remat_mode == "all":
+            atom_step = jax.checkpoint(atom_step)
         bond_step = jax.checkpoint(bond_step)
         angle_step = jax.checkpoint(angle_step)
 
