@@ -80,7 +80,7 @@ def _tail_math(acc, p2, weights, mask, resnet, out_dtype):
     return out.astype(out_dtype)
 
 
-def _kernel(*refs, K, n_aligned, has_w2, has_weights, has_mask, has_resnet,
+def _kernel(*refs, K, n_aligned, has_w2, has_weights, has_resnet,
             n_srcs, d2, dim, prec):
     """One output block: K window-gathers + aligned streams + bias, then
     the gated tail — all in VMEM. Gather body mirrors
@@ -105,9 +105,6 @@ def _kernel(*refs, K, n_aligned, has_w2, has_weights, has_mask, has_resnet,
     weights_ref = None
     if has_weights:
         weights_ref = refs[pos]; pos += 1
-    mask_ref = None
-    if has_mask:
-        mask_ref = refs[pos]; pos += 1
     resnet_ref = None
     if has_resnet:
         resnet_ref = refs[pos]; pos += 1
@@ -185,7 +182,7 @@ def _kernel(*refs, K, n_aligned, has_w2, has_weights, has_mask, has_resnet,
         total,
         p2v,
         weights_ref[...] if weights_ref is not None else None,
-        mask_ref[...] if mask_ref is not None else None,
+        None,
         resnet_ref[...] if resnet_ref is not None else None,
         out_ref.dtype,
     )
@@ -194,13 +191,12 @@ def _kernel(*refs, K, n_aligned, has_w2, has_weights, has_mask, has_resnet,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_aligned", "has_w2", "has_weights", "has_mask", "has_resnet",
-        "interpret",
+        "n_aligned", "has_w2", "has_weights", "has_resnet", "interpret",
     ),
 )
 def _fused_pass_pallas(
-    srcs, idxs, chunk_los, chunk_cnts, aligned, b1, p2, weights, mask,
-    resnet, *, n_aligned, has_w2, has_weights, has_mask, has_resnet,
+    srcs, idxs, chunk_los, chunk_cnts, aligned, b1, p2, weights,
+    resnet, *, n_aligned, has_w2, has_weights, has_resnet,
     interpret=False,
 ):
     from jax.experimental import pallas as pl
@@ -252,9 +248,6 @@ def _fused_pass_pallas(
     if has_weights:
         in_specs.append(out_spec)
         operands.append(weights)
-    if has_mask:
-        in_specs.append(pl.BlockSpec((BO,), lambda j, *_: (j,)))
-        operands.append(mask)
     if has_resnet:
         in_specs.append(out_spec)
         operands.append(resnet)
@@ -279,7 +272,6 @@ def _fused_pass_pallas(
             n_aligned=n_aligned,
             has_w2=has_w2,
             has_weights=has_weights,
-            has_mask=has_mask,
             has_resnet=has_resnet,
             n_srcs=tuple(s.shape[0] for s in srcs),
             d2=d2,
@@ -304,7 +296,8 @@ def _reference_pass(tables, idxs, plans, b1, p2, weights, mask, resnet):
 
     acc = gather_sum(list(zip(tables, idxs, plans))) + b1
     if weights is not None:
-        # message shape (AtomConv / BondConv): weights and mask together
+        # message shape (AtomConv / BondConv); mask may be pre-folded
+        # into weights (the mono-kernel path does this outside the op)
         out = fused_gated_message(
             acc,
             weights,
@@ -326,7 +319,7 @@ def _reference_pass(tables, idxs, plans, b1, p2, weights, mask, resnet):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
-def _fused_pass_op(tables, idxs, plans, b1, p2, weights, mask, resnet):
+def _fused_pass_op(tables, idxs, plans, b1, p2, weights, resnet):
     win = [i is not None for i in idxs]
     srcs = tuple(t for t, w in zip(tables, win) if w)
     widxs = tuple(i for i in idxs if i is not None)
@@ -341,38 +334,36 @@ def _fused_pass_op(tables, idxs, plans, b1, p2, weights, mask, resnet):
         b1,
         p2,
         weights,
-        mask,
         resnet,
         n_aligned=len(aligned),
         has_w2="w2" in p2,
         has_weights=weights is not None,
-        has_mask=mask is not None,
         has_resnet=resnet is not None,
         interpret=jax.default_backend() != "tpu",
     )
 
 
-def _fused_pass_fwd(tables, idxs, plans, b1, p2, weights, mask, resnet):
-    out = _fused_pass_op(tables, idxs, plans, b1, p2, weights, mask, resnet)
-    return out, (tables, idxs, plans, b1, p2, weights, mask, resnet)
+def _fused_pass_fwd(tables, idxs, plans, b1, p2, weights, resnet):
+    out = _fused_pass_op(tables, idxs, plans, b1, p2, weights, resnet)
+    return out, (tables, idxs, plans, b1, p2, weights, resnet)
 
 
 def _fused_pass_bwd(res, ct):
-    tables, idxs, plans, b1, p2, weights, mask, resnet = res
+    tables, idxs, plans, b1, p2, weights, resnet = res
     # recompute-from-inputs through the unfused composition: every block
     # (gather_sum, fused tails) is a custom-vjp op with a hand-optimized
     # backward, and stays arbitrarily differentiable
-    diff = (tables, b1, p2, weights, mask, resnet)
+    diff = (tables, b1, p2, weights, resnet)
 
     def f(diff_args):
-        tables_, b1_, p2_, weights_, mask_, resnet_ = diff_args
+        tables_, b1_, p2_, weights_, resnet_ = diff_args
         return _reference_pass(
-            tables_, idxs, plans, b1_, p2_, weights_, mask_, resnet_
+            tables_, idxs, plans, b1_, p2_, weights_, None, resnet_
         )
 
     _, vjp = jax.vjp(f, diff)
-    (d_tables, d_b1, d_p2, d_weights, d_mask, d_resnet) = vjp(ct)[0]
-    return (d_tables, None, None, d_b1, d_p2, d_weights, d_mask, d_resnet)
+    (d_tables, d_b1, d_p2, d_weights, d_resnet) = vjp(ct)[0]
+    return (d_tables, None, None, d_b1, d_p2, d_weights, d_resnet)
 
 
 _fused_pass_op.defvjp(_fused_pass_fwd, _fused_pass_bwd)
@@ -394,7 +385,12 @@ def fused_layer_pass(
     Qualification: >= 1 windowed part whose plan carries a gather window
     (``stream_ops.stream_gather_ok``), all parts 2D-wide and aligned to
     the block grid, TPU backend, and no kill switch
-    (``CHGNET_TPU_NO_FUSED_PASS``)."""
+    (``CHGNET_TPU_NO_FUSED_PASS``). On the kernel path the mask is folded
+    into ``weights`` OUTSIDE the op (XLA fuses the multiply into the
+    weights producer; a blocked 1-D bf16 mask operand trips Mosaic's
+    layout verifier — XLA tiles 1-D bf16 at T(1024) vs the (BO,)
+    block); the fallback keeps the historical separate-mask order for
+    bit-stable CPU numerics."""
     tables = tuple(t for t, _, _ in parts)
     idxs = tuple(i for _, i, _ in parts)
     plans = tuple(p for _, _, p in parts)
@@ -429,6 +425,8 @@ def fused_layer_pass(
         return _reference_pass(
             tables, idxs, plans, b1, p2, weights, mask, resnet
         )
-    return _fused_pass_op(
-        tables, idxs, plans, b1, p2, weights, mask, resnet
-    )
+    if mask is not None:
+        if weights is None:
+            raise NotImplementedError("mask without weights is unsupported")
+        weights = weights * mask[:, None]
+    return _fused_pass_op(tables, idxs, plans, b1, p2, weights, resnet)
