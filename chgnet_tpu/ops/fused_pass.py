@@ -350,9 +350,314 @@ def _fused_pass_fwd(tables, idxs, plans, b1, p2, weights, resnet):
 
 def _fused_pass_bwd(res, ct):
     tables, idxs, plans, b1, p2, weights, resnet = res
-    # recompute-from-inputs through the unfused composition: every block
-    # (gather_sum, fused tails) is a custom-vjp op with a hand-optimized
-    # backward, and stays arbitrarily differentiable
+    d_tables, d_b1, d_p2, d_weights, d_resnet = _pass_grads(
+        tables, idxs, plans, b1, p2, weights, resnet, ct
+    )
+    return (d_tables, None, None, d_b1, d_p2, d_weights, d_resnet)
+
+
+_fused_pass_op.defvjp(_fused_pass_fwd, _fused_pass_bwd)
+
+
+# ----------------------------------------------------- hand-fused backward
+def _bwd_kernel(*refs, K, n_aligned, has_w2, has_weights, n_srcs, d2, dim,
+                prec):
+    """One block of the pass BACKWARD: recompute the accumulator from the
+    source windows (same gather body as the forward), then the tail's
+    hand gradients — emitting d_total [BO, 2D], optional d_weights
+    [BO, D], and per-tile param-grad accumulators. The accumulator never
+    touches HBM in either direction."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from chgnet_tpu.ops.gated_message import (
+        _ln_bwd,
+        _ln_parts,
+        _silu_grad,
+    )
+
+    scalars = refs[: 2 * K]
+    pos = 2 * K
+    idx_hbm = refs[pos]; pos += 1
+    srcs = refs[pos: pos + K]; pos += K
+    aligned = refs[pos: pos + n_aligned]; pos += n_aligned
+    b1_ref = refs[pos]; pos += 1
+    p2 = {}
+    if has_w2:
+        p2["w2"] = refs[pos]; pos += 1
+        p2["b2"] = refs[pos]; pos += 1
+    p2["nc_scale"] = refs[pos]; pos += 1
+    p2["nc_bias"] = refs[pos]; pos += 1
+    p2["ng_scale"] = refs[pos]; pos += 1
+    p2["ng_bias"] = refs[pos]; pos += 1
+    weights_ref = None
+    if has_weights:
+        weights_ref = refs[pos]; pos += 1
+    g_ref = refs[pos]; pos += 1
+    # outputs
+    d_total_ref = refs[pos]; pos += 1
+    d_weights_ref = None
+    if has_weights:
+        d_weights_ref = refs[pos]; pos += 1
+    db1_ref = refs[pos]; pos += 1
+    if has_w2:
+        dw2_ref = refs[pos]; pos += 1
+        db2_ref = refs[pos]; pos += 1
+    dncs_ref = refs[pos]; pos += 1
+    dncb_ref = refs[pos]; pos += 1
+    dngs_ref = refs[pos]; pos += 1
+    dngb_ref = refs[pos]; pos += 1
+    sbufs = refs[pos: pos + K]; pos += K
+    ibuf = refs[pos]; pos += 1
+    acc = refs[pos]; pos += 1
+    ssems = refs[pos: pos + K]; pos += K
+    isem = refs[pos]
+
+    C2 = C
+    j = pl.program_id(0)
+
+    def idma():
+        return pltpu.make_async_copy(idx_hbm.at[pl.ds(j, 1)], ibuf, isem)
+
+    idma().start()
+    acc[...] = jnp.zeros_like(acc)
+    idma().wait()
+    iall = ibuf[0]
+
+    for k in range(K):
+        lo = scalars[2 * k][j]
+        n_chunks = scalars[2 * k + 1][j]
+        n2 = n_srcs[k]
+        idx = iall[k: k + 1, :]
+        src_hbm = srcs[k]
+        sbuf = sbufs[k]
+        ssem = ssems[k]
+
+        def dma(slot, step, lo=lo, n2=n2, src_hbm=src_hbm, sbuf=sbuf,
+                ssem=ssem):
+            start2 = pl.multiple_of(
+                jnp.minimum(lo + step * C2, n2 - C2), C2
+            )
+            return pltpu.make_async_copy(
+                src_hbm.at[pl.ds(start2, C2), :], sbuf.at[slot],
+                ssem.at[slot],
+            )
+
+        @pl.when(n_chunks > 0)
+        def _():
+            dma(0, 0).start()
+
+        def body(step, _, lo=lo, n2=n2, idx=idx, dma=dma, sbuf=sbuf):
+            slot = jax.lax.rem(step, 2)
+
+            @pl.when(step + 1 < n_chunks)
+            def _():
+                dma(1 - slot, step + 1).start()
+
+            dma(slot, step).wait()
+            start2 = jnp.minimum(lo + step * C2, n2 - C2)
+            row2 = jax.lax.broadcasted_iota(jnp.int32, (C2, 1), 0) + start2
+            row2 = jnp.where(row2 >= (lo + step * C2), row2, -2)
+            onehot_t = (row2 == idx).astype(sbuf.dtype)
+            acc[0] += jax.lax.dot_general(
+                onehot_t,
+                sbuf[slot],
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, body, 0, unroll=False)
+
+    f32 = jnp.float32
+    total = acc[0]
+    for a in aligned:
+        total = total + a[...].astype(f32)
+    total = total + b1_ref[...].astype(f32)
+
+    p2v = {k: v[...].astype(f32) for k, v in p2.items()}
+    g = g_ref[...].astype(f32)
+    if has_w2:
+        h = jax.nn.silu(total)
+        y = jnp.dot(h, p2v["w2"], preferred_element_type=f32) + p2v["b2"]
+    else:
+        y = total
+    zc, invc = _ln_parts(y[:, :dim])
+    zg, invg = _ln_parts(y[:, dim:])
+    cn = zc * p2v["nc_scale"] + p2v["nc_bias"]
+    gn = zg * p2v["ng_scale"] + p2v["ng_bias"]
+    silu_cn = jax.nn.silu(cn)
+    sig_gn = jax.nn.sigmoid(gn)
+    out_pre = silu_cn * sig_gn
+    if has_weights:
+        w = weights_ref[...].astype(f32)
+        d_weights_ref[...] = (g * out_pre).astype(d_weights_ref.dtype)
+        m = g * w
+    else:
+        m = g
+    d_cn = m * sig_gn * _silu_grad(cn)
+    d_gn = m * silu_cn * sig_gn * (1.0 - sig_gn)
+    d_y = jnp.concatenate(
+        [
+            _ln_bwd(d_cn, zc, invc, p2v["nc_scale"]),
+            _ln_bwd(d_gn, zg, invg, p2v["ng_scale"]),
+        ],
+        axis=-1,
+    )
+    if has_w2:
+        d_h = jnp.dot(d_y, p2v["w2"].T, preferred_element_type=f32)
+        d_total = d_h * _silu_grad(total)
+    else:
+        d_total = d_y
+    d_total_ref[...] = d_total.astype(d_total_ref.dtype)
+
+    @pl.when(j == 0)
+    def _zero():
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        if has_w2:
+            dw2_ref[...] = jnp.zeros_like(dw2_ref)
+            db2_ref[...] = jnp.zeros_like(db2_ref)
+        dncs_ref[...] = jnp.zeros_like(dncs_ref)
+        dncb_ref[...] = jnp.zeros_like(dncb_ref)
+        dngs_ref[...] = jnp.zeros_like(dngs_ref)
+        dngb_ref[...] = jnp.zeros_like(dngb_ref)
+
+    db1_ref[...] += d_total.sum(axis=0).reshape(1, -1).astype(db1_ref.dtype)
+    if has_w2:
+        dw2_ref[...] += jnp.dot(
+            h.T, d_y, preferred_element_type=f32
+        ).astype(dw2_ref.dtype)
+        db2_ref[...] += d_y.sum(axis=0).reshape(1, -1).astype(db2_ref.dtype)
+    dncs_ref[...] += (d_cn * zc).sum(axis=0).reshape(1, -1).astype(
+        dncs_ref.dtype
+    )
+    dncb_ref[...] += d_cn.sum(axis=0).reshape(1, -1).astype(dncb_ref.dtype)
+    dngs_ref[...] += (d_gn * zg).sum(axis=0).reshape(1, -1).astype(
+        dngs_ref.dtype
+    )
+    dngb_ref[...] += d_gn.sum(axis=0).reshape(1, -1).astype(dngb_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_aligned", "has_w2", "has_weights", "interpret",
+    ),
+)
+def _pass_bwd_pallas(
+    srcs, idxs, chunk_los, chunk_cnts, aligned, b1, p2, weights, g, *,
+    n_aligned, has_w2, has_weights, interpret=False,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    K = len(srcs)
+    d2 = srcs[0].shape[1] if K else aligned[0].shape[1]
+    dim = d2 // 2
+    L = idxs[0].shape[0] if K else aligned[0].shape[0]
+    n_blocks = L // BO
+    dtype = srcs[0].dtype if K else aligned[0].dtype
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    scalars = []
+    for lo, cnt in zip(chunk_los, chunk_cnts):
+        scalars += [lo, cnt]
+    Kp = -(-max(K, 1) // 8) * 8
+    idx_all = jnp.stack(
+        [i.reshape(n_blocks, BO) for i in idxs]
+        + [jnp.zeros((n_blocks, BO), jnp.int32)] * (Kp - K),
+        axis=1,
+    )
+
+    row_spec = pl.BlockSpec((BO, d2), lambda j, *_: (j, 0))
+    dim_spec = pl.BlockSpec((BO, dim), lambda j, *_: (j, 0))
+    vecd_spec = pl.BlockSpec((dim,), lambda j, *_: (0,))
+    vec2d_spec = pl.BlockSpec((d2,), lambda j, *_: (0,))
+    mat_spec = pl.BlockSpec((d2, d2), lambda j, *_: (0, 0))
+    row2d_spec = pl.BlockSpec((1, d2), lambda j, *_: (0, 0))
+    rowd_spec = pl.BlockSpec((1, dim), lambda j, *_: (0, 0))
+
+    in_specs = (
+        [pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * K
+        + [row_spec] * n_aligned
+        + [vec2d_spec]
+    )
+    operands = [idx_all] + list(srcs) + list(aligned) + [b1]
+    if has_w2:
+        in_specs += [mat_spec, vec2d_spec]
+        operands += [p2["w2"], p2["b2"]]
+    in_specs += [vecd_spec] * 4
+    operands += [
+        p2["nc_scale"], p2["nc_bias"], p2["ng_scale"], p2["ng_bias"]
+    ]
+    if has_weights:
+        in_specs.append(dim_spec)
+        operands.append(weights)
+    in_specs.append(dim_spec)
+    operands.append(g)
+
+    out_specs = [row_spec]
+    out_shape = [jax.ShapeDtypeStruct((L, d2), dtype)]
+    if has_weights:
+        out_specs.append(dim_spec)
+        out_shape.append(
+            jax.ShapeDtypeStruct((L, dim), weights.dtype)
+        )
+    out_specs.append(row2d_spec)
+    out_shape.append(jax.ShapeDtypeStruct((1, d2), jnp.float32))
+    if has_w2:
+        out_specs += [mat_spec, row2d_spec]
+        out_shape += [
+            jax.ShapeDtypeStruct((d2, d2), p2["w2"].dtype),
+            jax.ShapeDtypeStruct((1, d2), p2["b2"].dtype),
+        ]
+    out_specs += [rowd_spec] * 4
+    out_shape += [
+        jax.ShapeDtypeStruct((1, dim), p2["nc_scale"].dtype),
+        jax.ShapeDtypeStruct((1, dim), p2["nc_bias"].dtype),
+        jax.ShapeDtypeStruct((1, dim), p2["ng_scale"].dtype),
+        jax.ShapeDtypeStruct((1, dim), p2["ng_bias"].dtype),
+    ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2 * K,
+        grid=(n_blocks,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=(
+            [pltpu.VMEM((2, C, d2), dtype) for _ in range(K)]
+            + [pltpu.VMEM((1, Kp, BO), jnp.int32)]
+            + [pltpu.VMEM((1, BO, d2), jnp.float32)]
+            + [pltpu.SemaphoreType.DMA((2,)) for _ in range(K)]
+            + [pltpu.SemaphoreType.DMA]
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _bwd_kernel,
+            K=K,
+            n_aligned=n_aligned,
+            has_w2=has_w2,
+            has_weights=has_weights,
+            n_srcs=tuple(s.shape[0] for s in srcs),
+            d2=d2,
+            dim=dim,
+            prec=prec,
+        ),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*scalars, *operands)
+
+
+def _pass_grads_reference(tables, idxs, plans, b1, p2, weights, resnet, ct):
+    """Input cotangents via jax.vjp of the unfused composition (every
+    block a custom-vjp op — the arbitrarily-differentiable path)."""
     diff = (tables, b1, p2, weights, resnet)
 
     def f(diff_args):
@@ -362,11 +667,100 @@ def _fused_pass_bwd(res, ct):
         )
 
     _, vjp = jax.vjp(f, diff)
-    (d_tables, d_b1, d_p2, d_weights, d_resnet) = vjp(ct)[0]
-    return (d_tables, None, None, d_b1, d_p2, d_weights, d_resnet)
+    return vjp(ct)[0]
 
 
-_fused_pass_op.defvjp(_fused_pass_fwd, _fused_pass_bwd)
+@jax.custom_vjp
+def _pass_grads(tables, idxs, plans, b1, p2, weights, resnet, ct):
+    """(d_tables, d_b1, d_p2, d_weights, d_resnet) of the fused pass.
+
+    Primal = the hand-fused backward kernel: the accumulator is
+    recomputed from the source windows INSIDE the kernel (never hitting
+    HBM), the tail gradients come out per tile, and the windowed tables'
+    cotangents ride the planned streaming segment sums over the single
+    emitted d_total stream. Its own vjp (grad-of-grad, the force-training
+    trace) falls back to differentiating the unfused custom-op
+    composition."""
+    from chgnet_tpu.ops.scatter import _planned_segsum
+
+    win = [i is not None for i in idxs]
+    srcs = tuple(t for t, w in zip(tables, win) if w)
+    widxs = tuple(i for i in idxs if i is not None)
+    wplans = tuple(p for p, w in zip(plans, win) if w)
+    aligned = tuple(t for t, w in zip(tables, win) if not w)
+    outs = _pass_bwd_pallas(
+        srcs,
+        widxs,
+        tuple(p.g_lo for p in wplans),
+        tuple(p.g_cnt for p in wplans),
+        aligned,
+        b1,
+        p2,
+        weights,
+        ct,
+        n_aligned=len(aligned),
+        has_w2="w2" in p2,
+        has_weights=weights is not None,
+        interpret=jax.default_backend() != "tpu",
+    )
+    pos = 0
+    d_total = outs[pos]; pos += 1
+    d_weights = None
+    if weights is not None:
+        d_weights = outs[pos]; pos += 1
+    d_b1 = outs[pos][0]; pos += 1
+    d_p2 = {}
+    if "w2" in p2:
+        d_p2["w2"] = outs[pos]; pos += 1
+        d_p2["b2"] = outs[pos][0]; pos += 1
+    d_p2["nc_scale"] = outs[pos][0]; pos += 1
+    d_p2["nc_bias"] = outs[pos][0]; pos += 1
+    d_p2["ng_scale"] = outs[pos][0]; pos += 1
+    d_p2["ng_bias"] = outs[pos][0]; pos += 1
+
+    d_tables = []
+    for idx, plan, table in zip(idxs, plans, tables):
+        if idx is None:
+            d_tables.append(d_total.astype(table.dtype))
+        else:
+            d_tables.append(
+                _planned_segsum(
+                    d_total, plan.perm, plan.dst, plan.blk_lo,
+                    plan.blk_cnt, plan.raw, table.shape[0],
+                ).astype(table.dtype)
+            )
+    d_resnet = None if resnet is None else ct.astype(resnet.dtype)
+    return (
+        tuple(d_tables),
+        d_b1.astype(b1.dtype),
+        d_p2,
+        d_weights,
+        d_resnet,
+    )
+
+
+def _pass_grads_fwd(tables, idxs, plans, b1, p2, weights, resnet, ct):
+    out = _pass_grads(tables, idxs, plans, b1, p2, weights, resnet, ct)
+    return out, (tables, idxs, plans, b1, p2, weights, resnet, ct)
+
+
+def _pass_grads_bwd(res, cts):
+    tables, idxs, plans, b1, p2, weights, resnet, ct = res
+
+    def ref_grads(args):
+        tables_, b1_, p2_, weights_, resnet_, ct_ = args
+        return _pass_grads_reference(
+            tables_, idxs, plans, b1_, p2_, weights_, resnet_, ct_
+        )
+
+    _, vjp = jax.vjp(
+        ref_grads, (tables, b1, p2, weights, resnet, ct)
+    )
+    d_tables, d_b1, d_p2, d_weights, d_resnet, d_ct = vjp(cts)[0]
+    return (d_tables, None, None, d_b1, d_p2, d_weights, d_resnet, d_ct)
+
+
+_pass_grads.defvjp(_pass_grads_fwd, _pass_grads_bwd)
 
 
 def fused_layer_pass(
