@@ -134,7 +134,7 @@ def make_lean(batch: GraphBatch) -> tuple[np.ndarray, LeanMeta]:
     ]
     for name, mode in zip(_PLAN_FIELDS, modes):
         plan: GatherPlan = getattr(batch, f"plan_{name}")
-        for small in ("blk_lo", "blk_cnt", "g_lo", "g_cnt"):
+        for small in ("blk_lo", "blk_cnt", "g_lo", "g_cnt", "pw"):
             fields.append((f"{name}.{small}", np.asarray(getattr(plan, small))))
 
     layout = []
@@ -274,6 +274,7 @@ def expand_lean(blob: jnp.ndarray, meta: LeanMeta) -> GraphBatch:
             perm=perm, dst=dst, blk_lo=lean[f"{name}.blk_lo"],
             blk_cnt=lean[f"{name}.blk_cnt"], raw=raw,
             g_lo=lean[f"{name}.g_lo"], g_cnt=lean[f"{name}.g_cnt"],
+            pw=lean[f"{name}.pw"],
         )
 
     return GraphBatch(

@@ -61,6 +61,10 @@ class GatherPlan(NamedTuple):
     # valid row's index. Empty disables the forward kernel.
     g_lo: np.ndarray = np.zeros(0, np.int32)  # i32 [L // BO] or [0]
     g_cnt: np.ndarray = np.zeros(0, np.int32)  # i32 [L // BO] or [0]
+    # paired-window pipelined gather plan (stream_ops v2): per BO-row
+    # stream block, the W-aligned source block index whose TWO
+    # consecutive W-row blocks contain every valid index. Empty disables.
+    pw: np.ndarray = np.zeros(0, np.int32)  # i32 [L // BO] or [0]
 
 
 _EMPTY = np.zeros(0, np.int32)
@@ -96,17 +100,25 @@ def make_plan(
         block and must stay on XLA's gather). Windows cover EVERY row —
         padded gather indices point at the last valid row (batching
         convention), so the kernel output is bit-identical to XLA's
-        gather on padded rows too."""
+        gather on padded rows too. Also attaches the paired-window
+        pipelined plan (``pw``) when every block's span fits two W-row
+        source blocks."""
+        out: dict = {}
+        pw = stream_ops.build_pw_plan(
+            idx, np.ones(idx.shape[0], dtype=bool), num_segments
+        )
+        if pw is not None:
+            out["pw"] = pw
         gp = stream_ops.build_gather_plan(
             idx, np.ones(idx.shape[0], dtype=bool), num_segments
         )
         if gp is None:
-            return {}
+            return out
         g_lo, g_cnt, visits = gp
         min_chunks = max(key.shape[0] // stream_ops.C, 1)
         if visits <= max(_LOCAL_VISIT_FACTOR * min_chunks, min_chunks + 16):
-            return {"g_lo": g_lo, "g_cnt": g_cnt}
-        return {}
+            out.update(g_lo=g_lo, g_cnt=g_cnt)
+        return out
 
     if assume_sorted:
         if not bool((np.diff(key) >= 0).all()):
@@ -148,7 +160,7 @@ def _planned_segsum(ct, perm, dst, blk_lo, blk_cnt, raw, num_segments):
     picking the fastest correct path for this plan at trace time."""
     if raw.shape[0] > 0 and _stream_eligible(ct, blk_lo, num_segments):
         return stream_ops.segment_sum_sorted(
-            ct, raw, blk_lo, blk_cnt, num_segments
+            ct, raw, blk_lo, blk_cnt, num_segments, None, None, None, True
         )
     if perm.shape[0] == 0 and raw.shape[0] > 0:
         # lean plans (graph/leanship.py device expansion) drop the host
@@ -166,30 +178,35 @@ def _planned_segsum(ct, perm, dst, blk_lo, blk_cnt, raw, num_segments):
     )
 
 
-def _gather_fwd_impl(table, idx, g_lo, g_cnt):
-    """Forward gather: the streaming window kernel when the plan carries
-    a gather window and shapes qualify, else XLA's gather. NOTE the
-    kernel zeroes rows whose index falls outside the window — only
-    masked/padded rows by plan construction, and every consumer masks."""
+def _gather_fwd_impl(table, idx, g_lo, g_cnt, pw):
+    """Forward gather: the paired-window pipelined kernel when the plan
+    carries ``pw``, else the v1 streaming window kernel on ``g_lo``, else
+    XLA's gather. NOTE the kernels zero rows whose index falls outside
+    the window — only masked/padded rows by plan construction, and every
+    consumer masks."""
+    if stream_ops.stream_gather_v2_ok(table, idx.shape[0], pw):
+        return stream_ops._gather_v2_pallas(table, idx, pw)
     if stream_ops.stream_gather_ok(table, idx.shape[0], g_lo):
         return stream_ops._gather_pallas(table, idx, g_lo, g_cnt)
     return table[idx]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10,))
 def _gather_planned(
-    table, idx, perm, dst, blk_lo, blk_cnt, raw, g_lo, g_cnt, num_segments
+    table, idx, perm, dst, blk_lo, blk_cnt, raw, g_lo, g_cnt, pw,
+    num_segments,
 ):
-    return _gather_fwd_impl(table, idx, g_lo, g_cnt)
+    return _gather_fwd_impl(table, idx, g_lo, g_cnt, pw)
 
 
 def _gather_planned_fwd(
-    table, idx, perm, dst, blk_lo, blk_cnt, raw, g_lo, g_cnt, num_segments
+    table, idx, perm, dst, blk_lo, blk_cnt, raw, g_lo, g_cnt, pw,
+    num_segments,
 ):
     # recurse through the custom op: higher-order autodiff differentiates
     # this fwd itself, and the raw windowed-gather pallas_call has no JVP
     out = _gather_planned(
-        table, idx, perm, dst, blk_lo, blk_cnt, raw, g_lo, g_cnt,
+        table, idx, perm, dst, blk_lo, blk_cnt, raw, g_lo, g_cnt, pw,
         num_segments,
     )
     return out, (perm, dst, blk_lo, blk_cnt, raw)
@@ -198,7 +215,7 @@ def _gather_planned_fwd(
 def _gather_planned_bwd(num_segments, res, ct):
     perm, dst, blk_lo, blk_cnt, raw = res
     dtable = _planned_segsum(ct, perm, dst, blk_lo, blk_cnt, raw, num_segments)
-    return (dtable,) + (None,) * 8
+    return (dtable,) + (None,) * 9
 
 
 _gather_planned.defvjp(_gather_planned_fwd, _gather_planned_bwd)
@@ -218,7 +235,7 @@ def plan_gather(
         return table[idx]
     return _gather_planned(
         table, idx, plan.perm, plan.dst, plan.blk_lo, plan.blk_cnt,
-        plan.raw, plan.g_lo, plan.g_cnt, table.shape[0],
+        plan.raw, plan.g_lo, plan.g_cnt, plan.pw, table.shape[0],
     )
 
 
@@ -439,6 +456,8 @@ def harmonize_plans(plans: list[GatherPlan]) -> list[GatherPlan]:
 
     if differs("g_lo") or differs("g_cnt"):
         out = [p._replace(g_lo=_EMPTY, g_cnt=_EMPTY) for p in out]
+    if differs("pw"):
+        out = [p._replace(pw=_EMPTY) for p in out]
     if differs("raw"):
         out = [
             p._replace(raw=_EMPTY, blk_lo=_EMPTY, blk_cnt=_EMPTY)
@@ -503,12 +522,13 @@ def plan_segment_sum(
         and _stream_eligible(data, plan.blk_lo, num_segments)
     ):
         # the plan's gather window (when present) routes the backward's
-        # ct[dst] expansion through the streaming window-gather kernel
+        # ct[dst] expansion through the streaming window-gather kernels
         g_lo = plan.g_lo if plan.g_lo.shape[0] else None
         g_cnt = plan.g_cnt if g_lo is not None else None
+        pw = plan.pw if plan.pw.shape[0] else None
         return stream_ops.segment_sum_sorted(
             data, plan.dst, plan.blk_lo, plan.blk_cnt, num_segments,
-            g_lo, g_cnt,
+            g_lo, g_cnt, pw,
         )
     return jax.ops.segment_sum(
         data, segment_ids, num_segments, indices_are_sorted=indices_are_sorted

@@ -231,7 +231,42 @@ def _segsum_pallas(x, dst, chunk_lo, n_chunks, *, n_out, interpret=False):
     )(chunk_lo, n_chunks, dstp, xp)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _segsum_impl(x, dst, blk_lo, blk_cnt, n_out, raw_mode):
+    """Kernel selector. Measured round 4 (bench-scale, one v5e):
+    narrow streams (d < 128) run ~27% faster on the v2 input-stationary
+    pipelined kernel — it consumes (C, d) blocks directly where v1 must
+    P-pack rows into 128-lane pairs — while at d = 128 the two are equal
+    (both ~80% of the pipelined-copy ceiling; per-grid-step overhead
+    dominates, so v2's finer blocks buy nothing). Keep v1 for full-width
+    streams, v2 for narrow ones; CHGNET_TPU_NO_STREAM_V2 kills v2."""
+    if stream_v2_enabled() and x.shape[1] < 128:
+        return _segsum_v2_pallas(
+            x, dst, blk_lo, blk_cnt, n_out=n_out, raw_mode=raw_mode
+        )
+    return _segsum_pallas(x, dst, blk_lo, blk_cnt, n_out=n_out)
+
+
+V2_BO = int(os.environ.get("CHGNET_TPU_STREAM_V2_BO", 512))
+
+
+def _device_block_plan(dst, n_out: int, bo: int):
+    """Per-``bo``-row output block chunk ranges of a SORTED dst stream,
+    computed ON DEVICE (a searchsorted over [n_blocks] keys — the finer
+    v2 grain needs no host plan; padding >= n_out sits at the tail)."""
+    n_blocks = -(-n_out // bo)
+    edges = jnp.minimum(
+        jnp.arange(n_blocks + 1, dtype=jnp.int32) * bo, n_out
+    ).astype(dst.dtype)
+    bounds = jnp.searchsorted(dst, edges, side="left").astype(jnp.int32)
+    starts, ends = bounds[:-1], bounds[1:]
+    chunk_lo = (starts // C) * C
+    cnt = jnp.where(
+        ends > starts, (ends - chunk_lo + C - 1) // C, 0
+    )
+    return chunk_lo.astype(jnp.int32), cnt.astype(jnp.int32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 8))
 def segment_sum_sorted(
     x: jnp.ndarray,
     dst: jnp.ndarray,  # [L] block-plannable, padding >= n_out
@@ -240,6 +275,8 @@ def segment_sum_sorted(
     n_out: int,
     g_lo: jnp.ndarray | None = None,  # optional gather-window plan over
     g_cnt: jnp.ndarray | None = None,  # dst (GatherPlan.g_lo/g_cnt)
+    pw: jnp.ndarray | None = None,  # paired-window plan over dst (v2)
+    raw_mode: bool = False,  # dst is an UNSORTED block-local stream
 ) -> jnp.ndarray:
     """Segment sum via the streaming kernel.
 
@@ -258,63 +295,78 @@ def segment_sum_sorted(
     only padded rows, whose clipped index may fall anywhere — are zeroed
     by the kernel or the trailing validity mask either way.
     """
-    return _segsum_pallas(x, dst, blk_lo, blk_cnt, n_out=n_out)
+    return _segsum_impl(x, dst, blk_lo, blk_cnt, n_out, raw_mode)
 
 
-def _segsum_sorted_fwd(x, dst, blk_lo, blk_cnt, n_out, g_lo=None, g_cnt=None):
+def _segsum_sorted_fwd(
+    x, dst, blk_lo, blk_cnt, n_out, g_lo=None, g_cnt=None, pw=None,
+    raw_mode=False,
+):
     # recurse through the custom op (NOT the raw pallas_call): higher-order
     # autodiff differentiates this fwd function itself, and the
     # scalar-prefetch pallas_call has no JVP rule — the recursive call
     # keeps every order inside custom-vjp ops
-    out = segment_sum_sorted(x, dst, blk_lo, blk_cnt, n_out, g_lo, g_cnt)
-    return out, (dst, blk_lo, blk_cnt, g_lo, g_cnt)
+    out = segment_sum_sorted(
+        x, dst, blk_lo, blk_cnt, n_out, g_lo, g_cnt, pw, raw_mode
+    )
+    return out, (dst, blk_lo, blk_cnt, g_lo, g_cnt, pw)
 
 
-def _segsum_sorted_bwd(n_out, res, ct):
+def _segsum_sorted_bwd(n_out, raw_mode, res, ct):
     # d x[i] = ct[dst[i]]; dropped rows (dst >= n_out) get zero. Routed
     # through expand_rows (a custom-vjp op) so grad-of-grad — the force
     # training path differentiates this backward — sees a transpose rule
     # (the raw _gather_pallas pallas_call has none).
-    dst, blk_lo, blk_cnt, g_lo, g_cnt = res
-    d_x = expand_rows(ct, dst, blk_lo, blk_cnt, g_lo, g_cnt, n_out)
-    return (d_x, None, None, None, None, None)
+    dst, blk_lo, blk_cnt, g_lo, g_cnt, pw = res
+    d_x = expand_rows(
+        ct, dst, blk_lo, blk_cnt, g_lo, g_cnt, pw, n_out, raw_mode
+    )
+    return (d_x, None, None, None, None, None, None)
 
 
 segment_sum_sorted.defvjp(_segsum_sorted_fwd, _segsum_sorted_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def expand_rows(ct, dst, blk_lo, blk_cnt, g_lo, g_cnt, n_out):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def expand_rows(ct, dst, blk_lo, blk_cnt, g_lo, g_cnt, pw, n_out,
+                raw_mode=False):
     """``ct[dst]`` with dropped rows (``dst >= n_out``) zeroed — the
     transpose of a segment sum by ``dst``. The forward rides the
     streaming window-gather kernel when ``g_lo`` carries a window plan;
     the custom vjp closes the recursion for arbitrary-order autodiff:
     this op's transpose is :func:`segment_sum_sorted` over the SAME block
-    plan, whose transpose is this op again."""
+    plan, whose transpose is this op again. ``raw_mode`` marks ``dst``
+    as an unsorted block-local stream (sizes the transpose's v2 visit
+    capacity)."""
     safe = jnp.minimum(dst, n_out - 1)
-    if stream_gather_ok(ct, dst.shape[0], g_lo):
+    if stream_gather_v2_ok(ct, dst.shape[0], pw):
+        d_x = _gather_v2_pallas(ct, safe, pw)
+    elif stream_gather_ok(ct, dst.shape[0], g_lo):
         d_x = _gather_pallas(ct, safe, g_lo, g_cnt)
     else:
         d_x = jnp.take(ct, safe, axis=0)
     return jnp.where((dst < n_out)[:, None], d_x, 0).astype(ct.dtype)
 
 
-def _expand_rows_fwd(ct, dst, blk_lo, blk_cnt, g_lo, g_cnt, n_out):
-    out = expand_rows(ct, dst, blk_lo, blk_cnt, g_lo, g_cnt, n_out)
-    return out, (dst, blk_lo, blk_cnt, g_lo, g_cnt)
+def _expand_rows_fwd(ct, dst, blk_lo, blk_cnt, g_lo, g_cnt, pw, n_out,
+                     raw_mode=False):
+    out = expand_rows(
+        ct, dst, blk_lo, blk_cnt, g_lo, g_cnt, pw, n_out, raw_mode
+    )
+    return out, (dst, blk_lo, blk_cnt, g_lo, g_cnt, pw)
 
 
-def _expand_rows_bwd(n_out, res, g):
-    dst, blk_lo, blk_cnt, g_lo, g_cnt = res
+def _expand_rows_bwd(n_out, raw_mode, res, g):
+    dst, blk_lo, blk_cnt, g_lo, g_cnt, pw = res
     if stream_segsum_ok(g, blk_lo, n_out):
         d_ct = segment_sum_sorted(
-            g, dst, blk_lo, blk_cnt, n_out, g_lo, g_cnt
+            g, dst, blk_lo, blk_cnt, n_out, g_lo, g_cnt, pw, raw_mode
         )
     else:
         # dst may be the RAW (unsorted) key stream of a block-local plan:
         # never claim sortedness here (XLA exploits the hint on TPU)
         d_ct = jax.ops.segment_sum(g, dst, n_out)
-    return (d_ct, None, None, None, None, None)
+    return (d_ct, None, None, None, None, None, None)
 
 
 expand_rows.defvjp(_expand_rows_fwd, _expand_rows_bwd)
@@ -661,6 +713,259 @@ def _multi_gather_pallas(
         out_shape=jax.ShapeDtypeStruct((L, d), dtype),
         interpret=interpret,
     )(*scalars, *operands)
+
+
+# ================================================================= v2
+# BlockSpec-pipelined kernels. The manual-DMA double-buffered loop above
+# tops out at ~70 GB/s on this chip regardless of compute (round-4
+# ablations: stripping the one-hot/matmul barely moves it), while
+# pallas's automatic BlockSpec pipelining streams at ~130 GB/s — the
+# same machinery XLA's own fusions ride. The v2 kernels are
+# INPUT-STATIONARY: the grid walks a host-derivable VISIT list of
+# (input chunk, output block) overlaps; inputs arrive as pipelined
+# BlockSpec blocks indexed by prefetch scalars, outputs accumulate in a
+# VMEM scratch and flush once per block. Consecutive visits that reuse a
+# chunk (sorted streams at block boundaries) hit pallas's block cache —
+# no re-fetch, so sorted streams read each row exactly once.
+
+
+def _visit_plan(blk_lo, blk_cnt, n_chunks_tot: int, n_blocks: int):  # noqa: D417
+    """Flatten the per-block chunk ranges (the EXISTING block plan) into
+    the visit list [(chunk, block)] sorted by (block, chunk), padded to
+    the STATIC capacity ``n_chunks_tot + n_blocks`` (each chunk visited
+    once per overlapping block: at most one extra visit per block
+    boundary, plus one dummy per empty block). Pure jnp over [n_blocks]
+    arrays — runs on device at trace time, no new plan fields.
+
+    Returns (vchunk, vblk, vfirst, vlast) i32 [cap]. Dummy visits pair an
+    arbitrary chunk with a block none of its rows target (zero one-hot
+    contribution) and have vfirst/vlast = 0 except the required
+    first/last marks of empty blocks."""
+    cap = n_chunks_tot + n_blocks
+    cnt = jnp.maximum(blk_cnt, 1)  # empty blocks get one dummy visit
+    offsets = jnp.cumsum(cnt)  # [n_blocks], end offset per block
+    starts = offsets - cnt
+    total = offsets[-1]
+    s = jnp.arange(cap, dtype=jnp.int32)
+    # block of each visit slot; slots past `total` park on the last block
+    b = jnp.searchsorted(offsets, s, side="right").astype(jnp.int32)
+    b = jnp.minimum(b, n_blocks - 1)
+    k = s - starts[b]  # chunk ordinal within the block
+    chunk = blk_lo[b] // C + jnp.minimum(k, cnt[b] - 1)
+    # dummy visits (empty block, or tail padding) contribute zero via the
+    # block mismatch in the kernel's one-hot; mark first/last correctly
+    vfirst = (k == 0) & (s < total)
+    vlast = (k == cnt[b] - 1) & (s < total)
+    # tail slots: park on the final block with no first/last marks
+    return (
+        chunk.astype(jnp.int32),
+        b,
+        vfirst.astype(jnp.int32),
+        vlast.astype(jnp.int32),
+    )
+
+
+def _segsum_v2_kernel(vchunk_ref, vblk_ref, vfirst_ref, vlast_ref,
+                      x_ref, dst_ref, out_ref, acc, *, prec, bo):
+    from jax.experimental import pallas as pl
+
+    s = pl.program_id(0)
+
+    @pl.when(vfirst_ref[s] == 1)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    blk = vblk_ref[s]
+    local = dst_ref[0].astype(jnp.int32) - blk * bo  # [1, C]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (bo, 1), 0)
+    onehot = (iota == local).astype(x_ref.dtype)  # [BO, C]
+    acc[...] += jax.lax.dot_general(
+        onehot,
+        x_ref[...],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    )
+
+    @pl.when(vlast_ref[s] == 1)
+    def _():
+        out_ref[...] = acc[...].astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_out", "raw_mode", "interpret")
+)
+def _segsum_v2_pallas(
+    x, dst, blk_lo, blk_cnt, *, n_out, raw_mode=False, interpret=False
+):
+    """Input-stationary streaming segment sum (see module comment).
+
+    Works for SORTED streams and for unsorted block-local ("raw") ones:
+    the one-hot match keeps only rows whose dst lands in the visit's
+    block either way, and the visit list is ordered by block so output
+    revisits are consecutive. ``raw_mode`` sizes the static visit
+    capacity for the overlapping chunk ranges local-mode plans carry
+    (bounded by make_plan's _LOCAL_VISIT_FACTOR gate); sorted plans
+    partition rows, so each block adds at most one boundary re-visit."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_rows, d = x.shape
+    n_chunks = n_rows // C
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if x.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    if raw_mode:
+        # raw plans exist only at the host grain (min/max row per block
+        # over an unsorted stream); visit capacity per make_plan's
+        # _LOCAL_VISIT_FACTOR gate, +n_blocks empty-block dummies
+        bo = BO
+        n_blocks = -(-n_out // bo)
+        n_chunks_tot = 3 * n_chunks + 16
+        plo, pcnt = jnp.asarray(blk_lo), jnp.asarray(blk_cnt)
+    else:
+        # sorted streams: recompute the block plan ON DEVICE at the
+        # finer v2 grain — smaller output blocks shrink the per-visit
+        # one-hot work (the kernel's compute bound) at the cost of a few
+        # more boundary visits
+        bo = min(V2_BO, BO)
+        n_blocks = -(-n_out // bo)
+        n_chunks_tot = n_chunks
+        plo, pcnt = _device_block_plan(dst, n_out, bo)
+    vchunk, vblk, vfirst, vlast = _visit_plan(
+        plo, pcnt, n_chunks_tot, n_blocks
+    )
+    dst3d = dst.reshape(n_rows // C, 1, C)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(vchunk.shape[0],),
+        in_specs=[
+            pl.BlockSpec((C, d), lambda s, vc, vb, vf, vl: (vc[s], 0)),
+            pl.BlockSpec(
+                (1, 1, C), lambda s, vc, vb, vf, vl: (vc[s], 0, 0)
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (bo, d), lambda s, vc, vb, vf, vl: (vb[s], 0)
+        ),
+        scratch_shapes=[pltpu.VMEM((bo, d), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_segsum_v2_kernel, prec=prec, bo=bo),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_out, d), x.dtype),
+        interpret=interpret,
+    )(vchunk, vblk, vfirst, vlast, x, dst3d)
+
+
+W = C  # paired-window gather: source window = two W-row BlockSpec blocks
+
+
+def _gather_v2_kernel(wlo_ref, idx_ref, slo_ref, shi_ref, out_ref, *,
+                      prec):
+    from jax.experimental import pallas as pl
+
+    j = pl.program_id(0)
+    base = wlo_ref[j] * W
+    idx = idx_ref[0].astype(jnp.int32)  # [1, BO]
+    local = idx - base
+    rows = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+    oh_lo = (rows == local).astype(slo_ref.dtype)  # [W, BO]
+    oh_hi = ((rows + W) == local).astype(shi_ref.dtype)
+    acc = jax.lax.dot_general(
+        oh_lo, slo_ref[...], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    acc += jax.lax.dot_general(
+        oh_hi, shi_ref[...], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    out_ref[...] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _gather_v2_pallas(src, idx, wlo, *, interpret=False):
+    """Paired-window pipelined gather: per BO-row output block, the
+    source window rides as TWO consecutive W-row BlockSpec blocks of the
+    same table (index maps driven by the per-block ``wlo`` scalar), so
+    pallas pipelines the fetches. Requires every block's indices inside
+    [wlo*W, wlo*W + 2W) — guaranteed by ``build_pw_plan``. Out-of-window
+    rows (only masked/padded, by plan construction) come out zero."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_src, d = src.shape
+    L = idx.shape[0]
+    n_blocks = L // BO
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if src.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    idx3d = idx.reshape(n_blocks, 1, BO)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, 1, BO), lambda j, wlo: (j, 0, 0)),
+            pl.BlockSpec((W, d), lambda j, wlo: (wlo[j], 0)),
+            pl.BlockSpec((W, d), lambda j, wlo: (wlo[j] + 1, 0)),
+        ],
+        out_specs=pl.BlockSpec((BO, d), lambda j, wlo: (j, 0)),
+    )
+    return pl.pallas_call(
+        functools.partial(_gather_v2_kernel, prec=prec),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((L, d), src.dtype),
+        interpret=interpret,
+    )(wlo, idx3d, src, src)
+
+
+def build_pw_plan(
+    idx: np.ndarray, valid: np.ndarray, n_src: int
+) -> np.ndarray | None:
+    """Per BO-row stream block: the W-aligned source block index ``wlo``
+    with every VALID row's index inside [wlo*W, wlo*W + 2W) — the
+    paired-window pipelined gather's plan. None when any block's span
+    exceeds the paired window, the stream is unaligned, or the source
+    table is too small for two W-blocks."""
+    idx = np.asarray(idx)
+    L = idx.shape[0]
+    if L == 0 or L % BO or n_src < 2 * W or n_src % W:
+        return None
+    blocks = idx.reshape(-1, BO).astype(np.int64)
+    ok = np.asarray(valid).reshape(-1, BO)
+    lo = np.where(ok, blocks, np.iinfo(np.int64).max).min(axis=1)
+    hi = np.where(ok, blocks, -1).max(axis=1)
+    empty = hi < 0
+    lo = np.where(empty, 0, lo)
+    hi = np.where(empty, 0, hi)
+    wlo = np.minimum(lo // W, n_src // W - 2)
+    if ((lo < wlo * W) | (hi >= wlo * W + 2 * W)).any():
+        return None
+    return wlo.astype(np.int32)
+
+
+def stream_v2_enabled() -> bool:
+    """v2 pipelined kernels on unless killed (string truthiness)."""
+    return not os.environ.get("CHGNET_TPU_NO_STREAM_V2")
+
+
+def stream_gather_v2_ok(src: jnp.ndarray, n_rows: int, pw) -> bool:
+    """Static eligibility for the paired-window pipelined gather."""
+    return (
+        stream_v2_enabled()
+        and not os.environ.get("CHGNET_TPU_NO_STREAM_GATHER")
+        and pw is not None
+        and getattr(pw, "shape", (0,))[0] == n_rows // BO
+        and src.ndim == 2
+        and n_rows % BO == 0
+        and src.shape[0] % W == 0
+        and src.shape[0] >= 2 * W
+        and tpu_backend()
+    )
 
 
 def stream_gather_ok(src: jnp.ndarray, n_rows: int, g_lo) -> bool:

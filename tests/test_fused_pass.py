@@ -20,7 +20,10 @@ from chgnet_tpu.ops.scatter import make_plan
 def kernels_on(monkeypatch):
     monkeypatch.setattr(so, "tpu_backend", lambda: True)
     monkeypatch.setenv("CHGNET_TPU_FUSED_PASS", "1")  # opt-in gate
-    for name in ("_multi_gather_pallas", "_gather_pallas", "_segsum_pallas"):
+    for name in (
+        "_multi_gather_pallas", "_gather_pallas", "_segsum_pallas",
+        "_segsum_v2_pallas", "_gather_v2_pallas",
+    ):
         monkeypatch.setattr(
             so, name, ft.partial(getattr(so, name), interpret=True)
         )

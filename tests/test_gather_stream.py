@@ -177,7 +177,10 @@ def test_gather_sum_fused_matches_fallback_and_grads(monkeypatch):
     # force every kernel gate open, with all pallas entry points in
     # interpret mode (CPU backend)
     monkeypatch.setattr(so, "tpu_backend", lambda: True)
-    for name in ("_multi_gather_pallas", "_gather_pallas", "_segsum_pallas"):
+    for name in (
+        "_multi_gather_pallas", "_gather_pallas", "_segsum_pallas",
+        "_segsum_v2_pallas", "_gather_v2_pallas",
+    ):
         monkeypatch.setattr(
             so, name, ft.partial(getattr(so, name), interpret=True)
         )

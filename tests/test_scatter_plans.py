@@ -176,6 +176,17 @@ def test_train_grads_with_kernel_gates_open(batch, monkeypatch):
     )
     monkeypatch.setattr(
         so,
+        "_segsum_v2_pallas",
+        lambda x, dst, lo, cnt, *, n_out, raw_mode=False,
+        interpret=False: jax.ops.segment_sum(x, dst, num_segments=n_out),
+    )
+    monkeypatch.setattr(
+        so,
+        "_gather_v2_pallas",
+        lambda src, idx, pw, *, interpret=False: src[idx],
+    )
+    monkeypatch.setattr(
+        so,
         "_multi_gather_pallas",
         lambda srcs, idxs, los, cnts, stream=None, *, has_stream=False,
         interpret=False: (

@@ -145,7 +145,10 @@ def _force_kernels(monkeypatch):
     import functools as ft
 
     monkeypatch.setattr(so, "tpu_backend", lambda: True)
-    for name in ("_multi_gather_pallas", "_gather_pallas", "_segsum_pallas"):
+    for name in (
+        "_multi_gather_pallas", "_gather_pallas", "_segsum_pallas",
+        "_segsum_v2_pallas", "_gather_v2_pallas",
+    ):
         monkeypatch.setattr(
             so, name, ft.partial(getattr(so, name), interpret=True)
         )
@@ -318,7 +321,10 @@ def test_full_model_kernel_path_matches_xla(monkeypatch):
     ref = jax.tree.map(np.asarray, run())
 
     monkeypatch.setattr(so, "tpu_backend", lambda: True)
-    for name in ("_multi_gather_pallas", "_gather_pallas", "_segsum_pallas"):
+    for name in (
+        "_multi_gather_pallas", "_gather_pallas", "_segsum_pallas",
+        "_segsum_v2_pallas", "_gather_v2_pallas",
+    ):
         monkeypatch.setattr(
             so, name, ft.partial(getattr(so, name), interpret=True)
         )
