@@ -826,14 +826,17 @@ def _segsum_v2_pallas(
         n_chunks_tot = 3 * n_chunks + 16
         plo, pcnt = jnp.asarray(blk_lo), jnp.asarray(blk_cnt)
     else:
-        # sorted streams: recompute the block plan ON DEVICE at the
-        # finer v2 grain — smaller output blocks shrink the per-visit
-        # one-hot work (the kernel's compute bound) at the cost of a few
-        # more boundary visits
         bo = min(V2_BO, BO)
         n_blocks = -(-n_out // bo)
         n_chunks_tot = n_chunks
-        plo, pcnt = _device_block_plan(dst, n_out, bo)
+        if bo == BO:
+            # the host block plan is already at this grain — reuse it
+            # (jnp.searchsorted over the full stream is NOT cheap on TPU;
+            # recomputing per call measurably regressed the bench)
+            plo, pcnt = jnp.asarray(blk_lo), jnp.asarray(blk_cnt)
+        else:
+            # finer grain (experiments only): device recompute
+            plo, pcnt = _device_block_plan(dst, n_out, bo)
     vchunk, vblk, vfirst, vlast = _visit_plan(
         plo, pcnt, n_chunks_tot, n_blocks
     )
@@ -949,14 +952,26 @@ def build_pw_plan(
 
 
 def stream_v2_enabled() -> bool:
-    """v2 pipelined kernels on unless killed (string truthiness)."""
-    return not os.environ.get("CHGNET_TPU_NO_STREAM_V2")
+    """v2 pipelined kernels: OPT-IN (CHGNET_TPU_STREAM_V2=anything).
+
+    Round-4 model-level A/B: despite microbench wins (+27% on synthetic
+    d=64 fan-in-2 streams; robust paired-window gathers), the full
+    E+F+S+M bench ran 3-4% SLOWER with v2 on (1.82M -> 1.75-1.76M
+    edges/s). The v1 manual-DMA kernels amortize grid-step overhead over
+    long chunk loops, which wins on the model's high-fan-in streams
+    (center scatter: ~80 chunks per output block), and session noise
+    covers the narrow-stream gain. Kept as measured infrastructure —
+    the dispatch, plans, and tests all exercise it."""
+    return bool(os.environ.get("CHGNET_TPU_STREAM_V2")) and not os.environ.get(
+        "CHGNET_TPU_NO_STREAM_V2"
+    )
 
 
 def stream_gather_v2_ok(src: jnp.ndarray, n_rows: int, pw) -> bool:
     """Static eligibility for the paired-window pipelined gather."""
     return (
         stream_v2_enabled()
+        and not os.environ.get("CHGNET_TPU_NO_PW_GATHER")
         and not os.environ.get("CHGNET_TPU_NO_STREAM_GATHER")
         and pw is not None
         and getattr(pw, "shape", (0,))[0] == n_rows // BO

@@ -70,7 +70,7 @@ def test_directed_edge_equality():
 def test_incomplete_graph_raises():
     graph = Graph([Node(index=idx) for idx in range(2)])
     graph.add_edge(0, 1, np.zeros(3), 1.0)  # reverse never added
-    with pytest.raises(ValueError, match="not complete"):
+    with pytest.raises(ValueError, match="reverse edge"):
         graph.line_graph_adjacency_list(cutoff=3.0)
 
 

@@ -332,3 +332,59 @@ def test_full_model_kernel_path_matches_xla(monkeypatch):
     out = jax.tree.map(np.asarray, run())
     for key, atol in (("e", 1e-5), ("f", 1e-4), ("s", 1e-4), ("m", 1e-5)):
         np.testing.assert_allclose(out[key], ref[key], atol=atol, err_msg=key)
+
+
+def test_v2_kernels_match_references(monkeypatch):
+    """Opt-in v2 kernels (input-stationary segsum, paired-window gather)
+    against jnp references in interpret mode — sorted, raw-local, and
+    narrow-stream shapes."""
+    import functools as ft
+
+    import jax
+    import jax.numpy as jnp
+
+    monkeypatch.setenv("CHGNET_TPU_STREAM_V2", "1")
+    monkeypatch.setattr(so, "tpu_backend", lambda: True)
+    for name in ("_segsum_v2_pallas", "_gather_v2_pallas"):
+        monkeypatch.setattr(
+            so, name, ft.partial(getattr(so, name), interpret=True)
+        )
+    rng = np.random.default_rng(21)
+    n_out, L = 3 * so.BO, 4 * so.C
+    for d in (32, 64, 128):
+        x = jnp.asarray(rng.standard_normal((L, d)), jnp.float32)
+        # sorted stream with padded tail
+        dst = np.sort(rng.integers(0, n_out, L - 40)).astype(np.int32)
+        dst = np.concatenate([dst, np.full(40, n_out, np.int32)])
+        blk_lo, blk_cnt = so.build_block_plan(dst, n_out)
+        out = so._segsum_v2_pallas(
+            x, jnp.asarray(dst), jnp.asarray(blk_lo), jnp.asarray(blk_cnt),
+            n_out=n_out,
+        )
+        ref = jax.ops.segment_sum(x, jnp.asarray(dst), n_out)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-5, err_msg=f"d={d}"
+        )
+    # raw (unsorted block-local) stream through the public dispatch
+    key = np.sort(rng.integers(0, n_out, L)).astype(np.int32)
+    shuffle = rng.permutation(L // 8)
+    key = key.reshape(-1, 8)[shuffle].reshape(-1)  # locally scrambled
+    perm = np.argsort(key, kind="stable").astype(np.int32)
+    blk_lo, blk_cnt, _ = so.build_block_plan_local(key, perm, n_out)
+    x = jnp.asarray(rng.standard_normal((L, 64)), jnp.float32)
+    out = so.segment_sum_sorted(
+        x, jnp.asarray(key), jnp.asarray(blk_lo), jnp.asarray(blk_cnt),
+        n_out, None, None, None, True,
+    )
+    ref = jax.ops.segment_sum(x, jnp.asarray(key), n_out)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    # paired-window gather
+    n_src = 4 * so.W
+    idx = np.sort(rng.integers(0, n_src, L)).astype(np.int32)
+    pw = so.build_pw_plan(idx, np.ones(L, bool), n_src)
+    assert pw is not None
+    src = jnp.asarray(rng.standard_normal((n_src, 64)), jnp.float32)
+    out = so._gather_v2_pallas(src, jnp.asarray(idx), jnp.asarray(pw))
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(src[jnp.asarray(idx)]), atol=0
+    )
