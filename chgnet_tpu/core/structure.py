@@ -145,6 +145,44 @@ class Structure:
         }
         return Structure(new_lattice, species.tolist(), frac, site_properties=props)
 
+    def spatial_sort(self, bits: int = 6) -> Structure:
+        """Return a copy with sites reordered along a Morton (Z-order)
+        curve over the fractional coordinates.
+
+        Atom ORDER is a free variable for the model (energies/forces are
+        permutation-equivariant), but on TPU it sets the memory locality
+        of every atom-table gather: supercells built site-major (all
+        images of site 0, then site 1 — pymatgen's and
+        :meth:`make_supercell`'s convention) interleave each atom's
+        spatial neighbors across the whole table, so the center-sorted
+        edge streams reference the atom table near-randomly. Z-ordering
+        brings neighbors-in-space closer in index — measured at 10k
+        atoms it ROUGHLY HALVES the neighbor stream's chunk-visit
+        dispersion (17x -> 10x the sequential minimum) but does NOT make
+        it window-local (the 6 A shell still spans Z-curve
+        discontinuities), so the streaming-gather gate stays closed
+        there; angle-side streams are already local under either order.
+        ``bits`` is the per-axis quantization (2^bits cells).
+        """
+        frac = self.frac_coords % 1.0
+        q = np.minimum(
+            (frac * (1 << bits)).astype(np.int64), (1 << bits) - 1
+        )
+        code = np.zeros(len(self), dtype=np.int64)
+        for b in range(bits):
+            for axis in range(3):
+                code |= ((q[:, axis] >> b) & 1) << (3 * b + axis)
+        order = np.argsort(code, kind="stable")
+        props = {
+            k: [v[i] for i in order] for k, v in self.site_properties.items()
+        }
+        return Structure(
+            self.lattice,
+            np.asarray(self.atomic_numbers)[order].tolist(),
+            self.frac_coords[order],
+            site_properties=props,
+        )
+
     def perturb(self, distance: float, seed: int | None = None) -> Structure:
         """Return a copy with every site displaced by ``distance`` Å in a
         uniformly random direction (same semantics as pymatgen's perturb).

@@ -5,6 +5,7 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
+from chgnet_tpu import ROOT
 from chgnet_tpu.core.lattice import Lattice
 from chgnet_tpu.core.structure import Structure
 
@@ -93,3 +94,21 @@ def test_masses(li_mn_o2: Structure) -> None:
     assert masses[0] == pytest.approx(6.94)  # Li
     assert masses[2] == pytest.approx(54.938)  # Mn
     assert masses[4] == pytest.approx(15.999)  # O
+
+
+def test_spatial_sort_is_a_permutation():
+    """Morton reorder: same sites (as a set), per-site properties follow,
+    and the order actually changes for a site-major supercell."""
+    s = Structure.from_file(f"{ROOT}/examples/mp-18767-LiMnO2.cif")
+    s = s.make_supercell((4, 3, 2))
+    s.site_properties["tag"] = list(range(len(s)))
+    zs = s.spatial_sort()
+    assert len(zs) == len(s)
+    tags = np.asarray(zs.site_properties["tag"])
+    assert sorted(tags.tolist()) == list(range(len(s)))
+    assert not np.array_equal(tags, np.arange(len(s)))  # actually moved
+    np.testing.assert_allclose(
+        zs.frac_coords, s.frac_coords[tags], atol=0
+    )
+    assert (np.asarray(zs.atomic_numbers)
+            == np.asarray(s.atomic_numbers)[tags]).all()
