@@ -104,11 +104,14 @@ def make_plan(
         pipelined plan (``pw``) when every block's span fits two W-row
         source blocks."""
         out: dict = {}
-        pw = stream_ops.build_pw_plan(
-            idx, np.ones(idx.shape[0], dtype=bool), num_segments
-        )
-        if pw is not None:
-            out["pw"] = pw
+        if stream_ops.stream_v2_enabled():
+            # paired-window plans serve only the opt-in v2 gather; don't
+            # spend host time on them in the rebuild pipeline otherwise
+            pw = stream_ops.build_pw_plan(
+                idx, np.ones(idx.shape[0], dtype=bool), num_segments
+            )
+            if pw is not None:
+                out["pw"] = pw
         gp = stream_ops.build_gather_plan(
             idx, np.ones(idx.shape[0], dtype=bool), num_segments
         )
