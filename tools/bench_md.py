@@ -190,20 +190,20 @@ def main() -> None:
         # steps 25% faster; CHGNET_TPU_MD_REMAT=1 restores it for larger
         # streams (skin 0.2 at this size OOMs either way).
         big = len(struct) > 2000
-        # Big systems: bf16 streams + a SMALL skin. LiMnO2 has a dense
-        # neighbor shell just above the 5 A cutoff, so skin=0.3 inflates
-        # the angle stream 3.3x (docs/performance.md); skin=0.1 keeps the
-        # streams small and the async background rebuild hides the more
-        # frequent host builds. remat=True since round 3: the streaming-
-        # kernel layout copies pushed the un-remat'ed E+F graph past the
-        # 16 GB HBM budget at this size (compile-time OOM).
+        # Big systems: bf16 streams + a moderate skin. LiMnO2 has a
+        # dense neighbor shell just above the 5 A cutoff, so skin=0.3
+        # inflates the angle stream 3.3x (docs/performance.md). Round 4:
+        # skin 0.15 replaced 0.1 as the default — ~30% fewer rebuilds
+        # roughly offsets the ~40% larger angle stream and the loop is
+        # less sensitive to tunnel/host latency jitter; remat off (the
+        # un-remat'ed EF graph fits at this size).
         model = CHGNet(
             seed=0,
             compute_dtype="bfloat16" if big else "float32",
             matmul_precision="default" if big else "highest",
             remat=_remat_opt(),
         )
-        skin = float(skin_env) if skin_env else (0.1 if big else 0.3)
+        skin = float(skin_env) if skin_env else (0.15 if big else 0.3)
         md = MolecularDynamics(
             struct,
             model=model,
