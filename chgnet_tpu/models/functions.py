@@ -303,20 +303,8 @@ def first_layer_acc_joint(
     projected [E, 2D] stream in HBM before the adds."""
     from chgnet_tpu.ops.scatter import gather_sum
 
-    first_w = jnp.concatenate([layers_c[0]["w"], layers_g[0]["w"]], axis=1)
-    offset = 0
-    projected = []
-    for part in parts:
-        table, idx, plan = _split_part(part)
-        d_k = table.shape[1]
-        projected.append(
-            (jnp.dot(table, first_w[offset: offset + d_k]), idx, plan)
-        )
-        offset += d_k
-    acc = gather_sum(projected)
-    if "b" in layers_c[0]:
-        acc = acc + jnp.concatenate([layers_c[0]["b"], layers_g[0]["b"]])
-    return acc
+    projected, b1 = project_parts(layers_c, layers_g, parts)
+    return gather_sum(projected) + b1
 
 
 def gated_mlp_fusable(params: Params, activation: str = "silu") -> bool:

@@ -45,11 +45,7 @@ from chgnet_tpu.ops.stream_ops import BO, C
 def _tail_math(acc, p2, weights, mask, resnet, out_dtype):
     """Post-accumulator math in f32 (shared: kernel body + reference)."""
     f32 = jnp.float32
-    dim = (
-        p2["nc_scale"].shape[-1]
-        if p2["nc_scale"].ndim == 1
-        else p2["nc_scale"].shape[-1]
-    )
+    dim = p2["nc_scale"].shape[-1]
     y = acc
     if "w2" in p2:
         y = (
@@ -80,40 +76,17 @@ def _tail_math(acc, p2, weights, mask, resnet, out_dtype):
     return out.astype(out_dtype)
 
 
-def _kernel(*refs, K, n_aligned, has_w2, has_weights, has_resnet,
-            n_srcs, d2, dim, prec):
-    """One output block: K window-gathers + aligned streams + bias, then
-    the gated tail — all in VMEM. Gather body mirrors
-    ``stream_ops._multi_gather_kernel`` (int-side re-read mask etc.)."""
+def _gather_windows_into_acc(scalars, idx_hbm, srcs, sbufs, ssems, ibuf,
+                             isem, acc, *, K, n_srcs, prec):
+    """Shared gather body of the forward and backward kernels: fetch the
+    per-block index rows, DMA each of the K source windows
+    (double-buffered), and reduce them into ``acc[0]`` ([BO, 2D] f32)
+    with one-hot MXU matmuls — the exact
+    ``stream_ops._multi_gather_kernel`` body (int-side re-read mask,
+    tail clamping). ONE copy here prevents forward/backward divergence
+    in the mono-kernel path."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
-
-    scalars = refs[: 2 * K]
-    pos = 2 * K
-    idx_hbm = refs[pos]; pos += 1
-    srcs = refs[pos: pos + K]; pos += K
-    aligned = refs[pos: pos + n_aligned]; pos += n_aligned
-    b1_ref = refs[pos]; pos += 1
-    p2 = {}
-    if has_w2:
-        p2["w2"] = refs[pos]; pos += 1
-        p2["b2"] = refs[pos]; pos += 1
-    p2["nc_scale"] = refs[pos]; pos += 1
-    p2["nc_bias"] = refs[pos]; pos += 1
-    p2["ng_scale"] = refs[pos]; pos += 1
-    p2["ng_bias"] = refs[pos]; pos += 1
-    weights_ref = None
-    if has_weights:
-        weights_ref = refs[pos]; pos += 1
-    resnet_ref = None
-    if has_resnet:
-        resnet_ref = refs[pos]; pos += 1
-    out_ref = refs[pos]; pos += 1
-    sbufs = refs[pos: pos + K]; pos += K
-    ibuf = refs[pos]; pos += 1
-    acc = refs[pos]; pos += 1
-    ssems = refs[pos: pos + K]; pos += K
-    isem = refs[pos]
 
     C2 = C  # feature width is 2D = 128: P == 1, no row packing
     j = pl.program_id(0)
@@ -171,6 +144,47 @@ def _kernel(*refs, K, n_aligned, has_w2, has_weights, has_resnet,
             return 0
 
         jax.lax.fori_loop(0, n_chunks, body, 0, unroll=False)
+
+
+def _kernel(*refs, K, n_aligned, has_w2, has_weights, has_resnet,
+            n_srcs, d2, dim, prec):
+    """One output block: K window-gathers + aligned streams + bias, then
+    the gated tail — all in VMEM. Gather body mirrors
+    ``stream_ops._multi_gather_kernel`` (int-side re-read mask etc.)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    scalars = refs[: 2 * K]
+    pos = 2 * K
+    idx_hbm = refs[pos]; pos += 1
+    srcs = refs[pos: pos + K]; pos += K
+    aligned = refs[pos: pos + n_aligned]; pos += n_aligned
+    b1_ref = refs[pos]; pos += 1
+    p2 = {}
+    if has_w2:
+        p2["w2"] = refs[pos]; pos += 1
+        p2["b2"] = refs[pos]; pos += 1
+    p2["nc_scale"] = refs[pos]; pos += 1
+    p2["nc_bias"] = refs[pos]; pos += 1
+    p2["ng_scale"] = refs[pos]; pos += 1
+    p2["ng_bias"] = refs[pos]; pos += 1
+    weights_ref = None
+    if has_weights:
+        weights_ref = refs[pos]; pos += 1
+    resnet_ref = None
+    if has_resnet:
+        resnet_ref = refs[pos]; pos += 1
+    out_ref = refs[pos]; pos += 1
+    sbufs = refs[pos: pos + K]; pos += K
+    ibuf = refs[pos]; pos += 1
+    acc = refs[pos]; pos += 1
+    ssems = refs[pos: pos + K]; pos += K
+    isem = refs[pos]
+
+    _gather_windows_into_acc(
+        scalars, idx_hbm, srcs, sbufs, ssems, ibuf, isem, acc,
+        K=K, n_srcs=n_srcs, prec=prec,
+    )
 
     total = acc[0]  # [BO, 2D] f32
     for a in aligned:
@@ -413,62 +427,10 @@ def _bwd_kernel(*refs, K, n_aligned, has_w2, has_weights, n_srcs, d2, dim,
     ssems = refs[pos: pos + K]; pos += K
     isem = refs[pos]
 
-    C2 = C
-    j = pl.program_id(0)
-
-    def idma():
-        return pltpu.make_async_copy(idx_hbm.at[pl.ds(j, 1)], ibuf, isem)
-
-    idma().start()
-    acc[...] = jnp.zeros_like(acc)
-    idma().wait()
-    iall = ibuf[0]
-
-    for k in range(K):
-        lo = scalars[2 * k][j]
-        n_chunks = scalars[2 * k + 1][j]
-        n2 = n_srcs[k]
-        idx = iall[k: k + 1, :]
-        src_hbm = srcs[k]
-        sbuf = sbufs[k]
-        ssem = ssems[k]
-
-        def dma(slot, step, lo=lo, n2=n2, src_hbm=src_hbm, sbuf=sbuf,
-                ssem=ssem):
-            start2 = pl.multiple_of(
-                jnp.minimum(lo + step * C2, n2 - C2), C2
-            )
-            return pltpu.make_async_copy(
-                src_hbm.at[pl.ds(start2, C2), :], sbuf.at[slot],
-                ssem.at[slot],
-            )
-
-        @pl.when(n_chunks > 0)
-        def _():
-            dma(0, 0).start()
-
-        def body(step, _, lo=lo, n2=n2, idx=idx, dma=dma, sbuf=sbuf):
-            slot = jax.lax.rem(step, 2)
-
-            @pl.when(step + 1 < n_chunks)
-            def _():
-                dma(1 - slot, step + 1).start()
-
-            dma(slot, step).wait()
-            start2 = jnp.minimum(lo + step * C2, n2 - C2)
-            row2 = jax.lax.broadcasted_iota(jnp.int32, (C2, 1), 0) + start2
-            row2 = jnp.where(row2 >= (lo + step * C2), row2, -2)
-            onehot_t = (row2 == idx).astype(sbuf.dtype)
-            acc[0] += jax.lax.dot_general(
-                onehot_t,
-                sbuf[slot],
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=prec,
-            )
-            return 0
-
-        jax.lax.fori_loop(0, n_chunks, body, 0, unroll=False)
+    _gather_windows_into_acc(
+        scalars, idx_hbm, srcs, sbufs, ssems, ibuf, isem, acc,
+        K=K, n_srcs=n_srcs, prec=prec,
+    )
 
     f32 = jnp.float32
     total = acc[0]
@@ -512,7 +474,7 @@ def _bwd_kernel(*refs, K, n_aligned, has_w2, has_weights, n_srcs, d2, dim,
         d_total = d_y
     d_total_ref[...] = d_total.astype(d_total_ref.dtype)
 
-    @pl.when(j == 0)
+    @pl.when(pl.program_id(0) == 0)
     def _zero():
         db1_ref[...] = jnp.zeros_like(db1_ref)
         if has_w2:

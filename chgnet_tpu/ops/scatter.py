@@ -71,8 +71,9 @@ _EMPTY = np.zeros(0, np.int32)
 
 # accept the block-local plan when its chunk-visit total is within this
 # factor of the minimum sequential pass (it removes a whole permutation
-# gather from the backward, so a modest over-read still wins)
-_LOCAL_VISIT_FACTOR = 3.0
+# gather from the backward, so a modest over-read still wins). Shared
+# with stream_ops: the v2 kernel's static visit capacity derives from it.
+_LOCAL_VISIT_FACTOR = stream_ops.LOCAL_VISIT_FACTOR
 
 
 def make_plan(

@@ -37,6 +37,12 @@ import os
 C = int(os.environ.get("CHGNET_TPU_STREAM_C", 512))  # input chunk rows per DMA
 BO = int(os.environ.get("CHGNET_TPU_STREAM_BO", 512))  # output block rows per grid step
 
+# Block-local ("raw") plans are accepted when their chunk-visit total is
+# within this factor of the minimal sequential pass (ops/scatter.py
+# gates on it; the v2 kernel sizes its STATIC visit capacity from the
+# same constant — keep them tied or v2 silently drops visits).
+LOCAL_VISIT_FACTOR = 3.0
+
 
 def tpu_backend() -> bool:
     try:
@@ -819,11 +825,14 @@ def _segsum_v2_pallas(
     )
     if raw_mode:
         # raw plans exist only at the host grain (min/max row per block
-        # over an unsorted stream); visit capacity per make_plan's
-        # _LOCAL_VISIT_FACTOR gate, +n_blocks empty-block dummies
+        # over an unsorted stream); visit capacity from the SAME
+        # LOCAL_VISIT_FACTOR gate make_plan applies (+16 slack,
+        # +n_blocks empty-block dummies). Callers bypassing make_plan
+        # must respect that bound: visits past the static capacity get
+        # no slots and their blocks would never flush.
         bo = BO
         n_blocks = -(-n_out // bo)
-        n_chunks_tot = 3 * n_chunks + 16
+        n_chunks_tot = int(LOCAL_VISIT_FACTOR * n_chunks) + 16
         plo, pcnt = jnp.asarray(blk_lo), jnp.asarray(blk_cnt)
     else:
         bo = min(V2_BO, BO)
