@@ -186,6 +186,7 @@ class GraphRuntime:
         }
         self._pipeline: list = []  # in-flight ship futures, launch order
         self._launch_ref = None  # (frac, lat) of the newest launch
+        self._graph_exec = None
         self._host_exec = None
         self._ship_exec = None
         self.batch = self._build(
@@ -194,15 +195,10 @@ class GraphRuntime:
         )
 
     # ----------------------------------------------------------------- build
-    def _host_stage(
-        self,
-        frac_list: list[np.ndarray],
-        lattices: np.ndarray,
-    ) -> dict:
-        """CPU half of a rebuild: graph construction + padded batching
-        (+ the lean blob pack). Runs on the single host-stage executor, so
-        consecutive builds see monotonically growing capacities in order;
-        touches no other runtime state beyond cumulative stat adds."""
+    def _graph_stage(self, frac_list: list[np.ndarray], lattices):
+        """First rebuild stage: C++ graph construction only. Its own
+        executor, so build N+2's graphs overlap build N+1's batching and
+        build N's device link (3-deep pipeline)."""
         t0 = time.perf_counter()
         graphs = []
         for idx in range(self.n_structs):
@@ -212,8 +208,15 @@ class GraphRuntime:
                 np.asarray(frac_list[idx], dtype=np.float64),
             )
             graphs.append(self.converter(struct, graph_id=str(idx)))
+        self.stats["graphs_s"] += time.perf_counter() - t0
+        return graphs
+
+    def _batch_stage(self, graphs) -> dict:
+        """Second stage: padded batching + plans (+ lean pack / shard
+        re-layout prep). Single executor, so consecutive builds see
+        monotonically growing capacities in order; touches no other
+        runtime state beyond cumulative stat adds."""
         t1 = time.perf_counter()
-        self.stats["graphs_s"] += t1 - t0
         tot_e = sum(g.n_directed for g in graphs)
         tot_a = sum(g.n_angles for g in graphs)
         cap_e = max(self._cap_e, round_up(tot_e))
@@ -323,12 +326,20 @@ class GraphRuntime:
         built["batch"] = put
         return built
 
+    def _host_stage(
+        self,
+        frac_list: list[np.ndarray],
+        lattices: np.ndarray,
+    ) -> dict:
+        """Graph + batch stages back to back (sync path / tests)."""
+        return self._batch_stage(self._graph_stage(frac_list, lattices))
+
     def _build_worker(
         self,
         frac_list: list[np.ndarray],
         lattices: np.ndarray,
     ) -> dict:
-        """Both rebuild stages back to back (sync path)."""
+        """All rebuild stages back to back (sync path)."""
         return self._ship_stage(self._host_stage(frac_list, lattices))
 
     def _apply_build(self, built: dict) -> GraphBatch:
@@ -383,19 +394,22 @@ class GraphRuntime:
     # batching + blob pack) runs on a second worker. At 10k atoms the two
     # stages are comparable (~0.9 s each), so pipelining nearly doubles
     # the sustainable rebuild rate — the Verlet deadline at small skins.
-    _MAX_INFLIGHT = 2
+    _MAX_INFLIGHT = 3
 
     def _executors(self):
         if self._host_exec is None:
             from concurrent.futures import ThreadPoolExecutor
 
+            self._graph_exec = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="graph-build"
+            )
             self._host_exec = ThreadPoolExecutor(
-                max_workers=1, thread_name_prefix="graph-host"
+                max_workers=1, thread_name_prefix="graph-batch"
             )
             self._ship_exec = ThreadPoolExecutor(
                 max_workers=1, thread_name_prefix="graph-ship"
             )
-        return self._host_exec, self._ship_exec
+        return self._graph_exec, self._host_exec, self._ship_exec
 
     def launch_rebuild(self, frac: np.ndarray, lattices: np.ndarray) -> bool:
         """Start a background rebuild from these positions. Returns False
@@ -414,9 +428,10 @@ class GraphRuntime:
                 ref_frac, ref_lat, frac, lattices
             ) < 0.25:
                 return False
-        host_exec, ship_exec = self._executors()
-        hf = host_exec.submit(self._host_stage, self._split(frac), lattices)
-        sf = ship_exec.submit(lambda: self._ship_stage(hf.result()))
+        graph_exec, batch_exec, ship_exec = self._executors()
+        gf = graph_exec.submit(self._graph_stage, self._split(frac), lattices)
+        bf = batch_exec.submit(lambda: self._batch_stage(gf.result()))
+        sf = ship_exec.submit(lambda: self._ship_stage(bf.result()))
         self._pipeline.append(sf)
         self._launch_ref = (frac, lattices)
         return True
