@@ -196,9 +196,10 @@ def test_lean_zero_angle_batch(model):
 
 
 def test_pipelined_rebuild_ordering(model):
-    """Two in-flight background rebuilds apply in launch order; the
-    final Verlet reference is the SECOND launch's positions, and a third
-    launch is refused while the pipeline is full."""
+    """In-flight background rebuilds apply in launch order up to the
+    pipeline depth (3 since the graph/batch/ship split); the final
+    Verlet reference is the LAST accepted launch's positions, and a
+    further launch is refused while the pipeline is full."""
     import time
 
     rng = np.random.default_rng(11)
@@ -214,14 +215,15 @@ def test_pipelined_rebuild_ordering(model):
         f[:n] += rng.normal(scale=scale, size=(n, 3)).astype(np.float32)
         return f
 
-    f1, f2 = perturbed(0.02), perturbed(0.05)
+    f1, f2, f3 = perturbed(0.02), perturbed(0.05), perturbed(0.08)
     assert rt.launch_rebuild(f1, lat)
     assert rt.launch_rebuild(f2, lat)  # drift past the gate vs f1
-    assert not rt.launch_rebuild(perturbed(0.05), lat)  # pipeline full
+    assert rt.launch_rebuild(f3, lat)  # third stage slot
+    assert not rt.launch_rebuild(perturbed(0.08), lat)  # pipeline full
     deadline = time.time() + 120
     while rt._pipeline and time.time() < deadline:
         rt.poll_rebuild()
         time.sleep(0.05)
     assert not rt._pipeline
-    assert rt.n_rebuilds == 2
-    np.testing.assert_allclose(rt._ref_frac, f2, atol=1e-7)
+    assert rt.n_rebuilds == 3
+    np.testing.assert_allclose(rt._ref_frac, f3, atol=1e-7)
