@@ -749,10 +749,10 @@ def _energy_sharded_core(
     act = cfg.non_linearity
     atom_feas_mid = atom_feas
 
-    def atom_step(idx, atom_t, bond_t):
+    def atom_step(atom_p, atom_t, bond_t):
         return comm.own_atoms(
             atom_conv_apply(
-                params["atom_convs"][idx],
+                atom_p,
                 atom_t,
                 bond_t,
                 bw_ag_t,
@@ -766,40 +766,75 @@ def _energy_sharded_core(
             )
         )
 
-    for idx in range(cfg.n_conv - 1):
-        bond_t = comm.bonds(bond_feas)
-        atom_feas = atom_step(idx, comm.atoms(atom_feas), bond_t)
-        if cfg.update_bond:
-            bond_feas = comm.own_bonds(
-                bond_conv_apply(
-                    params["bond_convs"][idx],
-                    comm.atoms(atom_feas),
-                    bond_t,
-                    bw_bg_t,
-                    angle_feas,
-                    bond_graph,
-                    ang_scatter,
-                    sb.ang_mask,
-                    activation=act, fused=cfg.fused_kernels,
-                    plans=ang_plans,
-                    weights_a=weights_a_h,
-                )
-            )
-        if cfg.update_angle:
-            angle_feas = angle_update_apply(
-                params["angle_updates"][idx],
+    def bond_step(bond_p, atom_feas, bond_t, angle_feas):
+        return comm.own_bonds(
+            bond_conv_apply(
+                bond_p,
                 comm.atoms(atom_feas),
-                comm.bonds(bond_feas),
+                bond_t,
+                bw_bg_t,
                 angle_feas,
                 bond_graph,
+                ang_scatter,
+                sb.ang_mask,
                 activation=act, fused=cfg.fused_kernels,
                 plans=ang_plans,
+                weights_a=weights_a_h,
+            )
+        )
+
+    def angle_step(angle_p, atom_feas, bond_feas, angle_feas):
+        return angle_update_apply(
+            angle_p,
+            comm.atoms(atom_feas),
+            comm.bonds(bond_feas),
+            angle_feas,
+            bond_graph,
+            activation=act, fused=cfg.fused_kernels,
+            plans=ang_plans,
+        )
+
+    # rematerialization, mirroring _energy_core: "all" checkpoints every
+    # layer, "angle" only the angle-stream layers (BondConv/AngleUpdate)
+    # whose [A_loc, *] temps dominate the backward's peak. Without this
+    # the mesh path kept EVERY layer's activations live — at 50k+ atoms
+    # on 8 devices that alone exceeds a 125 GB host (virtual-device
+    # proof) or any real chip's HBM.
+    remat_mode = (
+        cfg.remat if isinstance(cfg.remat, str)
+        else ("all" if cfg.remat else "")
+    )
+    if remat_mode not in ("", "all", "angle"):
+        raise ValueError(
+            f"remat={cfg.remat!r}: use False, True/'all', or 'angle'"
+        )
+    if remat_mode:
+        if remat_mode == "all":
+            atom_step = jax.checkpoint(atom_step)
+        bond_step = jax.checkpoint(bond_step)
+        angle_step = jax.checkpoint(angle_step)
+
+    for idx in range(cfg.n_conv - 1):
+        bond_t = comm.bonds(bond_feas)
+        atom_feas = atom_step(
+            params["atom_convs"][idx], comm.atoms(atom_feas), bond_t
+        )
+        if cfg.update_bond:
+            bond_feas = bond_step(
+                params["bond_convs"][idx], atom_feas, bond_t, angle_feas
+            )
+        if cfg.update_angle:
+            angle_feas = angle_step(
+                params["angle_updates"][idx], atom_feas, bond_feas,
+                angle_feas,
             )
         if idx == cfg.n_conv - 2:
             atom_feas_mid = atom_feas
 
     atom_feas = atom_step(
-        cfg.n_conv - 1, comm.atoms(atom_feas), comm.bonds(bond_feas)
+        params["atom_convs"][cfg.n_conv - 1],
+        comm.atoms(atom_feas),
+        comm.bonds(bond_feas),
     )
     if "readout_norm" in params:
         atom_feas = layer_norm_apply(params["readout_norm"], atom_feas)

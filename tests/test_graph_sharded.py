@@ -427,3 +427,23 @@ def test_graph_sharded_training_halo(model, struct):
         np.asarray(p_ag["atom_embedding"]["weight"]),
         atol=1e-5,
     )
+
+
+def test_sharded_remat_identity(model, struct):
+    """cfg.remat on the MESH path (new in round 4 — it was silently
+    ignored before): forces identical to the un-remat'ed sharded run."""
+    batch = batch_graphs([model.graph_converter(struct.make_supercell(2))])
+    sbatch = shard_batch(batch, 8)
+    mesh = make_mesh(8, axis_name="graph")
+    ref = compute_batch_sharded(
+        model.params, sbatch, config=model.config, mesh=mesh,
+        compute_force=True,
+    )
+    cfg_r = CHGNet(seed=0, remat="angle", **SMALL).config
+    out = compute_batch_sharded(
+        model.params, sbatch, config=cfg_r, mesh=mesh, compute_force=True,
+    )
+    assert abs(float(out["e"][0]) - float(ref["e"][0])) < 1e-5
+    np.testing.assert_allclose(
+        np.asarray(out["f"]), np.asarray(ref["f"]), atol=1e-5
+    )
