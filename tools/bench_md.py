@@ -103,10 +103,14 @@ def main_mesh(n_steps: int) -> None:
     for n_atoms in sizes:
         struct = _supercell(base, n_atoms)
         skin = float(os.environ.get("CHGNET_TPU_MD_SKIN", 0.1))
+        # bf16 streams even in virtual mode: the 8 per-device copies of
+        # f32 angle streams at >=50k atoms exceed the dev host's 125 GB
+        # (measured: OOM-killed at 130 GB RSS); this is a semantics
+        # proof, and bf16 halves every buffer
         model = CHGNet(
             seed=0,
-            compute_dtype="float32" if VIRTUAL else "bfloat16",
-            matmul_precision="highest" if VIRTUAL else "default",
+            compute_dtype="bfloat16",
+            matmul_precision="default",
             remat=_remat_opt(),
         )
         t_setup = time.perf_counter()
