@@ -266,12 +266,21 @@ def test_remat_mode_matches(li_mn_o2):
     batch = batch_graphs([model.graph_converter(li_mn_o2)])
     kw = dict(compute_force=True, compute_stress=True, compute_magmom=True)
     ref = compute_batch(model.params, batch, config=model.config, **kw)
-    cfg = dataclasses.replace(model.config, remat=True)
-    out = compute_batch(model.params, batch, config=cfg, **kw)
-    np.testing.assert_allclose(
-        np.asarray(out["f"]), np.asarray(ref["f"]), atol=1e-6
-    )
-    assert float(out["e"][0]) == pytest.approx(float(ref["e"][0]), abs=1e-6)
+    for mode in (True, "angle"):
+        cfg = dataclasses.replace(model.config, remat=mode)
+        out = compute_batch(model.params, batch, config=cfg, **kw)
+        np.testing.assert_allclose(
+            np.asarray(out["f"]), np.asarray(ref["f"]), atol=1e-6,
+            err_msg=f"remat={mode}",
+        )
+        assert float(out["e"][0]) == pytest.approx(
+            float(ref["e"][0]), abs=1e-6
+        )
+    with pytest.raises(ValueError, match="remat"):
+        compute_batch(
+            model.params, batch,
+            config=dataclasses.replace(model.config, remat="bogus"), **kw,
+        )
 
 
 @pytest.mark.parametrize("mlp_first", [True, False])
