@@ -21,12 +21,20 @@ Shapes follow the lane-packed convention (``models/functions.py``): the
 core|gate branches ride one 2D = 128-lane accumulator; single-Linear
 branches (AngleUpdate's default) skip the W2 stage.
 
-Backward: recompute from inputs through the UNFUSED composition
-(``jax.vjp`` over gather_sum + fused_gated_message, both custom-vjp ops
-with hand-written backward kernels), so autodiff of any order works and
-the backward rides the same streaming kernels as before. The reference
-hot loop this replaces: ``/root/reference/chgnet/model/layers.py:112-137,
-237-263, 321-363`` (gather-concat-matmul per layer).
+Backward: a second hand-fused kernel (``_bwd_kernel``) that recomputes
+the accumulator from the source windows in VMEM (same shared gather
+body), applies the tail's hand gradients, and emits the d_total stream
++ d_weights + per-tile param grads in one pass; the windowed tables'
+cotangents then ride the planned streaming segment sums over d_total.
+Grad-of-grad (the force-training trace) falls back to differentiating
+the unfused custom-op composition (``_pass_grads``'s own vjp), so
+autodiff works at any order. The reference hot loop this replaces:
+``/root/reference/chgnet/model/layers.py:112-137, 237-263, 321-363``
+(gather-concat-matmul per layer).
+
+Ships OPT-IN (``CHGNET_TPU_FUSED_PASS=1``): measured round 4, fusing
+the tail into the manual-DMA gather core is a net model-level loss —
+see docs/performance.md "Round-4 findings".
 """
 
 from __future__ import annotations
