@@ -47,7 +47,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from chgnet_tpu.ops import stream_ops
-from chgnet_tpu.ops.stream_ops import BO, C
+from chgnet_tpu.ops.stream_ops import BO, C, out_vma
 
 
 def _tail_math(acc, p2, weights, mask, resnet, out_dtype):
@@ -301,7 +301,9 @@ def _fused_pass_pallas(
             prec=prec,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((L, dim), dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (L, dim), dtype, vma=out_vma(*srcs, *aligned, *idxs)
+        ),
         interpret=interpret,
     )(*scalars, *operands)
 
@@ -571,27 +573,28 @@ def _pass_bwd_pallas(
     in_specs.append(dim_spec)
     operands.append(g)
 
+    vma = out_vma(*srcs, *aligned, *idxs, g)
     out_specs = [row_spec]
-    out_shape = [jax.ShapeDtypeStruct((L, d2), dtype)]
+    out_shape = [jax.ShapeDtypeStruct((L, d2), dtype, vma=vma)]
     if has_weights:
         out_specs.append(dim_spec)
         out_shape.append(
-            jax.ShapeDtypeStruct((L, dim), weights.dtype)
+            jax.ShapeDtypeStruct((L, dim), weights.dtype, vma=vma)
         )
     out_specs.append(row2d_spec)
-    out_shape.append(jax.ShapeDtypeStruct((1, d2), jnp.float32))
+    out_shape.append(jax.ShapeDtypeStruct((1, d2), jnp.float32, vma=vma))
     if has_w2:
         out_specs += [mat_spec, row2d_spec]
         out_shape += [
-            jax.ShapeDtypeStruct((d2, d2), p2["w2"].dtype),
-            jax.ShapeDtypeStruct((1, d2), p2["b2"].dtype),
+            jax.ShapeDtypeStruct((d2, d2), p2["w2"].dtype, vma=vma),
+            jax.ShapeDtypeStruct((1, d2), p2["b2"].dtype, vma=vma),
         ]
     out_specs += [rowd_spec] * 4
     out_shape += [
-        jax.ShapeDtypeStruct((1, dim), p2["nc_scale"].dtype),
-        jax.ShapeDtypeStruct((1, dim), p2["nc_bias"].dtype),
-        jax.ShapeDtypeStruct((1, dim), p2["ng_scale"].dtype),
-        jax.ShapeDtypeStruct((1, dim), p2["ng_bias"].dtype),
+        jax.ShapeDtypeStruct((1, dim), p2["nc_scale"].dtype, vma=vma),
+        jax.ShapeDtypeStruct((1, dim), p2["nc_bias"].dtype, vma=vma),
+        jax.ShapeDtypeStruct((1, dim), p2["ng_scale"].dtype, vma=vma),
+        jax.ShapeDtypeStruct((1, dim), p2["ng_bias"].dtype, vma=vma),
     ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

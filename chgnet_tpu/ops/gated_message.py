@@ -28,6 +28,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from chgnet_tpu.ops.stream_ops import out_vma
+
 TILE = 1024
 
 
@@ -101,7 +103,10 @@ def _forward(acc_both, weights, mask, p2, *, interpret):
             mat_spec, b_spec, d_spec, d_spec, d_spec, d_spec,
         ],
         out_specs=w_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles * TILE, dim), acc_both.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_tiles * TILE, dim), acc_both.dtype,
+            vma=out_vma(acc_both, weights, mask),
+        ),
         interpret=interpret,
     )(
         acc_both, weights, mask,
@@ -223,6 +228,7 @@ def _bwd_kernel(acc_ref, w_ref, mask_ref, g_ref,
 
 
 def _backward(acc_both, weights, mask, p2, g, *, interpret):
+    vma = out_vma(acc_both, weights, mask, g)
     n_rows, two_dim = acc_both.shape
     dim = two_dim // 2
     n_tiles = pl.cdiv(n_rows, TILE)
@@ -267,17 +273,21 @@ def _backward(acc_both, weights, mask, p2, g, *, interpret):
             mat_spec, row2_spec, row1_spec, row1_spec, row1_spec, row1_spec,
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles * TILE, two_dim), acc_both.dtype),
-            jax.ShapeDtypeStruct((n_tiles * TILE, dim), weights.dtype),
-            jax.ShapeDtypeStruct((n_tiles * TILE, 1), mask.dtype),
+            jax.ShapeDtypeStruct(
+                (n_tiles * TILE, two_dim), acc_both.dtype, vma=vma
+            ),
+            jax.ShapeDtypeStruct(
+                (n_tiles * TILE, dim), weights.dtype, vma=vma
+            ),
+            jax.ShapeDtypeStruct((n_tiles * TILE, 1), mask.dtype, vma=vma),
             # cotangent dtypes must match the p2 primal dtypes; vector
             # outputs carried as 2-D rows (Mosaic-friendly for bf16)
-            jax.ShapeDtypeStruct((two_dim, two_dim), p2["w2"].dtype),
-            jax.ShapeDtypeStruct((1, two_dim), p2["b2"].dtype),
-            jax.ShapeDtypeStruct((1, dim), p2["nc_scale"].dtype),
-            jax.ShapeDtypeStruct((1, dim), p2["nc_bias"].dtype),
-            jax.ShapeDtypeStruct((1, dim), p2["ng_scale"].dtype),
-            jax.ShapeDtypeStruct((1, dim), p2["ng_bias"].dtype),
+            jax.ShapeDtypeStruct((two_dim, two_dim), p2["w2"].dtype, vma=vma),
+            jax.ShapeDtypeStruct((1, two_dim), p2["b2"].dtype, vma=vma),
+            jax.ShapeDtypeStruct((1, dim), p2["nc_scale"].dtype, vma=vma),
+            jax.ShapeDtypeStruct((1, dim), p2["nc_bias"].dtype, vma=vma),
+            jax.ShapeDtypeStruct((1, dim), p2["ng_scale"].dtype, vma=vma),
+            jax.ShapeDtypeStruct((1, dim), p2["ng_bias"].dtype, vma=vma),
         ],
         interpret=interpret,
     )(
@@ -409,7 +419,10 @@ def _forward_nw(acc_both, resnet, p2, *, interpret):
         grid=(n_tiles,),
         in_specs=in_specs,
         out_specs=w_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles * TILE, dim), acc_both.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_tiles * TILE, dim), acc_both.dtype,
+            vma=out_vma(acc_both, resnet),
+        ),
         interpret=interpret,
     )(*operands)
     return out[:n_rows]
@@ -542,22 +555,25 @@ def _backward_nw(acc_both, p2, g, *, interpret):
     operands += [
         p2["nc_scale"], p2["nc_bias"], p2["ng_scale"], p2["ng_bias"]
     ]
+    vma = out_vma(acc_both, g)
     out_specs = [acc_spec]
     out_shape = [
-        jax.ShapeDtypeStruct((n_tiles * TILE, two_dim), acc_both.dtype)
+        jax.ShapeDtypeStruct(
+            (n_tiles * TILE, two_dim), acc_both.dtype, vma=vma
+        )
     ]
     if has_w2:
         out_specs += [mat_spec, row2_spec]
         out_shape += [
-            jax.ShapeDtypeStruct((two_dim, two_dim), p2["w2"].dtype),
-            jax.ShapeDtypeStruct((1, two_dim), p2["b2"].dtype),
+            jax.ShapeDtypeStruct((two_dim, two_dim), p2["w2"].dtype, vma=vma),
+            jax.ShapeDtypeStruct((1, two_dim), p2["b2"].dtype, vma=vma),
         ]
     out_specs += [row1_spec] * 4
     out_shape += [
-        jax.ShapeDtypeStruct((1, dim), p2["nc_scale"].dtype),
-        jax.ShapeDtypeStruct((1, dim), p2["nc_bias"].dtype),
-        jax.ShapeDtypeStruct((1, dim), p2["ng_scale"].dtype),
-        jax.ShapeDtypeStruct((1, dim), p2["ng_bias"].dtype),
+        jax.ShapeDtypeStruct((1, dim), p2["nc_scale"].dtype, vma=vma),
+        jax.ShapeDtypeStruct((1, dim), p2["nc_bias"].dtype, vma=vma),
+        jax.ShapeDtypeStruct((1, dim), p2["ng_scale"].dtype, vma=vma),
+        jax.ShapeDtypeStruct((1, dim), p2["ng_bias"].dtype, vma=vma),
     ]
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel_nw, has_w2=has_w2),

@@ -44,6 +44,21 @@ BO = int(os.environ.get("CHGNET_TPU_STREAM_BO", 512))  # output block rows per g
 LOCAL_VISIT_FACTOR = 3.0
 
 
+def out_vma(*arrays) -> frozenset:
+    """Union of the operands' varying-mesh-axes. Pallas outputs must
+    declare ``vma`` on their ShapeDtypeStruct when the call is traced
+    inside ``shard_map(check_vma=True)`` (the sharded paths run the
+    kernels per device); outside shard_map this is the empty set and a
+    no-op. CPU tests cannot catch a missing vma — the kernels gate off
+    the CPU backend — so every pallas wrapper here threads it."""
+    vma: frozenset = frozenset()
+    for a in arrays:
+        v = getattr(jax.typeof(a), "vma", None)
+        if v:
+            vma |= v
+    return vma
+
+
 def tpu_backend() -> bool:
     try:
         return jax.default_backend() == "tpu"
@@ -232,7 +247,9 @@ def _segsum_pallas(x, dst, chunk_lo, n_chunks, *, n_out, interpret=False):
     return pl.pallas_call(
         functools.partial(_segsum_kernel, n_rows=n_rows, d=d, prec=prec),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_out, d), x.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_out, d), x.dtype, vma=out_vma(x, dst)
+        ),
         interpret=interpret,
     )(chunk_lo, n_chunks, dstp, xp)
 
@@ -540,7 +557,9 @@ def _gather_pallas(src, idx, chunk_lo, n_chunks, *, interpret=False):
     return pl.pallas_call(
         functools.partial(_gather_kernel, n_src=n_src, d=d, prec=prec),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((L, d), src.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (L, d), src.dtype, vma=out_vma(src, idx)
+        ),
         interpret=interpret,
     )(chunk_lo, n_chunks, idxb, srcp)
 
@@ -716,7 +735,9 @@ def _multi_gather_pallas(
             prec=prec,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((L, d), dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (L, d), dtype, vma=out_vma(*srcs, *idxs)
+        ),
         interpret=interpret,
     )(*scalars, *operands)
 
@@ -867,7 +888,9 @@ def _segsum_v2_pallas(
     return pl.pallas_call(
         functools.partial(_segsum_v2_kernel, prec=prec, bo=bo),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_out, d), x.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_out, d), x.dtype, vma=out_vma(x, dst)
+        ),
         interpret=interpret,
     )(vchunk, vblk, vfirst, vlast, x, dst3d)
 
@@ -930,7 +953,9 @@ def _gather_v2_pallas(src, idx, wlo, *, interpret=False):
     return pl.pallas_call(
         functools.partial(_gather_v2_kernel, prec=prec),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((L, d), src.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (L, d), src.dtype, vma=out_vma(src, idx)
+        ),
         interpret=interpret,
     )(wlo, idx3d, src, src)
 
