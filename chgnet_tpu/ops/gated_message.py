@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from chgnet_tpu.ops import stream_ops
 from chgnet_tpu.ops.stream_ops import out_vma
 
 TILE = 1024
@@ -310,13 +311,52 @@ def _fused(acc_both, weights, mask, p2, interpret):
 
 
 def _fused_fwd(acc_both, weights, mask, p2, interpret):
-    out = _forward(acc_both, weights, mask, p2, interpret=interpret)
+    # recurse through the custom op, NOT the raw pallas_call: training
+    # takes grad-of-grad through this fwd, and differentiating the raw
+    # kernel rides pallas's generic JVP rule — which fails inside
+    # shard_map(check_vma=True) on mixed varying/replicated operands
+    # (and needlessly re-derives gradients the hand bwd already has)
+    out = _fused(acc_both, weights, mask, p2, interpret)
     return out, (acc_both, weights, mask, p2)
 
 
 def _fused_bwd(interpret, residuals, g):
     acc_both, weights, mask, p2 = residuals
+    return _fused_grads(acc_both, weights, mask, p2, g, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _fused_grads(acc_both, weights, mask, p2, g, interpret):
+    """(d_acc, d_weights, d_mask, d_p2) of the fused message tail.
+
+    Primal = the hand backward kernel; its OWN vjp (grad-of-grad — the
+    force-training trace differentiates the inner force gradient)
+    differentiates the plain-XLA reference composition instead, so the
+    raw pallas_call is never JVP'd (pallas's generic JVP rule fails
+    inside shard_map(check_vma=True) and re-derives what the hand
+    kernel already computes)."""
     return _backward(acc_both, weights, mask, p2, g, interpret=interpret)
+
+
+def _fused_grads_fwd(acc_both, weights, mask, p2, g, interpret):
+    out = _fused_grads(acc_both, weights, mask, p2, g, interpret)
+    return out, (acc_both, weights, mask, p2, g)
+
+
+def _fused_grads_bwd(interpret, res, cts):
+    acc_both, weights, mask, p2, g = res
+
+    def ref_grads(args):
+        acc_, w_, m_, p2_, g_ = args
+        _, vjp = jax.vjp(_reference, acc_, w_, m_, p2_)
+        return vjp(g_)
+
+    _, vjp2 = jax.vjp(ref_grads, (acc_both, weights, mask, p2, g))
+    d_args = vjp2(cts)[0]
+    return d_args
+
+
+_fused_grads.defvjp(_fused_grads_fwd, _fused_grads_bwd)
 
 
 _fused.defvjp(_fused_fwd, _fused_bwd)
@@ -334,7 +374,7 @@ def fused_gated_message(
     off-TPU; streams may be bf16 — in-kernel
     math runs in f32."""
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = stream_ops.tpu_backend()  # monkeypatchable in tests
     if not use_pallas:
         return _reference(acc_both, weights, mask, p2)
     interpret = jax.default_backend() != "tpu"
@@ -602,15 +642,47 @@ def _fused_nw(acc_both, resnet, p2, interpret):
 
 
 def _fused_nw_fwd(acc_both, resnet, p2, interpret):
-    out = _forward_nw(acc_both, resnet, p2, interpret=interpret)
+    # recurse through the custom op (see _fused_fwd)
+    out = _fused_nw(acc_both, resnet, p2, interpret)
     return out, (acc_both, p2)
 
 
 def _fused_nw_bwd(interpret, residuals, g):
     acc_both, p2 = residuals
-    d_acc, d_p2 = _backward_nw(acc_both, p2, g, interpret=interpret)
+    d_acc, d_p2 = _fused_nw_grads(acc_both, p2, g, interpret)
     # the resnet add is linear: d_resnet = g (cast to the resnet dtype)
     return d_acc, g.astype(acc_both.dtype), d_p2
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _fused_nw_grads(acc_both, p2, g, interpret):
+    """(d_acc, d_p2) of the weights-free tail (see _fused_grads)."""
+    return _backward_nw(acc_both, p2, g, interpret=interpret)
+
+
+def _fused_nw_grads_fwd(acc_both, p2, g, interpret):
+    out = _fused_nw_grads(acc_both, p2, g, interpret)
+    return out, (acc_both, p2, g)
+
+
+def _fused_nw_grads_bwd(interpret, res, cts):
+    acc_both, p2, g = res
+
+    def ref_grads(args):
+        acc_, p2_, g_ = args
+        dim = acc_.shape[1] // 2
+
+        def fwd_nw(a, pp):
+            return _tail_nw(_y_of_acc(a, pp), dim, pp)
+
+        _, vjp = jax.vjp(fwd_nw, acc_, p2_)
+        return vjp(g_)
+
+    _, vjp2 = jax.vjp(ref_grads, (acc_both, p2, g))
+    return vjp2(cts)[0]
+
+
+_fused_nw_grads.defvjp(_fused_nw_grads_fwd, _fused_nw_grads_bwd)
 
 
 _fused_nw.defvjp(_fused_nw_fwd, _fused_nw_bwd)
@@ -628,7 +700,7 @@ def fused_gated_update(
     no aggregation, no bond-weight scaling). Same fallback rules as
     :func:`fused_gated_message`."""
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = stream_ops.tpu_backend()  # monkeypatchable in tests
     if not use_pallas:
         return _reference_nw(acc_both, resnet, p2)
     interpret = jax.default_backend() != "tpu"

@@ -1080,7 +1080,16 @@ def make_graph_sharded_train_step(
     through the strain gradient (psum'ed virial), magmoms through the
     site-wise head on local atom blocks.
     """
-    cfg = config
+    # Force training is grad-of-grad, and the fused Pallas tails'
+    # second-order fallback (differentiating their hand backward) trips
+    # check_vma's cotangent vma matching inside shard_map on real TPU
+    # backends (replicated params vs varying activations). The unfused
+    # XLA composition differentiates cleanly at any order — and the
+    # tails' win is a few percent of the FORWARD only, noise for a train
+    # step. Inference/MD mesh paths (first-order) keep the kernels.
+    import dataclasses
+
+    cfg = dataclasses.replace(config, fused_kernels=False)
 
     def local_loss(params, sb, hb, tgt):
         n_graphs = sb.lattices.shape[0]
