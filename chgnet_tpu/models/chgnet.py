@@ -487,7 +487,7 @@ def _energy_core(
         )
 
     def bond_step(bond_p, atom_feas, bond_feas, bond_weights_bg,
-                  angle_feas, rng):
+                  angle_feas, rng, atom_e=None):
         return bond_conv_apply_directed(
             bond_p,
             atom_feas,
@@ -508,9 +508,11 @@ def _energy_core(
             weights_a=weights_a_h,
             twin=batch.twin,
             directed_table=directed,
+            atom_e=atom_e,
         )
 
-    def angle_step(angle_p, atom_feas, bond_feas, angle_feas, rng):
+    def angle_step(angle_p, atom_feas, bond_feas, angle_feas, rng,
+                   atom_e=None):
         return angle_update_apply_directed(
             angle_p,
             atom_feas,
@@ -524,6 +526,7 @@ def _energy_core(
             dropout=conv_rate,
             rng=rng,
             directed_table=directed,
+            atom_e=atom_e,
         )
 
     remat_mode = (
@@ -544,6 +547,16 @@ def _energy_core(
         bond_step = jax.checkpoint(bond_step)
         angle_step = jax.checkpoint(angle_step)
 
+    # fold the atom part of the angle-side layers into their dir_i gather
+    # (see bond_conv_apply_directed): the [E, d_atom] center expansion is
+    # computed once per conv block and shared by BondConv + AngleUpdate
+    fold_atoms = (
+        atom_plans is not None
+        and not cfg.dense_atom_conv
+        and (cfg.update_bond or cfg.update_angle)
+        and not os.environ.get("CHGNET_TPU_NO_ATOM_FOLD")
+    )
+
     def conv_block(idx, layer_params, atom_feas, bond_feas, angle_feas,
                    bond_weights_ag, bond_weights_bg):
         atom_p, bond_p, angle_p = layer_params
@@ -551,15 +564,20 @@ def _energy_core(
             atom_p, atom_feas, bond_feas, bond_weights_ag,
             block_rngs[3 * idx],
         )
+        atom_e = (
+            plan_gather(atom_feas, batch.atom_graph[:, 0], p_center)
+            if fold_atoms and (bond_p is not None or angle_p is not None)
+            else None
+        )
         if bond_p is not None:
             bond_feas = bond_step(
                 bond_p, atom_feas, bond_feas, bond_weights_bg, angle_feas,
-                block_rngs[3 * idx + 1],
+                block_rngs[3 * idx + 1], atom_e,
             )
         if angle_p is not None:
             angle_feas = angle_step(
                 angle_p, atom_feas, bond_feas, angle_feas,
-                block_rngs[3 * idx + 2],
+                block_rngs[3 * idx + 2], atom_e,
             )
         return atom_feas, bond_feas, angle_feas
 

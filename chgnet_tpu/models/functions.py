@@ -290,6 +290,48 @@ def project_parts(
     return projected, b1
 
 
+def project_parts_fold(
+    layers_c: Sequence[Params],
+    layers_g: Sequence[Params],
+    parts: Sequence[tuple],
+    fold: dict[int, int] | None = None,
+) -> tuple[list[tuple], jnp.ndarray]:
+    """:func:`project_parts` with part FOLDING: ``fold`` maps a part's
+    position to an EARLIER part position whose index stream it shares
+    (same keys, same plan); the folded part's projected table is summed
+    into the target's table before gathering, so ONE window gather (and
+    one backward segment sum) serves both. Exact because row gathers
+    distribute over the table add: ``(a + b)[i] == a[i] + b[i]`` row-wise.
+
+    The motivating fold: in the directed angle-stream layout the center
+    atom of an angle row equals the center of its dir_i edge, so the
+    atom part — expanded once per conv block to the edge stream
+    (``atom_e``) — rides the dir_i gather instead of its own per-angle
+    center gather, deleting one [A, 2D] gather pass forward and one
+    [A, 2D] segment sum backward per angle-side layer."""
+    projected, b1 = project_parts(layers_c, layers_g, parts)
+    if not fold:
+        return projected, b1
+    merged: dict[int, jnp.ndarray] = {}
+    for src, dst in fold.items():
+        if not (0 <= dst < len(projected)) or dst in fold:
+            raise ValueError(f"fold target {dst} invalid")
+        tab_s = projected[src][0]
+        tab_d = projected[dst][0]
+        if tab_s.shape != tab_d.shape:
+            raise ValueError(
+                f"folded part {src} shape {tab_s.shape} != target "
+                f"{dst} shape {tab_d.shape} (index streams must match)"
+            )
+        merged[dst] = merged.get(dst, tab_d) + tab_s
+    out = [
+        (merged.get(k, tab), idx, plan)
+        for k, (tab, idx, plan) in enumerate(projected)
+        if k not in fold
+    ]
+    return out, b1
+
+
 def first_layer_acc_joint(
     layers_c: Sequence[Params],
     layers_g: Sequence[Params],
@@ -388,13 +430,33 @@ def gated_mlp_gather_apply(
       [2D, 2D] matmul (same MXU passes as one 64-wide matmul) and the
       norms act per half.
     """
+    # joint first layer: [d_in, 2D] = [W1_core | W1_gate]
+    acc = first_layer_acc_joint(
+        params["core"]["layers"], params["gate"]["layers"], parts
+    )
+    return gated_mlp_tail(
+        params, acc, activation=activation, dropout=dropout, rng=rng
+    )
+
+
+def gated_mlp_tail(
+    params: Params,
+    acc: jnp.ndarray,
+    *,
+    activation: str = "silu",
+    dropout: float = 0.0,
+    rng: jax.Array | None = None,
+) -> jnp.ndarray:
+    """The post-first-layer half of :func:`gated_mlp_gather_apply`: the
+    remaining block-diagonal joint Linears, per-half norms, and the
+    act(core) * sigmoid(gate) gating, applied to the joint [E, 2D]
+    first-layer output ``acc`` (bias already added). Exposed so callers
+    that build ``acc`` themselves (folded-part layers, fused kernels'
+    reference path) share one implementation."""
     act = find_activation(activation)
     layers_c = params["core"]["layers"]
     layers_g = params["gate"]["layers"]
     dim = layers_c[-1]["w"].shape[1]
-
-    # joint first layer: [d_in, 2D] = [W1_core | W1_gate]
-    acc = first_layer_acc_joint(layers_c, layers_g, parts)
 
     n_layers = len(layers_c)
     if n_layers != len(layers_g):

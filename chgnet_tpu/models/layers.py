@@ -35,6 +35,8 @@ from chgnet_tpu.models.functions import (
     mlp_init,
     norm_init,
     project_parts,
+    project_parts_fold,
+    gated_mlp_tail,
     segment_mean,
     segment_sum,
 )
@@ -361,6 +363,7 @@ def bond_conv_apply_directed(
     weights_a: jnp.ndarray | None = None,  # [A, d] hoisted weight product
     twin: jnp.ndarray | None = None,  # [E] reverse-edge involution
     directed_table: bool = False,
+    atom_e: jnp.ndarray | None = None,  # [E, d_atom] atoms on the edge stream
 ) -> jnp.ndarray:
     """BondConv over the DIRECTED angle-stream layout.
 
@@ -383,6 +386,16 @@ def bond_conv_apply_directed(
     backward is the same gather — instead of the u2d/und_second pair.
     The update then applies on the [E] stream (each bond's two rows stay
     bitwise equal because float addition commutes).
+
+    ``atom_e`` (``atom_feas`` expanded to the edge stream by edge center,
+    computed once per conv block by the caller) FOLDS the atom part into
+    the dir_i gather: an angle row's center atom IS its dir_i edge's
+    center, so ``atom_e[dir_i[a]] == atom_feas[center[a]]`` exactly —
+    the projected atom table rides the dir_i window gather and the
+    per-angle center gather (forward) plus its [A, 2D] segment-sum
+    transpose (backward) disappear; the atom cotangent instead cascades
+    through the cheap sorted [E] -> [N] center reduction of ``atom_e``'s
+    own backward.
     """
     if directed_table and twin is None:
         raise ValueError(
@@ -402,11 +415,17 @@ def bond_conv_apply_directed(
         # rows — sub-ms on the MXU) so the big per-angle gathers read the
         # NARROW [E, d] stream instead of two projected [E, 2D] ones
         bond_dir = plan_gather(bond_feas, d2u, p_d2u)
+    atom_part = (
+        (atom_feas, bond_graph[:, 0], p_c)
+        if atom_e is None
+        else (atom_e, dir_i, p_i)
+    )
+    fold = None if atom_e is None else {3: 0}
     parts = [
         (bond_dir, dir_i, p_i),
         (bond_dir, dir_j, p_j),
         (angle_feas, None),
-        (atom_feas, bond_graph[:, 0], p_c),
+        atom_part,
     ]
     if weights_a is None:
         # w_i * w_j per angle row; loop-invariant (bond_weights never
@@ -426,8 +445,8 @@ def bond_conv_apply_directed(
     if fused and gated_mlp_fusable(gmlp, activation):
         from chgnet_tpu.ops.fused_pass import fused_layer_pass
 
-        projected, b1 = project_parts(
-            gmlp["core"]["layers"], gmlp["gate"]["layers"], parts
+        projected, b1 = project_parts_fold(
+            gmlp["core"]["layers"], gmlp["gate"]["layers"], parts, fold
         )
         update = fused_layer_pass(
             projected,
@@ -437,9 +456,18 @@ def bond_conv_apply_directed(
             mask=angle_mask,
         )
     else:
-        update = gated_mlp_gather_apply(
-            gmlp, parts, activation=activation, dropout=dropout, rng=rng
-        )
+        if fold:
+            projected, b1 = project_parts_fold(
+                gmlp["core"]["layers"], gmlp["gate"]["layers"], parts, fold
+            )
+            acc = gather_sum(projected) + b1
+            update = gated_mlp_tail(
+                gmlp, acc, activation=activation, dropout=dropout, rng=rng
+            )
+        else:
+            update = gated_mlp_gather_apply(
+                gmlp, parts, activation=activation, dropout=dropout, rng=rng
+            )
         update = update * weights_a * angle_mask[:, None]
     # [A] -> [E] partial sums on the sorted directed stream
     partial = plan_segment_sum(
@@ -483,12 +511,15 @@ def angle_update_apply_directed(
     dropout: float = 0.0,
     rng: jnp.ndarray | None = None,
     directed_table: bool = False,
+    atom_e: jnp.ndarray | None = None,  # [E, d_atom] atoms on the edge stream
 ) -> jnp.ndarray:
     """AngleUpdate over the directed layout (see
     :func:`bond_conv_apply_directed`); elementwise per angle row, so only
     the gather side changes. ``fused`` routes the gated-MLP tail + resnet
     add through the weights-free Pallas kernel. ``directed_table`` marks
-    bond features as natively directed (no d2u expansion needed)."""
+    bond features as natively directed (no d2u expansion needed).
+    ``atom_e`` folds the atom part into the dir_i gather (see
+    :func:`bond_conv_apply_directed`)."""
     p_i, p_j, p_c, p_d2u = (
         plans[:4] if plans is not None else (None,) * 4
     )
@@ -497,11 +528,17 @@ def angle_update_apply_directed(
         if directed_table
         else plan_gather(bond_feas, d2u, p_d2u)  # [E, d] once
     )
+    atom_part = (
+        (atom_feas, bond_graph[:, 0], p_c)
+        if atom_e is None
+        else (atom_e, bond_graph[:, 2], p_i)
+    )
+    fold = None if atom_e is None else {3: 0}
     parts = [
         (bond_dir, bond_graph[:, 2], p_i),
         (bond_dir, bond_graph[:, 4], p_j),
         (angle_feas, None),
-        (atom_feas, bond_graph[:, 0], p_c),
+        atom_part,
     ]
     gmlp = params["gated_mlp"]
     if rng is not None and dropout > 0.0:
@@ -514,8 +551,8 @@ def angle_update_apply_directed(
     ):
         from chgnet_tpu.ops.fused_pass import fused_layer_pass
 
-        projected, b1 = project_parts(
-            gmlp["core"]["layers"], gmlp["gate"]["layers"], parts
+        projected, b1 = project_parts_fold(
+            gmlp["core"]["layers"], gmlp["gate"]["layers"], parts, fold
         )
         return fused_layer_pass(
             projected,
@@ -523,9 +560,18 @@ def angle_update_apply_directed(
             gated_mlp_fused_pack(gmlp),
             resnet=angle_feas,
         )
-    new_angle_feas = gated_mlp_gather_apply(
-        gmlp, parts, activation=activation, dropout=dropout, rng=rng
-    )
+    if fold:
+        projected, b1 = project_parts_fold(
+            gmlp["core"]["layers"], gmlp["gate"]["layers"], parts, fold
+        )
+        acc = gather_sum(projected) + b1
+        new_angle_feas = gated_mlp_tail(
+            gmlp, acc, activation=activation, dropout=dropout, rng=rng
+        )
+    else:
+        new_angle_feas = gated_mlp_gather_apply(
+            gmlp, parts, activation=activation, dropout=dropout, rng=rng
+        )
     if resnet:
         new_angle_feas = new_angle_feas + angle_feas
     if "norm" in params:
