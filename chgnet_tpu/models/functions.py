@@ -332,6 +332,23 @@ def project_parts_fold(
     return out, b1
 
 
+def fold_bias_into_stream(parts: Sequence[tuple], b1):
+    """Add the joint first-layer bias into the first ALIGNED part's table
+    (``idx is None``) — it fuses into that table's projection-matmul
+    epilogue for free. Returns ``(parts, remaining_bias | None)``.
+
+    Why: ``gather_sum(...) + b1`` sits BETWEEN two pallas custom calls
+    (the multi-gather and the fused tail), so XLA cannot fuse the add
+    into either neighbor — it materializes a full read+write of the
+    [L, 2D] accumulator stream per conv layer."""
+    for k, (tab, idx, plan) in enumerate(parts):
+        if idx is None:
+            out = list(parts)
+            out[k] = (tab + b1, idx, plan)
+            return out, None
+    return list(parts), b1
+
+
 def first_layer_acc_joint(
     layers_c: Sequence[Params],
     layers_g: Sequence[Params],
@@ -346,7 +363,9 @@ def first_layer_acc_joint(
     from chgnet_tpu.ops.scatter import gather_sum
 
     projected, b1 = project_parts(layers_c, layers_g, parts)
-    return gather_sum(projected) + b1
+    projected, b1 = fold_bias_into_stream(projected, b1)
+    acc = gather_sum(projected)
+    return acc if b1 is None else acc + b1
 
 
 def gated_mlp_fusable(params: Params, activation: str = "silu") -> bool:

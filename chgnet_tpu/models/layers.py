@@ -36,6 +36,7 @@ from chgnet_tpu.models.functions import (
     norm_init,
     project_parts,
     project_parts_fold,
+    fold_bias_into_stream,
     gated_mlp_tail,
     segment_mean,
     segment_sum,
@@ -45,6 +46,7 @@ from chgnet_tpu.ops.scatter import (
     plan_gather,
     plan_segment_sum,
     plan_segment_sum_perm,
+    twin_reduce,
 )
 
 
@@ -460,7 +462,10 @@ def bond_conv_apply_directed(
             projected, b1 = project_parts_fold(
                 gmlp["core"]["layers"], gmlp["gate"]["layers"], parts, fold
             )
-            acc = gather_sum(projected) + b1
+            projected, b1 = fold_bias_into_stream(projected, b1)
+            acc = gather_sum(projected)
+            if b1 is not None:
+                acc = acc + b1
             update = gated_mlp_tail(
                 gmlp, acc, activation=activation, dropout=dropout, rng=rng
             )
@@ -483,9 +488,10 @@ def bond_conv_apply_directed(
         # [E] -> [U] as each bond's two directed partials: gather(first) +
         # gather(second) — [U]-row gathers instead of a permutation
         # segment-sum over [E] rows (fused into one kernel pass when both
-        # windows qualify)
-        new_bond_feas = gather_sum(
-            [(partial, u2d, p_u2d), (partial, und_second, p_u2d2)]
+        # windows qualify); the backward is ONE d2u row gather
+        # (ops.scatter.twin_reduce)
+        new_bond_feas = twin_reduce(
+            partial, u2d, und_second, d2u, p_u2d, p_u2d2, p_d2u
         )
     if "mlp_out" in params:
         new_bond_feas = mlp_apply(params["mlp_out"], new_bond_feas)
@@ -564,7 +570,10 @@ def angle_update_apply_directed(
         projected, b1 = project_parts_fold(
             gmlp["core"]["layers"], gmlp["gate"]["layers"], parts, fold
         )
-        acc = gather_sum(projected) + b1
+        projected, b1 = fold_bias_into_stream(projected, b1)
+        acc = gather_sum(projected)
+        if b1 is not None:
+            acc = acc + b1
         new_angle_feas = gated_mlp_tail(
             gmlp, acc, activation=activation, dropout=dropout, rng=rng
         )

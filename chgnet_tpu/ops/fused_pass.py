@@ -312,13 +312,19 @@ def _fused_pass_pallas(
 def _reference_pass(tables, idxs, plans, b1, p2, weights, mask, resnet):
     """Unfused composition (custom-vjp building blocks): the math the
     kernel must match, and the path the backward recomputes through."""
+    from chgnet_tpu.models.functions import fold_bias_into_stream
     from chgnet_tpu.ops.gated_message import (
         fused_gated_message,
         fused_gated_update,
     )
     from chgnet_tpu.ops.scatter import gather_sum
 
-    acc = gather_sum(list(zip(tables, idxs, plans))) + b1
+    parts, b1_rest = fold_bias_into_stream(
+        list(zip(tables, idxs, plans)), b1
+    )
+    acc = gather_sum(parts)
+    if b1_rest is not None:
+        acc = acc + b1_rest
     if weights is not None:
         # message shape (AtomConv / BondConv); mask may be pre-folded
         # into weights (the mono-kernel path does this outside the op)

@@ -33,6 +33,7 @@ trace time. Each stream carries a :class:`GatherPlan`:
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -68,6 +69,11 @@ class GatherPlan(NamedTuple):
 
 
 _EMPTY = np.zeros(0, np.int32)
+
+
+def _opt(arr):
+    """Plan field -> kernel operand: empty means absent."""
+    return arr if getattr(arr, "shape", (0,))[0] else None
 
 # accept the block-local plan when its chunk-visit total is within this
 # factor of the minimum sequential pass (it removes a whole permutation
@@ -356,15 +362,69 @@ def _gather_sum_fwd(tables, idxs, plans, num_segments):
     return out, (idxs, plans)
 
 
+def _pair_stream_keys(plan: GatherPlan):
+    """Row-aligned key stream of a plan (for one-sweep pairing), or
+    ``(None, False)`` when the plan only carries permuted keys. Returns
+    ``(keys, raw_mode)``."""
+    if plan.raw.shape[0] > 0:
+        return plan.raw, True
+    if plan.perm.shape[0] == 0:
+        return plan.dst, False
+    return None, False
+
+
 def _gather_sum_bwd(num_segments, res, ct):
     idxs, plans = res
+    dtables: list = [
+        ct if idx is None else None for idx in idxs
+    ]
+    # pair windowed parts with the SAME output capacity into one
+    # two-output kernel sweep (e.g. the dir_i + dir_j reductions of the
+    # angle stream, or AtomConv's center + neighbor reductions of the
+    # edge stream): one read of ct instead of two
+    if not os.environ.get("CHGNET_TPU_NO_STREAM_PAIR"):
+        cand = [
+            k
+            for k, (idx, p, n_seg) in enumerate(
+                zip(idxs, plans, num_segments)
+            )
+            if idx is not None
+            and p is not None
+            and _stream_eligible(ct, p.blk_lo, n_seg)
+            and _pair_stream_keys(p)[0] is not None
+        ]
+        while len(cand) >= 2:
+            a = cand.pop(0)
+            b = next(
+                (c for c in cand if num_segments[c] == num_segments[a]),
+                None,
+            )
+            if b is None:
+                continue
+            cand.remove(b)
+            pa, pb = plans[a], plans[b]
+            keys_a, raw_a = _pair_stream_keys(pa)
+            keys_b, raw_b = _pair_stream_keys(pb)
+            ulo, ucnt = stream_ops.union_block_plan(
+                pa.blk_lo, pa.blk_cnt, pb.blk_lo, pb.blk_cnt
+            )
+            aux_a = (pa.blk_lo, pa.blk_cnt, _opt(pa.g_lo), _opt(pa.g_cnt),
+                     _opt(pa.pw))
+            aux_b = (pb.blk_lo, pb.blk_cnt, _opt(pb.g_lo), _opt(pb.g_cnt),
+                     _opt(pb.pw))
+            dtables[a], dtables[b] = stream_ops.segment_sum_pair(
+                ct, keys_a, keys_b, ulo, ucnt, aux_a, aux_b,
+                num_segments[a], raw_a, raw_b,
+            )
     dtables = tuple(
-        ct
-        if idx is None
+        d
+        if d is not None
         else _planned_segsum(
             ct, p.perm, p.dst, p.blk_lo, p.blk_cnt, p.raw, n_seg
         )
-        for idx, p, n_seg in zip(idxs, plans, num_segments)
+        for d, (idx, p, n_seg) in zip(
+            dtables, zip(idxs, plans, num_segments)
+        )
     )
     return (dtables, None, None)
 
@@ -429,6 +489,47 @@ def gather_sum(parts) -> jnp.ndarray:
         g = table if idx is None else plan_gather(table, idx, plan)
         acc = acc + g
     return acc
+
+
+# ------------------------------------------------------- twin reduce
+@jax.custom_vjp
+def _twin_reduce(partial, u2d, und2, d2u, plan_u2d, plan_u2d2, plan_d2u):
+    return gather_sum([(partial, u2d, plan_u2d), (partial, und2, plan_u2d2)])
+
+
+def _twin_reduce_fwd(partial, u2d, und2, d2u, plan_u2d, plan_u2d2, plan_d2u):
+    out = _twin_reduce(partial, u2d, und2, d2u, plan_u2d, plan_u2d2, plan_d2u)
+    return out, (d2u, plan_d2u)
+
+
+def _twin_reduce_bwd(res, ct):
+    d2u, plan_d2u = res
+    # each directed edge is the FIRST or SECOND directed edge of exactly
+    # its own bond, so the transpose of gather(u2d) + gather(und_second)
+    # is one row gather by d2u — no segment sum at all. Padded edge rows
+    # pick up their (in-range) padded-d2u bond's cotangent, which is
+    # harmless: the partial stream's only other consumer is the dir_i
+    # segment-sum backward, whose expansion zeroes dropped rows.
+    return (plan_gather(ct, d2u, plan_d2u),) + (None,) * 6
+
+
+_twin_reduce.defvjp(_twin_reduce_fwd, _twin_reduce_bwd)
+
+
+def twin_reduce(partial, u2d, und2, d2u, plan_u2d, plan_u2d2, plan_d2u):
+    """``partial[u2d] + partial[und_second]`` — the [E] -> [U] reduction
+    of per-directed-edge partial sums to undirected bonds — with the
+    backward rewritten as ONE ``d2u`` row gather instead of two
+    [U] -> [E] segment-sum transposes (they sum disjoint indicator sets
+    that tile the edge axis exactly once). Forward unchanged (the fused
+    window kernel when plans qualify)."""
+    if os.environ.get("CHGNET_TPU_NO_TWIN_REDUCE"):
+        return gather_sum(
+            [(partial, u2d, plan_u2d), (partial, und2, plan_u2d2)]
+        )
+    return _twin_reduce(
+        partial, u2d, und2, d2u, plan_u2d, plan_u2d2, plan_d2u
+    )
 
 
 def harmonize_plans(plans: list[GatherPlan]) -> list[GatherPlan]:

@@ -254,6 +254,202 @@ def _segsum_pallas(x, dst, chunk_lo, n_chunks, *, n_out, interpret=False):
     )(chunk_lo, n_chunks, dstp, xp)
 
 
+def _segsum2_kernel(chunk_lo_ref, n_chunks_ref, dap_ref, dbp_ref, xp_hbm,
+                    out_a_ref, out_b_ref, xbuf, abuf, bbuf, acc_a, acc_b,
+                    xsem, asem, bsem, *, n_rows, d, prec):
+    """TWO segment sums over ONE input sweep (see ``_segsum_kernel``):
+    the union chunk range serves two key streams — e.g. the dir_i and
+    dir_j cotangent reductions of the angle stream, whose per-block
+    ranges overlap almost completely (both lie within the block's
+    centers' edge spans). One extra one-hot matmul and a 4-byte-per-row
+    key DMA replace an entire second pass over ``x``."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    P = max(128 // d, 1)
+    C2 = C // P
+    j = pl.program_id(0)
+    acc_a[...] = jnp.zeros_like(acc_a)
+    acc_b[...] = jnp.zeros_like(acc_b)
+    lo = chunk_lo_ref[j]  # logical row, multiple of C
+    n_chunks = n_chunks_ref[j]
+    lo2 = lo // P
+    n2 = n_rows // P
+
+    def dmas(slot, k):
+        start2 = pl.multiple_of(jnp.minimum(lo2 + k * C2, n2 - C2), C2)
+        return (
+            pltpu.make_async_copy(
+                xp_hbm.at[pl.ds(start2, C2), :], xbuf.at[slot], xsem.at[slot]
+            ),
+            pltpu.make_async_copy(
+                dap_ref.at[:, pl.ds(start2, C2)], abuf.at[slot], asem.at[slot]
+            ),
+            pltpu.make_async_copy(
+                dbp_ref.at[:, pl.ds(start2, C2)], bbuf.at[slot], bsem.at[slot]
+            ),
+        )
+
+    @pl.when(n_chunks > 0)
+    def _():
+        for dma in dmas(0, 0):
+            dma.start()
+
+    def body(k, _):
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k + 1 < n_chunks)
+        def _():
+            for dma in dmas(1 - slot, k + 1):
+                dma.start()
+
+        for dma in dmas(slot, k):
+            dma.wait()
+
+        start2 = jnp.minimum(lo2 + k * C2, n2 - C2)
+        # tail chunks re-read earlier rows; mask them out of the one-hot
+        row_ok = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, C2), 1) + start2
+        ) >= (lo2 + k * C2)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (BO, 1), 0)
+        for p in range(P):
+            la = jnp.where(row_ok, abuf[slot][p : p + 1, :] - j * BO, -1)
+            acc_a[p] += jax.lax.dot_general(
+                (iota == la).astype(xbuf.dtype),
+                xbuf[slot],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )
+            lb = jnp.where(row_ok, bbuf[slot][p : p + 1, :] - j * BO, -1)
+            acc_b[p] += jax.lax.dot_general(
+                (iota == lb).astype(xbuf.dtype),
+                xbuf[slot],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0, unroll=False)
+    ta = acc_a[0][:, :d]
+    tb = acc_b[0][:, :d]
+    for p in range(1, P):
+        ta = ta + acc_a[p][:, p * d : (p + 1) * d]
+        tb = tb + acc_b[p][:, p * d : (p + 1) * d]
+    out_a_ref[...] = ta.astype(out_a_ref.dtype)
+    out_b_ref[...] = tb.astype(out_b_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_out", "interpret"))
+def _segsum2_pallas(x, dst_a, dst_b, chunk_lo, n_chunks, *, n_out,
+                    interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_rows, d = x.shape
+    if d < 128 and 128 % d:
+        raise ValueError(f"feature dim {d} must divide 128")
+    if d > 128 and d % 128:
+        raise ValueError(f"wide feature dim {d} must be a multiple of 128")
+    P = max(128 // d, 1)
+    C2 = C // P
+    n_blocks = -(-n_out // BO)
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if x.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    xp = x.reshape(n_rows // P, P * d)
+    dap = dst_a.reshape(n_rows // P, P).T  # [P, L // P]
+    dbp = dst_b.reshape(n_rows // P, P).T
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # dap [P, L // P]
+            pl.BlockSpec(memory_space=pl.ANY),  # dbp [P, L // P]
+            pl.BlockSpec(memory_space=pl.ANY),  # xp [L // P, 128]
+        ],
+        out_specs=[
+            pl.BlockSpec((BO, d), lambda j, *_: (j, 0)),
+            pl.BlockSpec((BO, d), lambda j, *_: (j, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, C2, P * d), x.dtype),
+            pltpu.VMEM((2, P, C2), jnp.int32),
+            pltpu.VMEM((2, P, C2), jnp.int32),
+            pltpu.VMEM((P, BO, P * d), jnp.float32),
+            pltpu.VMEM((P, BO, P * d), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    vma = out_vma(x, dst_a, dst_b)
+    shape = jax.ShapeDtypeStruct((n_out, d), x.dtype, vma=vma)
+    return pl.pallas_call(
+        functools.partial(_segsum2_kernel, n_rows=n_rows, d=d, prec=prec),
+        grid_spec=grid_spec,
+        out_shape=[shape, shape],
+        interpret=interpret,
+    )(chunk_lo, n_chunks, dap, dbp, xp)
+
+
+def union_block_plan(lo_a, cnt_a, lo_b, cnt_b):
+    """Per-output-block chunk range covering BOTH block plans (empty
+    blocks do not extend the union). Inputs may be host numpy or device
+    arrays (lean-shipped plans); chunk starts are multiples of ``C``."""
+    big = 2 ** 30
+    lo_ae = jnp.where(cnt_a > 0, lo_a, big)
+    lo_be = jnp.where(cnt_b > 0, lo_b, big)
+    hi = jnp.maximum(
+        jnp.where(cnt_a > 0, lo_a + cnt_a * C, 0),
+        jnp.where(cnt_b > 0, lo_b + cnt_b * C, 0),
+    )
+    lo = jnp.minimum(lo_ae, lo_be)
+    cnt = jnp.maximum(hi - jnp.minimum(lo, hi), 0) // C
+    lo = jnp.where(cnt > 0, lo, 0)
+    return lo.astype(jnp.int32), cnt.astype(jnp.int32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def segment_sum_pair(x, dst_a, dst_b, ulo, ucnt, aux_a, aux_b, n_out,
+                     raw_a=False, raw_b=False):
+    """Two segment sums of ``x`` (same ``n_out``) in ONE streaming sweep.
+
+    ``dst_a``/``dst_b`` are row-aligned key streams (padding >= n_out);
+    ``(ulo, ucnt)`` their union block plan (:func:`union_block_plan`);
+    ``aux_* = (blk_lo, blk_cnt, g_lo, g_cnt, pw)`` each stream's OWN plan
+    fields, used by the backward's per-stream ``ct[dst]`` expansions.
+    ``raw_*`` mark unsorted block-local streams (see
+    :func:`segment_sum_sorted`). Differentiable to arbitrary order via
+    the expand_rows/segment_sum_sorted custom-vjp recursion."""
+    return tuple(_segsum2_pallas(x, dst_a, dst_b, ulo, ucnt, n_out=n_out))
+
+
+def _segsum_pair_fwd(x, dst_a, dst_b, ulo, ucnt, aux_a, aux_b, n_out,
+                     raw_a=False, raw_b=False):
+    # recurse through the custom op (higher-order autodiff differentiates
+    # this fwd itself; the raw pallas_call has no JVP rule)
+    out = segment_sum_pair(
+        x, dst_a, dst_b, ulo, ucnt, aux_a, aux_b, n_out, raw_a, raw_b
+    )
+    return out, (dst_a, dst_b, aux_a, aux_b)
+
+
+def _segsum_pair_bwd(n_out, raw_a, raw_b, res, cts):
+    dst_a, dst_b, aux_a, aux_b = res
+    ct_a, ct_b = cts
+    d_x = expand_rows(
+        ct_a, dst_a, *aux_a, n_out, raw_a
+    ) + expand_rows(ct_b, dst_b, *aux_b, n_out, raw_b)
+    return (d_x, None, None, None, None, None, None)
+
+
+segment_sum_pair.defvjp(_segsum_pair_fwd, _segsum_pair_bwd)
+
+
 def _segsum_impl(x, dst, blk_lo, blk_cnt, n_out, raw_mode):
     """Kernel selector. Measured round 4 (bench-scale, one v5e):
     narrow streams (d < 128) run ~27% faster on the v2 input-stationary
