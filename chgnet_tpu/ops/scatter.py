@@ -113,9 +113,13 @@ def make_plan(
         out: dict = {}
         if stream_ops.stream_v2_enabled():
             # paired-window plans serve only the opt-in v2 gather; don't
-            # spend host time on them in the rebuild pipeline otherwise
+            # spend host time on them in the rebuild pipeline otherwise.
+            # Use the REAL validity mask: scatter-style streams pad with
+            # num_segments (one-past-the-end), which would inflate the
+            # block span and disqualify the plan; the kernels zero
+            # out-of-window rows and every consumer masks padding.
             pw = stream_ops.build_pw_plan(
-                idx, np.ones(idx.shape[0], dtype=bool), num_segments
+                idx, np.asarray(valid, dtype=bool), num_segments
             )
             if pw is not None:
                 out["pw"] = pw

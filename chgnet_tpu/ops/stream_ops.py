@@ -459,6 +459,18 @@ def _segsum_impl(x, dst, blk_lo, blk_cnt, n_out, raw_mode):
     dominates, so v2's finer blocks buy nothing). Keep v1 for full-width
     streams, v2 for narrow ones; CHGNET_TPU_NO_STREAM_V2 kills v2."""
     if stream_v2_enabled() and x.shape[1] < 128:
+        if raw_mode and isinstance(blk_cnt, np.ndarray):
+            # v2's raw-mode visit capacity is STATIC (LOCAL_VISIT_FACTOR
+            # x the minimal pass, mirroring make_plan's gate). A plan
+            # built elsewhere can exceed it; visits past capacity get no
+            # slots and their blocks would never flush — wrong sums with
+            # no error. Raw plans are host numpy in practice, so check
+            # here (trace time) and keep such streams on v1.
+            need = int(np.maximum(blk_cnt, 1).sum())
+            n_blocks = -(-n_out // BO)
+            cap = int(LOCAL_VISIT_FACTOR * (x.shape[0] // C)) + 16
+            if need > cap + n_blocks:
+                return _segsum_pallas(x, dst, blk_lo, blk_cnt, n_out=n_out)
         return _segsum_v2_pallas(
             x, dst, blk_lo, blk_cnt, n_out=n_out, raw_mode=raw_mode
         )

@@ -1089,6 +1089,16 @@ def make_graph_sharded_train_step(
     # step. Inference/MD mesh paths (first-order) keep the kernels.
     import dataclasses
 
+    if config.fused_kernels:
+        import warnings
+
+        warnings.warn(
+            "make_graph_sharded_train_step: fused_kernels=True is "
+            "overridden to False for sharded training (second-order "
+            "check_vma limitation); numerics/perf follow the unfused "
+            "path",
+            stacklevel=2,
+        )
     cfg = dataclasses.replace(config, fused_kernels=False)
 
     def local_loss(params, sb, hb, tgt):

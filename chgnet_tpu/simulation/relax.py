@@ -631,6 +631,11 @@ def _graph_slots(batch: GraphBatch) -> tuple[np.ndarray, int]:
     mask = np.asarray(batch.atom_mask) > 0
     n_graphs = batch.n_graphs
     counts = np.bincount(owner[mask], minlength=n_graphs)
+    if counts.size and int(counts.min()) == 0:
+        # a zero-atom graph would get pg_idx rows of flat index 0 (a real
+        # atom of graph 0) with valid slots, cross-contaminating graph 0
+        # through to_graph/from_graph
+        raise ValueError("every graph in a BFGS batch needs >= 1 atom")
     n_max = max(int(counts.max()) if counts.size else 1, 1)
     pg_idx = np.zeros((n_graphs, n_max), np.int64)
     offsets = np.concatenate([[0], np.cumsum(counts)])[:-1]

@@ -22,6 +22,7 @@ def kernels_on(monkeypatch):
     monkeypatch.setenv("CHGNET_TPU_FUSED_PASS", "1")  # opt-in gate
     for name in (
         "_multi_gather_pallas", "_gather_pallas", "_segsum_pallas",
+        "_segsum2_pallas",
         "_segsum_v2_pallas", "_gather_v2_pallas",
     ):
         monkeypatch.setattr(

@@ -179,6 +179,7 @@ def test_gather_sum_fused_matches_fallback_and_grads(monkeypatch):
     monkeypatch.setattr(so, "tpu_backend", lambda: True)
     for name in (
         "_multi_gather_pallas", "_gather_pallas", "_segsum_pallas",
+        "_segsum2_pallas",
         "_segsum_v2_pallas", "_gather_v2_pallas",
     ):
         monkeypatch.setattr(

@@ -194,6 +194,14 @@ def test_train_grads_with_kernel_gates_open(batch, monkeypatch):
             + (stream if has_stream else 0)
         ),
     )
+    monkeypatch.setattr(
+        so,
+        "_segsum2_pallas",
+        lambda x, da, db, lo, cnt, *, n_out, interpret=False: [
+            jax.ops.segment_sum(x, da, num_segments=n_out),
+            jax.ops.segment_sum(x, db, num_segments=n_out),
+        ],
+    )
     jax.clear_caches()
     g_on = jax.grad(loss)(m.params)
     for a, b in zip(jax.tree.leaves(g_on), jax.tree.leaves(g_ref)):

@@ -147,6 +147,7 @@ def _force_kernels(monkeypatch):
     monkeypatch.setattr(so, "tpu_backend", lambda: True)
     for name in (
         "_multi_gather_pallas", "_gather_pallas", "_segsum_pallas",
+        "_segsum2_pallas",
         "_segsum_v2_pallas", "_gather_v2_pallas",
     ):
         monkeypatch.setattr(
@@ -323,6 +324,7 @@ def test_full_model_kernel_path_matches_xla(monkeypatch):
     monkeypatch.setattr(so, "tpu_backend", lambda: True)
     for name in (
         "_multi_gather_pallas", "_gather_pallas", "_segsum_pallas",
+        "_segsum2_pallas",
         "_segsum_v2_pallas", "_gather_v2_pallas",
     ):
         monkeypatch.setattr(

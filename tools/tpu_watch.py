@@ -33,6 +33,14 @@ COMMANDS = [
     ("bench_md", [sys.executable, "tools/bench_md.py", "60"], 5400),
 ]
 
+#: the real-chip mesh smoke (tools/tpu_mesh_smoke.py) runs once per
+#: session before the benchmarks: the CPU suite structurally cannot see
+#: TPU-backend mesh failures (kernels gate off CPU), and round 4 proved
+#: that bug class ships past a fully green CPU suite. Result goes to
+#: WATCH_SMOKE.json so the artifact exists even when a human forgets.
+SMOKE = ("mesh_smoke", [sys.executable, "tools/tpu_mesh_smoke.py"], 2400)
+SMOKE_PASS = "ALL D=1 TPU MESH SMOKES PASS"
+
 
 def log(msg: str, path: str) -> None:
     line = f"[{time.strftime('%Y-%m-%d %H:%M:%S')}] {msg}"
@@ -82,6 +90,34 @@ def run_logged(
         return found or None
 
 
+def run_raw(
+    argv: list[str], timeout_s: float, log_path: str
+) -> tuple[int, list[str]]:
+    """Like :func:`run_logged` but returns (rc, this run's output lines)
+    regardless of success — for commands whose result is a text verdict
+    rather than JSON (the mesh smoke). Timeout reports rc = -1."""
+    with open(log_path, "a") as out:
+        out.flush()
+        start_offset = out.tell()
+        proc = subprocess.Popen(
+            argv, stdout=out, stderr=out, cwd=REPO, start_new_session=True
+        )
+        try:
+            rc = proc.wait(timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except ProcessLookupError:
+                pass
+            proc.wait()
+            log(f"TIMEOUT after {timeout_s:.0f}s: {' '.join(argv)}", log_path)
+            rc = -1
+    with open(log_path) as fh:
+        fh.seek(start_offset)
+        lines = [ln.rstrip("\n") for ln in fh if ln.strip()]
+    return rc, lines
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--hours", type=float, default=11.0)
@@ -110,6 +146,30 @@ def main() -> None:
             time.sleep(120)
             continue
         log("TPU probe SUCCEEDED; running benchmarks", args.log)
+        smoke_out = os.path.join(
+            os.path.dirname(args.out), "WATCH_SMOKE.json"
+        )
+        if not os.path.exists(smoke_out):
+            name, argv, tmo = SMOKE
+            log(f"running {name}: {' '.join(argv)}", args.log)
+            rc, lines = run_raw(argv, tmo, args.log)
+            ok = rc == 0 and any(SMOKE_PASS in ln for ln in lines)
+            with open(smoke_out, "w") as fh:
+                json.dump(
+                    {"ts": time.time(), "ok": ok, "rc": rc,
+                     "tail": lines[-8:]},
+                    fh,
+                    indent=2,
+                )
+            log(f"mesh smoke {'OK' if ok else 'FAILED'}", args.log)
+            if not ok:
+                # tunnel may have dropped mid-smoke: leave the failure
+                # artifact, remove it so the next session retries, and
+                # re-probe (a REAL regression keeps failing and the log
+                # carries the trace)
+                os.replace(smoke_out, smoke_out + ".failed")
+                time.sleep(30)
+                continue
         for name, argv, tmo in pending:
             log(f"running {name}: {' '.join(argv)}", args.log)
             lines = run_logged(argv, tmo, args.log)
