@@ -73,6 +73,19 @@ class GraphBatch(NamedTuple):
     dense_nbr: np.ndarray = np.zeros((0, 0), np.int32)  # i32 [N, K]
     dense_bond: np.ndarray = np.zeros((0, 0), np.int32)  # i32 [N, K]
     dense_mask: np.ndarray = np.zeros((0, 0), np.float32)  # f32 [N, K]
+    # optional HALO-TILED neighbor layout (built with tile=True/int):
+    # atoms partition into index tiles of T rows; the expanded table
+    # [tile0_own | tile0_halo | tile1_own | ...] duplicates each tile's
+    # remote neighbors next to it, so the per-edge neighbor gather
+    # (`nbr_x` into the expanded axis) is window-local at ANY structure
+    # size — the one stream that loses its gather window on large single
+    # structures (XLA's row gather at 17-58 GB/s, session-dependent).
+    # The per-layer price is one small [N_x] expansion gather
+    # (`exp_map`, backward = its planned segment sum). Requires a
+    # spatially sorted atom order (Structure.spatial_sort) to keep halos
+    # small.
+    exp_map: np.ndarray = np.zeros(0, np.int32)  # i32 [N_x] source atom
+    nbr_x: np.ndarray = np.zeros(0, np.int32)  # i32 [E] expanded nbr ref
     # backward gather plans (ops/scatter.py): turn every grad-of-gather
     # scatter into a permutation gather + SORTED segment sum
     plan_nbr: GatherPlan = _NO_PLAN  # atom_graph[:, 1] -> atom table
@@ -88,6 +101,8 @@ class GraphBatch(NamedTuple):
     # forward-scatter plans (sorted by construction): dst equals
     # edge_scatter, block plans feed the streaming kernel
     plan_center: GatherPlan = _NO_PLAN  # atom_graph[:, 0]; dst == edge_scatter
+    plan_exp: GatherPlan = _NO_PLAN  # exp_map -> atom table
+    plan_nbr_x: GatherPlan = _NO_PLAN  # nbr_x -> expanded table
 
     @property
     def n_graphs(self) -> int:
@@ -96,6 +111,75 @@ class GraphBatch(NamedTuple):
     @property
     def n_atoms_padded(self) -> int:
         return self.atomic_numbers.shape[0]
+
+
+def _build_halo_tiles(
+    atom_graph: np.ndarray,  # i32 [E, 2] padded (center, neighbor)
+    e_valid: np.ndarray,  # bool [E]
+    cap_n: int,
+    T: int,
+) -> dict:
+    """Halo-tiled neighbor layout (see GraphBatch field docs).
+
+    Tiles are index blocks of ``T`` rows over the (spatially sorted,
+    padded) atom axis. The expanded table interleaves each tile's own
+    rows with its sorted remote-neighbor halo, so every edge's neighbor
+    reference lands inside its center tile's contiguous region — the
+    windows ``make_plan`` needs are then 1-2 regions wide regardless of
+    structure size. Exactness: ``exp_map[nbr_x] == atom_graph[:, 1]``
+    for every valid edge (asserted), so gathering through the expansion
+    is a row-for-row restatement of the direct gather.
+    """
+    centers = atom_graph[:, 0].astype(np.int64)
+    nbrs = atom_graph[:, 1].astype(np.int64)
+    tc = centers // T
+    tn = nbrs // T
+    n_tiles = -(-cap_n // T)
+    remote = (tc != tn) & e_valid
+    # per-tile sorted unique remote neighbors via one packed-key unique
+    keys = np.unique(tc[remote] * cap_n + nbrs[remote])
+    halo_tile = (keys // cap_n).astype(np.int64)
+    halo_atom = (keys % cap_n).astype(np.int64)
+    halo_counts = np.bincount(halo_tile, minlength=n_tiles)
+    halo_starts = np.concatenate([[0], np.cumsum(halo_counts)])[:-1]
+    region_sizes = T + halo_counts
+    region_off = np.concatenate([[0], np.cumsum(region_sizes)])[:-1]
+    n_x = int(region_sizes.sum())
+    n_x_cap = -(-n_x // _STREAM_CHUNK) * _STREAM_CHUNK
+
+    # padded tail rows point at the LAST atom row (batching convention —
+    # keeps tail-block gather windows near the table end); they are
+    # never referenced by nbr_x and plan_exp drops them in the backward
+    exp_map = np.full(n_x_cap, cap_n - 1, np.int32)
+    own_rows = region_off[:, None] + np.arange(T)[None, :]
+    exp_map[own_rows.ravel()] = np.minimum(
+        np.arange(n_tiles * T), cap_n - 1
+    )
+    halo_rows = region_off[halo_tile] + T + (
+        np.arange(len(halo_atom)) - halo_starts[halo_tile]
+    )
+    exp_map[halo_rows] = halo_atom
+
+    local = region_off[tc] + (nbrs - tc * T)
+    halo_pos = np.searchsorted(keys, tc * cap_n + nbrs)
+    remote_rows = region_off[tc] + T + (
+        np.clip(halo_pos, 0, max(len(keys) - 1, 0))
+        - halo_starts[np.minimum(tc, n_tiles - 1)]
+    )
+    nbr_x = np.where(remote, remote_rows, local).astype(np.int32)
+    check = e_valid & (exp_map[nbr_x] != atom_graph[:, 1])
+    if check.any():
+        raise AssertionError("halo tiling broke the neighbor map")
+    return {
+        "exp_map": exp_map,
+        "nbr_x": nbr_x,
+        "plan_exp": make_plan(
+            exp_map,
+            np.arange(n_x_cap) < n_x,
+            cap_n,
+        ),
+        "plan_nbr_x": make_plan(nbr_x, e_valid, n_x_cap),
+    }
 
 
 def round_up(n: int, *, base: int = 32, growth: float = 1.25) -> int:
@@ -113,6 +197,7 @@ def batch_graphs(
     bucket: bool = True,
     capacities: tuple[int, int, int] | None = None,
     dense_k: bool | int = False,
+    tile: bool | int = False,
 ) -> GraphBatch:
     """Assemble CrystalGraphs into one padded GraphBatch.
 
@@ -125,6 +210,11 @@ def batch_graphs(
         dense_k: also build the dense per-atom edge layout ([N, K] slots;
             True buckets K to the max neighbor count, an int pins it) for
             ``CHGNetConfig.dense_atom_conv``.
+        tile: build the halo-tiled neighbor layout (``GraphBatch.exp_map``
+            / ``nbr_x``) with tiles of ``int(tile)`` atoms (True = 512).
+            Gives the neighbor gather a streaming window at any structure
+            size; atoms should be spatially sorted
+            (``Structure.spatial_sort``) so halos stay small.
     """
     n_graphs = len(graphs)
     if n_graphs == 0:
@@ -313,7 +403,16 @@ def batch_graphs(
 
     e_valid = edge_mask > 0
     a_valid = angle_mask > 0
+    halo = {}
+    if tile:
+        halo = _build_halo_tiles(
+            atom_graph,
+            e_valid,
+            cap_n,
+            512 if tile is True else int(tile),
+        )
     return GraphBatch(
+        **halo,
         atomic_numbers=atomic_numbers,
         frac_coords=frac_coords,
         lattices=lattices,

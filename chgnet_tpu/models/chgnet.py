@@ -316,71 +316,28 @@ def _energy_core(
     owner_onehot = (
         batch.edge_owner[:, None] == jnp.arange(n_graphs)[None, :]
     ).astype(cart.dtype)
-    lat_edges = (owner_onehot @ lat.reshape(n_graphs, 9)).reshape(-1, 3, 3)
     # positions ride a 32-lane stream: a [*,3] f32 array occupies a full
     # 128-lane tile anyway, so padding to 32 costs no extra HBM bytes but
     # makes every geometry backward segment-sum eligible for the
     # streaming kernel (ops/stream_ops.py accepts d in {32, 64, 128})
     pos32 = jnp.pad(pos, ((0, 0), (0, 29)))
-    center_pos = plan_gather(pos32, batch.atom_graph[:, 0], p_center)[:, :3]
-    nbr_pos = plan_gather(pos32, batch.atom_graph[:, 1], p_nbr)[:, :3] + (
-        jnp.einsum("ei,eij->ej", batch.images, lat_edges)
+    # halo-tiled neighbor stream (GraphBatch.exp_map/nbr_x): one small
+    # [N_x] expansion gather makes the per-edge neighbor gather
+    # window-local at any structure size (graph/batching.py)
+    tiled = (
+        atom_plans is not None
+        and batch.nbr_x.shape[0] > 0
+        and batch.plan_nbr_x.dst.shape[0] > 0
+        and not os.environ.get("CHGNET_TPU_NO_TILE")
     )
-    vec = center_pos - nbr_pos
-    dist = jnp.linalg.norm(vec, axis=1)  # padded edges: |a| > 0, finite grads
-    unit = vec / dist[:, None]
-
-    # geometry stream for the angle/bond paths: unit vector + distance in
-    # one 32-lane row, so one gather per index stream serves both and the
-    # transposes run through the streaming kernel
-    geom = jnp.pad(
-        jnp.concatenate([unit, dist[:, None]], axis=1), ((0, 0), (0, 28))
-    )
-
-    # bond bases (both expansions on atom-graph bond lengths). Directed
-    # mode keys them on the DIRECTED distance stream — each reverse edge
-    # evaluates its own (twin-equal to rounding) length, so the dispersed
-    # u2d gather and every later d2u expansion disappear; undirected mode
-    # matches the reference layout ([U] tables, model.py:443-466).
     directed = cfg.directed_bonds and not cfg.dense_atom_conv
-    bond_dist = (
-        dist
-        if directed
-        else plan_gather(geom, batch.undirected2directed, p_u2d)[:, 3]
+    conv_dtype = (
+        jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     )
-    rbf_ag = basis.radial_bessel(
-        bond_dist,
-        params["bond_basis"]["freq_ag"],
-        cfg.atom_graph_cutoff,
-        cfg.cutoff_coeff,
-    )
-    rbf_bg = basis.radial_bessel(
-        bond_dist,
-        params["bond_basis"]["freq_bg"],
-        cfg.bond_graph_cutoff,
-        cfg.cutoff_coeff,
-    )
-
-    # angle basis from directed unit bond vectors (encoders.py:133-146),
-    # gathered from the 32-lane geometry stream. (Per-component 1-D
-    # gathers were tried here and are a trap: XLA's T(1024) 1-D
-    # gather/scatter path runs at ~17 ns/row — six of them cost ~180 ms
-    # per iteration at 800k angle rows, a third of the whole E+F+S+M
-    # pass. The 32-lane rows gather at the same row rate as [A,3] and
-    # their backward is a kernel-eligible segment sum.)
-    gi = plan_gather(geom, batch.bond_graph[:, 2], p_ang_vi)
-    gj = plan_gather(geom, batch.bond_graph[:, 4], p_ang_vj)
-    cos_ij = jnp.sum(gi[:, :3] * gj[:, :3], axis=1) * (1 - 1e-6)
-    angles = jnp.arccos(cos_ij)
-    angle_bases = basis.fourier(angles, params["angle_basis"]["freq"])
-
     # optional reduced-precision conv stack: on a bandwidth-bound TPU the
     # edge/angle feature streams dominate runtime, so carrying them in
     # bfloat16 nearly halves HBM traffic. Geometry (bond vectors, bases)
     # and the energy readout stay float32.
-    conv_dtype = (
-        jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-    )
     if conv_dtype != jnp.float32:
         conv_keys = [
             "atom_embedding", "bond_embedding", "bond_weights_ag",
@@ -390,53 +347,153 @@ def _energy_core(
             lambda x: x.astype(conv_dtype),
             {k: params[k] for k in conv_keys},
         )
-        rbf_ag = rbf_ag.astype(conv_dtype)
-        rbf_bg = rbf_bg.astype(conv_dtype)
-        angle_bases = angle_bases.astype(conv_dtype)
 
-    # embeddings (model.py:431-439); Z=1 (H) is embedding row 0
+    remat_mode = (
+        cfg.remat if isinstance(cfg.remat, str) else
+        ("all" if cfg.remat else "")
+    )
+    if remat_mode not in ("", "all", "angle"):
+        raise ValueError(f"remat={cfg.remat!r}: use False, True/'all', or 'angle'")
+
+    enc_keys = [
+        "bond_basis", "angle_basis", "bond_embedding",
+        "bond_weights_ag", "bond_weights_bg", "angle_embedding",
+    ]
+
+    def _encode(pos32, lat, enc_params):
+        """Geometry + bases + bond/angle embeddings + loop-invariant
+        weight hoists, as one function of (positions, per-edge lattices).
+        Under remat it is CHECKPOINTED: the [E, 31]/[A, 31] basis
+        expansions, the geometry streams, and the pre-product w_i/w_j
+        gathers — several GB of lane-padded residuals at the multi-
+        million-angle scale — are recomputed in the backward from the
+        tiny [N, 32] position stream instead of saved (the per-layer
+        checkpoint residual wall, docs/performance.md)."""
+        lat_edges = (owner_onehot @ lat.reshape(n_graphs, 9)).reshape(
+            -1, 3, 3
+        )
+        center_pos = plan_gather(
+            pos32, batch.atom_graph[:, 0], p_center
+        )[:, :3]
+        if tiled:
+            pos_x = plan_gather(pos32, batch.exp_map, batch.plan_exp)
+            nbr_gather = plan_gather(pos_x, batch.nbr_x, batch.plan_nbr_x)
+        else:
+            nbr_gather = plan_gather(pos32, batch.atom_graph[:, 1], p_nbr)
+        nbr_pos = nbr_gather[:, :3] + (
+            jnp.einsum("ei,eij->ej", batch.images, lat_edges)
+        )
+        vec = center_pos - nbr_pos
+        dist = jnp.linalg.norm(vec, axis=1)  # padded: |a| > 0, finite grads
+        unit = vec / dist[:, None]
+
+        # geometry stream for the angle/bond paths: unit vector + distance
+        # in one 32-lane row, so one gather per index stream serves both
+        # and the transposes run through the streaming kernel
+        geom = jnp.pad(
+            jnp.concatenate([unit, dist[:, None]], axis=1),
+            ((0, 0), (0, 28)),
+        )
+
+        # bond bases (both expansions on atom-graph bond lengths).
+        # Directed mode keys them on the DIRECTED distance stream — each
+        # reverse edge evaluates its own (twin-equal to rounding) length,
+        # so the dispersed u2d gather and every later d2u expansion
+        # disappear; undirected mode matches the reference layout
+        # ([U] tables, model.py:443-466).
+        bond_dist = (
+            dist
+            if directed
+            else plan_gather(geom, batch.undirected2directed, p_u2d)[:, 3]
+        )
+        rbf_ag = basis.radial_bessel(
+            bond_dist,
+            enc_params["bond_basis"]["freq_ag"],
+            cfg.atom_graph_cutoff,
+            cfg.cutoff_coeff,
+        )
+        rbf_bg = basis.radial_bessel(
+            bond_dist,
+            enc_params["bond_basis"]["freq_bg"],
+            cfg.bond_graph_cutoff,
+            cfg.cutoff_coeff,
+        )
+
+        # angle basis from directed unit bond vectors (encoders.py:133-146),
+        # gathered from the 32-lane geometry stream. (Per-component 1-D
+        # gathers were tried here and are a trap: XLA's T(1024) 1-D
+        # gather/scatter path runs at ~17 ns/row — six of them cost
+        # ~180 ms per iteration at 800k angle rows, a third of the whole
+        # E+F+S+M pass. The 32-lane rows gather at the same row rate as
+        # [A,3] and their backward is a kernel-eligible segment sum.)
+        gi = plan_gather(geom, batch.bond_graph[:, 2], p_ang_vi)
+        gj = plan_gather(geom, batch.bond_graph[:, 4], p_ang_vj)
+        cos_ij = jnp.sum(gi[:, :3] * gj[:, :3], axis=1) * (1 - 1e-6)
+        angles = jnp.arccos(cos_ij)
+        angle_bases = basis.fourier(angles, enc_params["angle_basis"]["freq"])
+
+        if conv_dtype != jnp.float32:
+            rbf_ag = rbf_ag.astype(conv_dtype)
+            rbf_bg = rbf_bg.astype(conv_dtype)
+            angle_bases = angle_bases.astype(conv_dtype)
+
+        # embeddings (model.py:431-439)
+        bond_feas = linear_apply(enc_params["bond_embedding"], rbf_ag)
+        bond_weights_ag = linear_apply(enc_params["bond_weights_ag"], rbf_ag)
+        bond_weights_bg = linear_apply(enc_params["bond_weights_bg"], rbf_bg)
+        angle_feas = linear_apply(enc_params["angle_embedding"], angle_bases)
+
+        # Hoist the LOOP-INVARIANT edge/angle weight streams out of the
+        # conv stack: bond_weights_{ag,bg} never change across layers, so
+        # their d2u expansion (AtomConv, reference layers.py:119) and the
+        # per-angle w_i*w_j product (BondConv, layers.py:248-252) are
+        # gathered ONCE here instead of per layer — deduping both the
+        # forward gathers and their backward scatter-transposes (Pallas
+        # custom calls, which XLA's CSE does not merge).
+        if cfg.dense_atom_conv:
+            weights_e_h = None
+        elif directed:
+            weights_e_h = bond_weights_ag  # already on the directed stream
+        else:
+            weights_e_h = plan_gather(
+                bond_weights_ag, batch.directed2undirected,
+                atom_plans[1] if atom_plans is not None else None,
+            )
+        weights_a_h = None
+        if cfg.update_bond:
+            p_i_h, p_j_h, _, p_d2u_h = (
+                bond_plans[:4] if bond_plans is not None else (None,) * 4
+            )
+            w_dir_h = (
+                bond_weights_bg
+                if directed
+                else plan_gather(
+                    bond_weights_bg, batch.directed2undirected, p_d2u_h
+                )
+            )
+            weights_a_h = plan_gather(
+                w_dir_h, batch.bond_graph[:, 2], p_i_h
+            ) * plan_gather(w_dir_h, batch.bond_graph[:, 4], p_j_h)
+        return (
+            bond_feas, bond_weights_ag, bond_weights_bg, angle_feas,
+            weights_e_h, weights_a_h,
+        )
+
+    if remat_mode:
+        _encode = jax.checkpoint(_encode)
+    (
+        bond_feas, bond_weights_ag, bond_weights_bg, angle_feas,
+        weights_e_h, weights_a_h,
+    ) = _encode(pos32, lat, {k: params[k] for k in enc_keys})
+
+    # atom embedding (Z=1 -> row 0); [N]-keyed, stays outside the
+    # checkpointed encoder
     z_index = jnp.clip(batch.atomic_numbers - 1, 0, cfg.max_num_elements - 1)
     atom_feas = params["atom_embedding"]["weight"][z_index]
-    bond_feas = linear_apply(params["bond_embedding"], rbf_ag)
-    bond_weights_ag = linear_apply(params["bond_weights_ag"], rbf_ag)
-    bond_weights_bg = linear_apply(params["bond_weights_bg"], rbf_bg)
-    angle_feas = linear_apply(params["angle_embedding"], angle_bases)
 
     act = cfg.non_linearity
     edge_mask = batch.edge_mask.astype(conv_dtype)
     angle_mask = batch.angle_mask.astype(conv_dtype)
-
-    # Hoist the LOOP-INVARIANT edge/angle weight streams out of the conv
-    # stack: bond_weights_{ag,bg} never change across layers, so their
-    # d2u expansion (AtomConv, reference layers.py:119) and the per-angle
-    # w_i*w_j product (BondConv, layers.py:248-252) are gathered ONCE here
-    # instead of per layer — deduping both the forward gathers and their
-    # backward scatter-transposes (Pallas custom calls, which XLA's CSE
-    # does not merge).
-    if cfg.dense_atom_conv:
-        weights_e_h = None
-    elif directed:
-        weights_e_h = bond_weights_ag  # already on the directed stream
-    else:
-        weights_e_h = plan_gather(
-            bond_weights_ag, batch.directed2undirected,
-            atom_plans[1] if atom_plans is not None else None,
-        )
-    weights_a_h = None
-    if cfg.update_bond:
-        p_i_h, p_j_h, _, p_d2u_h = (
-            bond_plans[:4] if bond_plans is not None else (None,) * 4
-        )
-        w_dir_h = (
-            bond_weights_bg
-            if directed
-            else plan_gather(
-                bond_weights_bg, batch.directed2undirected, p_d2u_h
-            )
-        )
-        weights_a_h = plan_gather(
-            w_dir_h, batch.bond_graph[:, 2], p_i_h
-        ) * plan_gather(w_dir_h, batch.bond_graph[:, 4], p_j_h)
 
     use_dense = cfg.dense_atom_conv
     if use_dense and batch.dense_mask.shape[1] == 0:
@@ -468,6 +525,10 @@ def _energy_core(
                 dense_mask_c,
                 activation=act,
             )
+        nbr_part = None
+        if tiled:
+            atom_x = plan_gather(atom_feas, batch.exp_map, batch.plan_exp)
+            nbr_part = (atom_x, batch.nbr_x, batch.plan_nbr_x)
         return atom_conv_apply(
             atom_p,
             atom_feas,
@@ -484,6 +545,7 @@ def _energy_core(
             rng=rng,
             weights_e=weights_e_h,
             directed_table=directed,
+            nbr_part=nbr_part,
         )
 
     def bond_step(bond_p, atom_feas, bond_feas, bond_weights_bg,
@@ -529,12 +591,6 @@ def _energy_core(
             atom_e=atom_e,
         )
 
-    remat_mode = (
-        cfg.remat if isinstance(cfg.remat, str) else
-        ("all" if cfg.remat else "")
-    )
-    if remat_mode not in ("", "all", "angle"):
-        raise ValueError(f"remat={cfg.remat!r}: use False, True/'all', or 'angle'")
     if remat_mode:
         # trade recompute for memory: per-LAYER rematerialization. A
         # whole-block checkpoint peaks at AtomConv + BondConv +

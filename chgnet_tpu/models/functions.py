@@ -360,10 +360,54 @@ def first_layer_acc_joint(
     per-part window gathers fuse into ONE streaming kernel pass
     (``ops.scatter.gather_sum``) — the unfused form materializes each
     projected [E, 2D] stream in HBM before the adds."""
+    return first_layer_acc(layers_c, layers_g, parts)
+
+
+def first_layer_acc(
+    layers_c: Sequence[Params],
+    layers_g: Sequence[Params],
+    parts: Sequence[tuple],
+    fold: dict[int, int] | None = None,
+) -> jnp.ndarray:
+    """The first-layer accumulator, fastest correct path at trace time:
+
+    * union-window gather-project kernel (``ops/gproj.py``) when every
+      windowed part shares one narrow table group with v1 gather windows
+      — the raw dt-wide table streams ONCE per block window and the
+      per-part first-Linear weights apply in-kernel,
+    * otherwise the round-3/4 composition: project-before-gather with
+      part folding, bias folded into the first aligned table, fused
+      multi-gather (``ops.scatter.gather_sum``).
+
+    ``fold`` (see :func:`project_parts_fold`) only affects the fallback —
+    the kernel shares one-hots between same-index parts natively."""
+    from chgnet_tpu.ops.gproj import gather_project_sum, gproj_eligible
+
+    norm = [_split_part(p) for p in parts]
+    L = next(
+        (i.shape[0] for _, i, _ in norm if i is not None),
+        norm[0][0].shape[0],
+    )
+    if gproj_eligible(norm, L):
+        first_w = jnp.concatenate(
+            [layers_c[0]["w"], layers_g[0]["w"]], axis=1
+        )
+        ws, aligned_w = [], []
+        offset = 0
+        for table, idx, _ in norm:
+            sl = first_w[offset: offset + table.shape[1]]
+            (aligned_w if idx is None else ws).append(sl)
+            offset += table.shape[1]
+        b1 = (
+            jnp.concatenate([layers_c[0]["b"], layers_g[0]["b"]])
+            if "b" in layers_c[0]
+            else None
+        )
+        return gather_project_sum(norm, ws, b1, aligned_w)
+    projected, b1 = project_parts_fold(layers_c, layers_g, parts, fold)
+    projected, b1 = fold_bias_into_stream(projected, b1)
     from chgnet_tpu.ops.scatter import gather_sum
 
-    projected, b1 = project_parts(layers_c, layers_g, parts)
-    projected, b1 = fold_bias_into_stream(projected, b1)
     acc = gather_sum(projected)
     return acc if b1 is None else acc + b1
 

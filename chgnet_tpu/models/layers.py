@@ -21,6 +21,7 @@ import numpy as np
 from chgnet_tpu.models.functions import (
     Params,
     find_activation as find_activation_cached,
+    first_layer_acc,
     first_layer_acc_joint,
     gated_mlp_apply,
     gated_mlp_fusable,
@@ -34,20 +35,83 @@ from chgnet_tpu.models.functions import (
     mlp_apply,
     mlp_init,
     norm_init,
-    project_parts,
     project_parts_fold,
-    fold_bias_into_stream,
     gated_mlp_tail,
     segment_mean,
     segment_sum,
 )
 from chgnet_tpu.ops.scatter import (
-    gather_sum,
     plan_gather,
     plan_segment_sum,
     plan_segment_sum_perm,
     twin_reduce,
 )
+
+
+def _layer_acc(gmlp: Params, parts, fold=None):
+    return first_layer_acc(
+        gmlp["core"]["layers"], gmlp["gate"]["layers"], parts, fold
+    )
+
+
+def _fused_layer(
+    gmlp: Params,
+    parts,
+    fold=None,
+    *,
+    weights=None,
+    mask=None,
+    resnet=None,
+):
+    """Fused-tail conv-layer pass: the opt-in mono-kernel when requested
+    (``CHGNET_TPU_FUSED_PASS``), else the first-layer accumulator (the
+    union-window gather-project kernel when eligible, ``ops/gproj.py``)
+    followed by the fused gated tail kernels (``ops/gated_message.py``).
+    ``weights`` selects the message shape (AtomConv/BondConv);
+    ``resnet`` without weights selects the update shape (AngleUpdate)."""
+    import os
+
+    if os.environ.get("CHGNET_TPU_FUSED_PASS"):
+        from chgnet_tpu.ops.fused_pass import fused_layer_pass
+
+        projected, b1 = project_parts_fold(
+            gmlp["core"]["layers"], gmlp["gate"]["layers"], parts, fold
+        )
+        return fused_layer_pass(
+            projected,
+            b1,
+            gated_mlp_fused_pack(gmlp),
+            weights=weights,
+            mask=mask,
+            resnet=resnet,
+        )
+    from chgnet_tpu.ops.gated_message import (
+        fused_gated_message,
+        fused_gated_update,
+    )
+
+    acc = _layer_acc(gmlp, parts, fold)
+    p2 = gated_mlp_fused_pack(gmlp)
+    if weights is not None:
+        out = fused_gated_message(
+            acc,
+            weights,
+            mask
+            if mask is not None
+            else jnp.ones(acc.shape[0], acc.dtype),
+            p2,
+        )
+        return out if resnet is None else out + resnet
+    if mask is not None:
+        raise NotImplementedError("mask without weights is unsupported")
+    resnet_in = (
+        resnet
+        if resnet is not None
+        else jnp.zeros(
+            (acc.shape[0], p2["nc_scale"].shape[-1]), acc.dtype
+        )
+    )
+    return fused_gated_update(acc, resnet_in, p2)
 
 
 # ------------------------------------------------------------------ AtomConv
@@ -100,6 +164,7 @@ def atom_conv_apply(
     rng: jnp.ndarray | None = None,
     weights_e: jnp.ndarray | None = None,  # [E, d] hoisted bond weights
     directed_table: bool = False,
+    nbr_part: tuple | None = None,  # halo-tiled (atom_x, nbr_x, plan)
 ) -> jnp.ndarray:
     """Gated-MLP messages over directed edges -> bond-weight scaling ->
     sorted segment-sum into center atoms (``layers.py:81-137``). The
@@ -125,7 +190,12 @@ def atom_conv_apply(
     parts = [
         (atom_feas, atom_graph[:, 0], p_center),
         bond_part,
-        (atom_feas, atom_graph[:, 1], p_nbr),
+        # halo-tiled batches (GraphBatch.nbr_x) gather neighbors from the
+        # per-tile expanded table so the stream stays window-local at any
+        # structure size; the caller supplies the expanded table
+        nbr_part
+        if nbr_part is not None
+        else (atom_feas, atom_graph[:, 1], p_nbr),
     ]
     if weights_e is None:
         weights_e = (
@@ -137,17 +207,8 @@ def atom_conv_apply(
     if rng is not None and dropout > 0.0:
         fused = False  # the Pallas tail has no dropout support
     if fused and gated_mlp_fusable(gmlp, activation):
-        from chgnet_tpu.ops.fused_pass import fused_layer_pass
-
-        projected, b1 = project_parts(
-            gmlp["core"]["layers"], gmlp["gate"]["layers"], parts
-        )
-        messages = fused_layer_pass(
-            projected,
-            b1,
-            gated_mlp_fused_pack(gmlp),
-            weights=weights_e,
-            mask=edge_mask,
+        messages = _fused_layer(
+            gmlp, parts, weights=weights_e, mask=edge_mask
         )
     else:
         messages = gated_mlp_gather_apply(
@@ -309,17 +370,8 @@ def bond_conv_apply(
     if rng is not None and dropout > 0.0:
         fused = False  # the Pallas tail has no dropout support
     if fused and gated_mlp_fusable(gmlp, activation):
-        from chgnet_tpu.ops.fused_pass import fused_layer_pass
-
-        projected, b1 = project_parts(
-            gmlp["core"]["layers"], gmlp["gate"]["layers"], parts
-        )
-        update = fused_layer_pass(
-            projected,
-            b1,
-            gated_mlp_fused_pack(gmlp),
-            weights=weights_a,
-            mask=angle_mask,
+        update = _fused_layer(
+            gmlp, parts, weights=weights_a, mask=angle_mask
         )
     else:
         update = gated_mlp_gather_apply(
@@ -445,34 +497,14 @@ def bond_conv_apply_directed(
     if rng is not None and dropout > 0.0:
         fused = False  # the Pallas tail has no dropout support
     if fused and gated_mlp_fusable(gmlp, activation):
-        from chgnet_tpu.ops.fused_pass import fused_layer_pass
-
-        projected, b1 = project_parts_fold(
-            gmlp["core"]["layers"], gmlp["gate"]["layers"], parts, fold
-        )
-        update = fused_layer_pass(
-            projected,
-            b1,
-            gated_mlp_fused_pack(gmlp),
-            weights=weights_a,
-            mask=angle_mask,
+        update = _fused_layer(
+            gmlp, parts, fold, weights=weights_a, mask=angle_mask
         )
     else:
-        if fold:
-            projected, b1 = project_parts_fold(
-                gmlp["core"]["layers"], gmlp["gate"]["layers"], parts, fold
-            )
-            projected, b1 = fold_bias_into_stream(projected, b1)
-            acc = gather_sum(projected)
-            if b1 is not None:
-                acc = acc + b1
-            update = gated_mlp_tail(
-                gmlp, acc, activation=activation, dropout=dropout, rng=rng
-            )
-        else:
-            update = gated_mlp_gather_apply(
-                gmlp, parts, activation=activation, dropout=dropout, rng=rng
-            )
+        acc = _layer_acc(gmlp, parts, fold)
+        update = gated_mlp_tail(
+            gmlp, acc, activation=activation, dropout=dropout, rng=rng
+        )
         update = update * weights_a * angle_mask[:, None]
     # [A] -> [E] partial sums on the sorted directed stream
     partial = plan_segment_sum(
@@ -555,32 +587,11 @@ def angle_update_apply_directed(
         and "norm" not in params
         and gated_mlp_update_fusable(gmlp, activation)
     ):
-        from chgnet_tpu.ops.fused_pass import fused_layer_pass
-
-        projected, b1 = project_parts_fold(
-            gmlp["core"]["layers"], gmlp["gate"]["layers"], parts, fold
-        )
-        return fused_layer_pass(
-            projected,
-            b1,
-            gated_mlp_fused_pack(gmlp),
-            resnet=angle_feas,
-        )
-    if fold:
-        projected, b1 = project_parts_fold(
-            gmlp["core"]["layers"], gmlp["gate"]["layers"], parts, fold
-        )
-        projected, b1 = fold_bias_into_stream(projected, b1)
-        acc = gather_sum(projected)
-        if b1 is not None:
-            acc = acc + b1
-        new_angle_feas = gated_mlp_tail(
-            gmlp, acc, activation=activation, dropout=dropout, rng=rng
-        )
-    else:
-        new_angle_feas = gated_mlp_gather_apply(
-            gmlp, parts, activation=activation, dropout=dropout, rng=rng
-        )
+        return _fused_layer(gmlp, parts, fold, resnet=angle_feas)
+    acc = _layer_acc(gmlp, parts, fold)
+    new_angle_feas = gated_mlp_tail(
+        gmlp, acc, activation=activation, dropout=dropout, rng=rng
+    )
     if resnet:
         new_angle_feas = new_angle_feas + angle_feas
     if "norm" in params:
@@ -646,17 +657,7 @@ def angle_update_apply(
         and "norm" not in params
         and gated_mlp_update_fusable(gmlp, activation)
     ):
-        from chgnet_tpu.ops.fused_pass import fused_layer_pass
-
-        projected, b1 = project_parts(
-            gmlp["core"]["layers"], gmlp["gate"]["layers"], parts
-        )
-        return fused_layer_pass(
-            projected,
-            b1,
-            gated_mlp_fused_pack(gmlp),
-            resnet=angle_feas,
-        )
+        return _fused_layer(gmlp, parts, resnet=angle_feas)
     new_angle_feas = gated_mlp_gather_apply(
         gmlp, parts, activation=activation, dropout=dropout, rng=rng
     )

@@ -202,6 +202,16 @@ def test_train_grads_with_kernel_gates_open(batch, monkeypatch):
             jax.ops.segment_sum(x, db, num_segments=n_out),
         ],
     )
+    from chgnet_tpu.ops import gproj as gproj_mod
+
+    monkeypatch.setattr(
+        gproj_mod,
+        "_gproj_pallas",
+        lambda tables, idxs, ws, ulo, ucnt, stream=None, *, pairs,
+        has_stream=False, interpret=False: sum(
+            [tables[t][idxs[i]] @ ws[k] for k, (t, i) in enumerate(pairs)]
+        ) + (stream if has_stream else 0),
+    )
     jax.clear_caches()
     g_on = jax.grad(loss)(m.params)
     for a, b in zip(jax.tree.leaves(g_on), jax.tree.leaves(g_ref)):

@@ -144,6 +144,8 @@ def _force_kernels(monkeypatch):
     """Open every streaming-kernel gate on CPU (pallas interpret mode)."""
     import functools as ft
 
+    from chgnet_tpu.ops import gproj as gproj_mod
+
     monkeypatch.setattr(so, "tpu_backend", lambda: True)
     for name in (
         "_multi_gather_pallas", "_gather_pallas", "_segsum_pallas",
@@ -153,6 +155,11 @@ def _force_kernels(monkeypatch):
         monkeypatch.setattr(
             so, name, ft.partial(getattr(so, name), interpret=True)
         )
+    monkeypatch.setattr(
+        gproj_mod,
+        "_gproj_pallas",
+        ft.partial(gproj_mod._gproj_pallas, interpret=True),
+    )
 
 
 def test_segsum_gather_window_backward_second_order(monkeypatch):
@@ -321,6 +328,8 @@ def test_full_model_kernel_path_matches_xla(monkeypatch):
 
     ref = jax.tree.map(np.asarray, run())
 
+    from chgnet_tpu.ops import gproj as gproj_mod
+
     monkeypatch.setattr(so, "tpu_backend", lambda: True)
     for name in (
         "_multi_gather_pallas", "_gather_pallas", "_segsum_pallas",
@@ -330,6 +339,11 @@ def test_full_model_kernel_path_matches_xla(monkeypatch):
         monkeypatch.setattr(
             so, name, ft.partial(getattr(so, name), interpret=True)
         )
+    monkeypatch.setattr(
+        gproj_mod,
+        "_gproj_pallas",
+        ft.partial(gproj_mod._gproj_pallas, interpret=True),
+    )
     jax.clear_caches()  # drop traces compiled with the gates closed
     out = jax.tree.map(np.asarray, run())
     for key, atol in (("e", 1e-5), ("f", 1e-4), ("s", 1e-4), ("m", 1e-5)):

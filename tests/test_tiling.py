@@ -1,0 +1,83 @@
+"""Halo-tiled neighbor layout (graph/batching.py _build_halo_tiles):
+exactness of the expanded map, plan quality, and model equivalence."""
+
+from __future__ import annotations
+
+import functools as ft
+
+import numpy as np
+
+import jax
+
+from chgnet_tpu import ROOT
+from chgnet_tpu.core.structure import Structure
+from chgnet_tpu.graph.batching import batch_graphs
+from chgnet_tpu.models.chgnet import CHGNet, compute_batch
+from chgnet_tpu.ops import stream_ops as so
+
+
+def _model_and_graph(n=(4, 3, 3)):
+    model = CHGNet(seed=0)
+    s = Structure.from_file(
+        f"{ROOT}/examples/mp-18767-LiMnO2.cif"
+    ).make_supercell(n).perturb(0.03, seed=0).spatial_sort()
+    return model, model.graph_converter(s)
+
+
+def test_halo_map_exact_and_window_local():
+    model, g = _model_and_graph()
+    b = batch_graphs([g], tile=64)
+    valid = np.asarray(b.edge_mask) > 0
+    # the expansion restates the neighbor stream row for row
+    assert (
+        np.asarray(b.exp_map)[np.asarray(b.nbr_x)][valid]
+        == np.asarray(b.atom_graph)[valid, 1]
+    ).all()
+    # nbr_x must carry a streaming window (the whole point)
+    assert b.plan_nbr_x.g_lo.shape[0] > 0
+    # and the expansion must be plan-covered for its backward
+    assert b.plan_exp.dst.shape[0] > 0
+
+
+def test_tiled_model_matches_untiled():
+    model, g = _model_and_graph()
+    b0 = batch_graphs([g])
+    b1 = batch_graphs([g], tile=64)
+    kw = dict(
+        config=model.config, compute_force=True, compute_stress=True,
+        compute_magmom=True,
+    )
+    r0 = compute_batch(model.params, b0, **kw)
+    r1 = compute_batch(model.params, b1, **kw)
+    for k, atol in (("e", 1e-6), ("f", 5e-5), ("s", 5e-5), ("m", 1e-6)):
+        np.testing.assert_allclose(
+            np.asarray(r0[k]), np.asarray(r1[k]), atol=atol, err_msg=k
+        )
+
+
+def test_tiled_kernel_path_matches(monkeypatch):
+    """Tiled E+F with every kernel gate open (interpret) vs plain."""
+    from chgnet_tpu.ops import gproj as gp
+
+    model, g = _model_and_graph((2, 2, 2))
+    b1 = batch_graphs([g], tile=64)
+    kw = dict(config=model.config, compute_force=True)
+    ref = jax.tree.map(
+        np.asarray, compute_batch(model.params, b1, **kw)
+    )
+    monkeypatch.setattr(so, "tpu_backend", lambda: True)
+    for mod, name in [
+        (so, "_multi_gather_pallas"), (so, "_gather_pallas"),
+        (so, "_segsum_pallas"), (so, "_segsum2_pallas"),
+        (gp, "_gproj_pallas"),
+    ]:
+        monkeypatch.setattr(
+            mod, name, ft.partial(getattr(mod, name), interpret=True)
+        )
+    jax.clear_caches()
+    out = jax.tree.map(
+        np.asarray, compute_batch(model.params, b1, **kw)
+    )
+    jax.clear_caches()
+    for k, atol in (("e", 1e-5), ("f", 1e-4)):
+        np.testing.assert_allclose(out[k], ref[k], atol=atol, err_msg=k)

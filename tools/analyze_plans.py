@@ -114,6 +114,19 @@ def main() -> None:
             analyze(
                 f"morton {n}", batch_graphs([conv(s.spatial_sort())])
             )
+            tb = batch_graphs([conv(s.spatial_sort())], tile=True)
+            analyze(f"morton+halo-tiled {n}", tb)
+            n_x = tb.exp_map.shape[0]
+            n_cap = tb.atomic_numbers.shape[0]
+            rows = [
+                plan_row("exp_map", tb.plan_exp, n_x),
+                plan_row("nbr_x", tb.plan_nbr_x, tb.nbr_x.shape[0]),
+            ]
+            for r in rows:
+                print(json.dumps(r))
+            print(json.dumps({
+                "expansion_factor": round(n_x / n_cap, 3),
+            }))
 
 
 if __name__ == "__main__":
