@@ -411,8 +411,49 @@ def batch_graphs(
             cap_n,
             512 if tile is True else int(tile),
         )
+    # plan builds are independent (pure numpy + GIL-releasing native
+    # sorts): run them on a small pool — the batch stage is the rebuild
+    # pipeline's pole at the 10k-atom scale (docs/performance.md), and
+    # this roughly halves it on the 4-core dev host
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        plan_futs = {
+            "plan_nbr": pool.submit(
+                make_plan, atom_graph[:, 1], e_valid, cap_n
+            ),
+            "plan_d2u": pool.submit(
+                make_plan, directed2undirected, e_valid, cap_u
+            ),
+            # undirected2directed is sorted by construction (undirected
+            # ids assigned by first appearance along center-sorted
+            # edges); angle rows are sorted only in bond_i
+            "plan_u2d": pool.submit(
+                make_plan, undirected2directed, und_mask > 0, cap_e,
+                assume_sorted=True,
+            ),
+            "plan_u2d2": pool.submit(
+                make_plan, und_second, und_mask > 0, cap_e
+            ),
+            "plan_ang_vi": pool.submit(
+                make_plan, bond_graph[:, 2], a_valid, cap_e,
+                assume_sorted=True,
+            ),
+            "plan_ang_vj": pool.submit(
+                make_plan, bond_graph[:, 4], a_valid, cap_e
+            ),
+            "plan_ang_c": pool.submit(
+                make_plan, bond_graph[:, 0], a_valid, cap_n
+            ),
+            "plan_center": pool.submit(
+                make_plan, atom_graph[:, 0], e_valid, cap_n,
+                assume_sorted=True,
+            ),
+        }
+        plans = {k: f.result() for k, f in plan_futs.items()}
     return GraphBatch(
         **halo,
+        **plans,
         atomic_numbers=atomic_numbers,
         frac_coords=frac_coords,
         lattices=lattices,
@@ -432,22 +473,5 @@ def batch_graphs(
         angle_scatter=angle_scatter,
         angle_scatter_dir=angle_scatter_dir,
         angle_mask=angle_mask,
-        plan_nbr=make_plan(atom_graph[:, 1], e_valid, cap_n),
-        plan_d2u=make_plan(directed2undirected, e_valid, cap_u),
-        # undirected2directed is sorted by construction (undirected ids
-        # assigned by first appearance along center-sorted edges); angle
-        # rows are sorted only in bond_i (angle_scatter covers that plan)
-        plan_u2d=make_plan(
-            undirected2directed, und_mask > 0, cap_e, assume_sorted=True
-        ),
-        plan_u2d2=make_plan(und_second, und_mask > 0, cap_e),
-        plan_ang_vi=make_plan(
-            bond_graph[:, 2], a_valid, cap_e, assume_sorted=True
-        ),
-        plan_ang_vj=make_plan(bond_graph[:, 4], a_valid, cap_e),
-        plan_ang_c=make_plan(bond_graph[:, 0], a_valid, cap_n),
-        plan_center=make_plan(
-            atom_graph[:, 0], e_valid, cap_n, assume_sorted=True
-        ),
         **dense,
     )

@@ -228,6 +228,9 @@ def _gproj_pallas(
     out_dtype = (
         stream.dtype if has_stream and stream is not None else dtype
     )
+    vma_args = list(tables) + list(idxs) + list(ws)
+    if has_stream and stream is not None:
+        vma_args.append(stream)
     return pl.pallas_call(
         functools.partial(
             _gproj_kernel,
@@ -243,7 +246,7 @@ def _gproj_pallas(
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (L, K), out_dtype, vma=out_vma(*tables, *idxs, *ws)
+            (L, K), out_dtype, vma=out_vma(*vma_args)
         ),
         interpret=interpret,
     )(ulo, ucnt, *operands)
@@ -316,11 +319,11 @@ def _gproj_fwd(tables, idxs, ws, upair, stream, plans, pairs):
     # recurse through the custom op: higher-order autodiff differentiates
     # this fwd itself and the raw pallas_call has no JVP rule
     out = _gproj_op(tables, idxs, ws, upair, stream, plans, pairs)
-    return out, (tables, idxs, ws, plans)
+    return out, (tables, idxs, ws, plans, stream is None)
 
 
 def _gproj_bwd(pairs, res, ct):
-    tables, idxs, ws, plans = res
+    tables, idxs, ws, plans, no_stream = res
     S = tables[0].shape[0]
     # one segment sum of ct per DISTINCT index stream
     sums = _bwd_sums(ct, idxs, plans, S)
@@ -348,7 +351,8 @@ def _gproj_bwd(pairs, res, ct):
         jnp.zeros_like(tb) if d is None else d
         for tb, d in zip(tables, d_tables)
     )
-    return (d_tables, None, tuple(d_ws), None, ct, None)
+    return (d_tables, None, tuple(d_ws), None, None if no_stream else ct,
+            None)
 
 
 _gproj_op.defvjp(_gproj_fwd, _gproj_bwd)

@@ -64,7 +64,11 @@ def test_directed_matches_undirected(batch, dtype):
     for directed in (True, False):
         m = CHGNet(seed=0, directed_bonds=directed, compute_dtype=dtype)
         out[directed] = compute_batch(m.params, batch, config=m.config, **kw)
-    tol = 1e-5 if dtype == "float32" else 5e-3
+    # bf16: the directed path's atom-fold (the angle-side atom part
+    # riding the dir_i gather, round 5) reorders bf16 summation vs the
+    # undirected path; f32 agreement stays at 1e-5, bf16 site values
+    # drift up to ~6e-3 on magmoms (was 5e-3 before the fold)
+    tol = 1e-5 if dtype == "float32" else 8e-3
     for k in ("e", "f", "s", "m"):
         np.testing.assert_allclose(
             np.asarray(out[True][k], np.float32),
