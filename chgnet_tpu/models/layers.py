@@ -54,6 +54,21 @@ def _layer_acc(gmlp: Params, parts, fold=None):
     )
 
 
+def _msg_reduce_ok(L: int, gmlp: Params, plan, n_out: int) -> bool:
+    """Eligibility for the fused message-reduce sweep (tail + sorted
+    segment sum in one kernel) — mono-kernel mode keeps the old split."""
+    import os
+
+    if os.environ.get("CHGNET_TPU_FUSED_PASS"):
+        return False
+    from chgnet_tpu.ops import stream_ops
+    from chgnet_tpu.ops.gated_message import msg_reduce_ok
+
+    two_dim = 2 * gmlp["core"]["layers"][-1]["w"].shape[1]
+    fake = type("S", (), {"ndim": 2, "shape": (L, two_dim)})()
+    return L % stream_ops.C == 0 and msg_reduce_ok(fake, plan, n_out)
+
+
 def _fused_layer(
     gmlp: Params,
     parts,
@@ -206,20 +221,31 @@ def atom_conv_apply(
     gmlp = params["gated_mlp"]
     if rng is not None and dropout > 0.0:
         fused = False  # the Pallas tail has no dropout support
-    if fused and gated_mlp_fusable(gmlp, activation):
-        messages = _fused_layer(
-            gmlp, parts, weights=weights_e, mask=edge_mask
+    if fused and gated_mlp_fusable(gmlp, activation) and _msg_reduce_ok(
+        edge_scatter.shape[0], gmlp, p_center, atom_feas.shape[0]
+    ):
+        from chgnet_tpu.ops.gated_message import fused_gated_message_reduce
+
+        acc = _layer_acc(gmlp, parts)
+        new_atom_feas = fused_gated_message_reduce(
+            acc, weights_e, edge_mask, gated_mlp_fused_pack(gmlp),
+            p_center, atom_feas.shape[0],
         )
     else:
-        messages = gated_mlp_gather_apply(
-            gmlp, parts, activation=activation, dropout=dropout, rng=rng
+        if fused and gated_mlp_fusable(gmlp, activation):
+            messages = _fused_layer(
+                gmlp, parts, weights=weights_e, mask=edge_mask
+            )
+        else:
+            messages = gated_mlp_gather_apply(
+                gmlp, parts, activation=activation, dropout=dropout,
+                rng=rng,
+            )
+            messages = messages * weights_e
+            messages = messages * edge_mask[:, None]
+        new_atom_feas = plan_segment_sum(
+            messages, edge_scatter, atom_feas.shape[0], p_center
         )
-        messages = messages * weights_e
-        messages = messages * edge_mask[:, None]
-
-    new_atom_feas = plan_segment_sum(
-        messages, edge_scatter, atom_feas.shape[0], p_center
-    )
     if "mlp_out" in params:
         new_atom_feas = mlp_apply(params["mlp_out"], new_atom_feas)
     if resnet:
@@ -496,20 +522,33 @@ def bond_conv_apply_directed(
     gmlp = params["gated_mlp"]
     if rng is not None and dropout > 0.0:
         fused = False  # the Pallas tail has no dropout support
-    if fused and gated_mlp_fusable(gmlp, activation):
-        update = _fused_layer(
-            gmlp, parts, fold, weights=weights_a, mask=angle_mask
+    if fused and gated_mlp_fusable(gmlp, activation) and _msg_reduce_ok(
+        angle_scatter_dir.shape[0], gmlp, p_i, d2u.shape[0]
+    ):
+        # fused tail + [A] -> [E] partial reduction in ONE sweep: the
+        # [A, D] update stream never exists in HBM
+        from chgnet_tpu.ops.gated_message import fused_gated_message_reduce
+
+        acc = _layer_acc(gmlp, parts, fold)
+        partial = fused_gated_message_reduce(
+            acc, weights_a, angle_mask, gated_mlp_fused_pack(gmlp),
+            p_i, d2u.shape[0],
         )
     else:
-        acc = _layer_acc(gmlp, parts, fold)
-        update = gated_mlp_tail(
-            gmlp, acc, activation=activation, dropout=dropout, rng=rng
+        if fused and gated_mlp_fusable(gmlp, activation):
+            update = _fused_layer(
+                gmlp, parts, fold, weights=weights_a, mask=angle_mask
+            )
+        else:
+            acc = _layer_acc(gmlp, parts, fold)
+            update = gated_mlp_tail(
+                gmlp, acc, activation=activation, dropout=dropout, rng=rng
+            )
+            update = update * weights_a * angle_mask[:, None]
+        # [A] -> [E] partial sums on the sorted directed stream
+        partial = plan_segment_sum(
+            update, angle_scatter_dir, d2u.shape[0], p_i
         )
-        update = update * weights_a * angle_mask[:, None]
-    # [A] -> [E] partial sums on the sorted directed stream
-    partial = plan_segment_sum(
-        update, angle_scatter_dir, d2u.shape[0], p_i
-    )
     if directed_table:
         # each bond's total on BOTH its directed rows: self + twin partial
         # (twin-symmetric bitwise — float addition commutes)

@@ -362,6 +362,205 @@ _fused_grads.defvjp(_fused_grads_fwd, _fused_grads_bwd)
 _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
+# ------------------------------------------------- fused message-reduce
+# The tail's output is immediately segment-summed in AtomConv (messages
+# -> center atoms) and BondConv (updates -> directed partial sums). The
+# separate composition materializes the [L, D] message stream in HBM
+# (write + re-read, plus the P-packing relayout the segsum kernel's
+# operand needs). This kernel fuses the reduction into the tail: an
+# input-stationary sweep over the message stream (the stream_ops v2
+# visit-list pattern — the dst keys are SORTED, so output-block revisits
+# are consecutive), with the per-block one-hot MXU reduction applied to
+# the freshly computed messages in VMEM and the [BO, D] accumulator
+# flushed once per output block.
+
+
+def _reduce_kernel(vchunk_ref, vblk_ref, vfirst_ref, vlast_ref,
+                   acc_ref, weights_ref, dst_ref,
+                   w2_ref, b2_ref, ncs_ref, ncb_ref, ngs_ref, ngb_ref,
+                   out_ref, oacc, *, bo):
+    # NO mask operand: masked rows carry dst == n_out (the batching drop
+    # convention), so the one-hot reduction drops them for free — the
+    # mask multiply of the plain tail is redundant under the reduce.
+    f32 = jnp.float32
+    s = pl.program_id(0)
+    dim = out_ref.shape[1]
+
+    @pl.when(vfirst_ref[s] == 1)
+    def _():
+        oacc[...] = jnp.zeros_like(oacc)
+
+    h = jax.nn.silu(acc_ref[:].astype(f32))
+    y = (
+        jnp.dot(h, w2_ref[:].astype(f32), preferred_element_type=f32)
+        + b2_ref[:].astype(f32)
+    )
+    core = _ln(y[:, :dim], ncs_ref[:].astype(f32), ncb_ref[:].astype(f32))
+    gate = _ln(y[:, dim:], ngs_ref[:].astype(f32), ngb_ref[:].astype(f32))
+    msg = (
+        jax.nn.silu(core)
+        * jax.nn.sigmoid(gate)
+        * weights_ref[:].astype(f32)
+    )  # [C, D] f32
+    blk = vblk_ref[s]
+    local = dst_ref[0].astype(jnp.int32) - blk * bo  # [1, C]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (bo, 1), 0)
+    onehot = (iota == local).astype(f32)  # [BO, C]
+    oacc[...] += jax.lax.dot_general(
+        onehot,
+        msg,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    @pl.when(vlast_ref[s] == 1)
+    def _():
+        out_ref[...] = oacc[...].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_out", "interpret"))
+def _reduce_pallas(acc_both, weights, mask, dst, blk_lo, blk_cnt, p2,
+                   *, n_out, interpret=False):
+    from chgnet_tpu.ops.stream_ops import BO, C, _visit_plan
+
+    n_rows, two_dim = acc_both.shape
+    dim = two_dim // 2
+    n_chunks = n_rows // C
+    n_blocks = -(-n_out // BO)
+    vchunk, vblk, vfirst, vlast = _visit_plan(
+        jnp.asarray(blk_lo), jnp.asarray(blk_cnt), n_chunks, n_blocks
+    )
+    dst3d = dst.reshape(n_chunks, 1, C)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(vchunk.shape[0],),
+        in_specs=[
+            pl.BlockSpec((C, two_dim), lambda s, vc, vb, vf, vl: (vc[s], 0)),
+            pl.BlockSpec((C, dim), lambda s, vc, vb, vf, vl: (vc[s], 0)),
+            pl.BlockSpec(
+                (1, 1, C), lambda s, vc, vb, vf, vl: (vc[s], 0, 0)
+            ),
+            pl.BlockSpec(
+                (two_dim, two_dim), lambda s, vc, vb, vf, vl: (0, 0)
+            ),
+            pl.BlockSpec((two_dim,), lambda s, vc, vb, vf, vl: (0,)),
+            pl.BlockSpec((dim,), lambda s, vc, vb, vf, vl: (0,)),
+            pl.BlockSpec((dim,), lambda s, vc, vb, vf, vl: (0,)),
+            pl.BlockSpec((dim,), lambda s, vc, vb, vf, vl: (0,)),
+            pl.BlockSpec((dim,), lambda s, vc, vb, vf, vl: (0,)),
+        ],
+        out_specs=pl.BlockSpec(
+            (BO, dim), lambda s, vc, vb, vf, vl: (vb[s], 0)
+        ),
+        scratch_shapes=[pltpu.VMEM((BO, dim), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_reduce_kernel, bo=BO),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_out, dim), acc_both.dtype,
+            vma=out_vma(acc_both, weights, mask, dst),
+        ),
+        interpret=interpret,
+    )(
+        vchunk, vblk, vfirst, vlast,
+        acc_both, weights, dst3d,
+        p2["w2"], p2["b2"],
+        p2["nc_scale"], p2["nc_bias"], p2["ng_scale"], p2["ng_bias"],
+    )
+
+
+def _reduce_reference(acc_both, weights, mask, dst, n_out, p2):
+    msg = _reference(acc_both, weights, mask, p2)
+    return jax.ops.segment_sum(
+        msg, dst, num_segments=n_out, indices_are_sorted=True
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 10))
+def _msg_reduce(acc_both, weights, mask, dst, blk, n_out, p2,
+                g_lo, g_cnt, pw, interpret):
+    blk_lo, blk_cnt = blk
+    return _reduce_pallas(
+        acc_both, weights, mask, dst, blk_lo, blk_cnt, p2,
+        n_out=n_out, interpret=interpret,
+    )
+
+
+def _msg_reduce_fwd(acc_both, weights, mask, dst, blk, n_out, p2,
+                    g_lo, g_cnt, pw, interpret):
+    out = _msg_reduce(
+        acc_both, weights, mask, dst, blk, n_out, p2, g_lo, g_cnt, pw,
+        interpret,
+    )
+    return out, (acc_both, weights, mask, dst, blk, p2, g_lo, g_cnt, pw)
+
+
+def _msg_reduce_bwd(n_out, interpret, res, ct):
+    from chgnet_tpu.ops.stream_ops import expand_rows
+
+    acc_both, weights, mask, dst, blk, p2, g_lo, g_cnt, pw = res
+    blk_lo, blk_cnt = blk
+    # per-row cotangent: ct[dst] with dropped (padded) rows zeroed —
+    # rides the streaming window-gather when the plan carries one; then
+    # the tail's hand backward (an established custom op, second-order
+    # safe) turns it into (d_acc, d_weights, d_mask, d_p2)
+    ct_rows = expand_rows(
+        ct, dst, blk_lo, blk_cnt, g_lo, g_cnt, pw, n_out, False
+    )
+    d_acc, d_w, d_mask, d_p2 = _fused_grads(
+        acc_both, weights, mask, p2, ct_rows, interpret
+    )
+    return (d_acc, d_w, d_mask, None, None, d_p2, None, None, None)
+
+
+_msg_reduce.defvjp(_msg_reduce_fwd, _msg_reduce_bwd)
+
+
+def msg_reduce_ok(acc_both, plan, n_out: int) -> bool:
+    """Trace-time eligibility for the fused message-reduce: TPU, a
+    sorted-stream block plan over ``dst`` (``plan.dst`` IS the scatter
+    key stream with padding >= n_out), kernel-aligned shapes."""
+    import os
+
+    from chgnet_tpu.ops import stream_ops
+
+    return (
+        not os.environ.get("CHGNET_TPU_NO_MSG_REDUCE")
+        and plan is not None
+        and plan.perm.shape[0] == 0
+        and plan.raw.shape[0] == 0
+        and plan.blk_lo.shape[0] == -(-n_out // stream_ops.BO)
+        and acc_both.ndim == 2
+        and acc_both.shape[0] % stream_ops.C == 0
+        and acc_both.shape[1] % 128 == 0
+        and n_out % stream_ops.BO == 0
+        and stream_ops.tpu_backend()
+    )
+
+
+def fused_gated_message_reduce(
+    acc_both: jnp.ndarray,  # [L, 2D] joint first-layer sums
+    weights: jnp.ndarray,  # [L, D]
+    mask: jnp.ndarray,  # [L]
+    p2: dict,
+    plan,  # GatherPlan of the SORTED dst stream (dst == scatter keys)
+    n_out: int,
+) -> jnp.ndarray:
+    """``segment_sum(fused_gated_message(...), plan.dst, n_out)`` in one
+    kernel sweep (callers must check :func:`msg_reduce_ok`)."""
+    interpret = jax.default_backend() != "tpu"
+    g_lo = plan.g_lo if plan.g_lo.shape[0] else None
+    g_cnt = plan.g_cnt if g_lo is not None else None
+    pw = plan.pw if plan.pw.shape[0] else None
+    return _msg_reduce(
+        acc_both, weights, mask, jnp.asarray(plan.dst),
+        (jnp.asarray(plan.blk_lo), jnp.asarray(plan.blk_cnt)), n_out, p2,
+        g_lo, g_cnt, pw, interpret,
+    )
+
+
 def fused_gated_message(
     acc_both: jnp.ndarray,  # [E, 2D] joint first-layer sums (core | gate)
     weights: jnp.ndarray,  # [E, D] per-edge scale (bond weights)
