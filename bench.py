@@ -124,17 +124,41 @@ def main() -> None:
             compute_magmom=True,
         )
 
-    # compile, with retries: the remote compile service is intermittent
-    for attempt in range(3):
-        try:
-            out = run()
-            jax.block_until_ready(out)
-            break
-        except Exception as exc:  # noqa: BLE001 - transient compile faults
-            if attempt == 2:
-                raise
-            print(f"# compile attempt {attempt + 1} failed ({exc}); retrying")
-            time.sleep(10)
+    # compile, with retries: the remote compile service is intermittent.
+    # If all retries fail with a NON-transient error (e.g. a Mosaic
+    # lowering rejection of a newly-default kernel on a toolchain this
+    # round never saw), fall back once with the round-5 kernel families
+    # disabled so the benchmark still reports a number instead of dying.
+    def compile_with_retries():
+        for attempt in range(3):
+            try:
+                out = run()
+                jax.block_until_ready(out)
+                return
+            except Exception as exc:  # noqa: BLE001 - transient faults
+                if attempt == 2:
+                    raise
+                print(
+                    f"# compile attempt {attempt + 1} failed ({exc}); "
+                    "retrying"
+                )
+                time.sleep(10)
+
+    try:
+        compile_with_retries()
+    except Exception as exc:  # noqa: BLE001
+        print(
+            "# compile failed with round-5 kernels on "
+            f"({type(exc).__name__}); retrying with gproj/msg-reduce/"
+            "pairing disabled"
+        )
+        for kill in (
+            "CHGNET_TPU_NO_GPROJ", "CHGNET_TPU_NO_MSG_REDUCE",
+            "CHGNET_TPU_NO_STREAM_PAIR", "CHGNET_TPU_NO_TWIN_REDUCE",
+        ):
+            os.environ[kill] = "1"
+        jax.clear_caches()
+        compile_with_retries()
 
     # best-of-5 windows: the device link has noisy latency spikes, and a
     # throughput metric should report steady-state, not tunnel jitter
