@@ -118,6 +118,7 @@ def _build_halo_tiles(
     e_valid: np.ndarray,  # bool [E]
     cap_n: int,
     T: int,
+    min_cap: int = 0,  # monotone N_x capacity (simulation rebuild loops)
 ) -> dict:
     """Halo-tiled neighbor layout (see GraphBatch field docs).
 
@@ -145,7 +146,7 @@ def _build_halo_tiles(
     region_sizes = T + halo_counts
     region_off = np.concatenate([[0], np.cumsum(region_sizes)])[:-1]
     n_x = int(region_sizes.sum())
-    n_x_cap = -(-n_x // _STREAM_CHUNK) * _STREAM_CHUNK
+    n_x_cap = max(-(-n_x // _STREAM_CHUNK) * _STREAM_CHUNK, min_cap)
 
     # padded tail rows point at the LAST atom row (batching convention —
     # keeps tail-block gather windows near the table end); they are
@@ -198,6 +199,7 @@ def batch_graphs(
     capacities: tuple[int, int, int] | None = None,
     dense_k: bool | int = False,
     tile: bool | int = False,
+    tile_cap: int = 0,
 ) -> GraphBatch:
     """Assemble CrystalGraphs into one padded GraphBatch.
 
@@ -410,6 +412,7 @@ def batch_graphs(
             e_valid,
             cap_n,
             512 if tile is True else int(tile),
+            min_cap=tile_cap,
         )
     # plan builds are independent (pure numpy + GIL-releasing native
     # sorts): run them on a small pool — the batch stage is the rebuild

@@ -120,6 +120,10 @@ class GraphRuntime:
         # (boundary all_to_all row exchange — 47% of all-gather wire bytes
         # at D=8, improving with D)
         lean: bool | None = None,  # lean topology shipping (None = on-TPU)
+        tile: bool | int = False,  # halo-tiled neighbor layout
+        # (batch_graphs(tile=...); structures should be spatially sorted.
+        # Forces lean shipping OFF: the lean blob does not carry the
+        # tiled fields yet. Env override: CHGNET_TPU_MD_TILE=<T>.)
     ) -> None:
         if getattr(config, "dense_atom_conv", False):
             raise NotImplementedError(
@@ -150,6 +154,7 @@ class GraphRuntime:
             self.cap_n = -(-self.cap_n // _STREAM_CHUNK) * _STREAM_CHUNK
         self._cap_e = 0
         self._cap_a = 0
+        self._cap_nx = 0  # tiled expanded-table capacity (monotone)
         # multi-chip mode: every build also re-lays the batch out over the
         # mesh (parallel.graph_sharded.shard_batch) in the same worker, so
         # the async-rebuild machinery hides shard prep too. Per-device
@@ -168,10 +173,22 @@ class GraphRuntime:
 
         from chgnet_tpu.ops.stream_ops import tpu_backend
 
+        env_tile = os.environ.get("CHGNET_TPU_MD_TILE", "")
+        if env_tile:
+            tile = int(env_tile)
+        self.tile = tile if tile else False
+        if self.tile:
+            # the lean blob does not carry exp_map/nbr_x or their plans
+            # yet: keep the full-tree transfer so the tiled layout
+            # survives rebuilds
+            lean = False
         if os.environ.get("CHGNET_TPU_NO_LEAN_SHIP"):
             lean = False
         self.lean = bool(lean) if lean is not None else False
-        self._lean_auto = lean is None and shard_mesh is None and tpu_backend()
+        self._lean_auto = (
+            lean is None and shard_mesh is None and not self.tile
+            and tpu_backend()
+        )
         self.sbatch = None
         self._shard_caps: tuple[int, int, int] | None = None
         self.n_rebuilds = -1  # first build is not a "rebuild"
@@ -222,7 +239,12 @@ class GraphRuntime:
         cap_e = max(self._cap_e, round_up(tot_e))
         cap_a = max(self._cap_a, round_up(max(tot_a, 1)))
         self._cap_e, self._cap_a = cap_e, cap_a
-        batch = batch_graphs(graphs, capacities=(self.cap_n, cap_e, cap_a))
+        batch = batch_graphs(
+            graphs, capacities=(self.cap_n, cap_e, cap_a), tile=self.tile,
+            tile_cap=self._cap_nx,
+        )
+        if self.tile:
+            self._cap_nx = max(self._cap_nx, batch.exp_map.shape[0])
         built = {
             "ref_frac": batch.frac_coords.copy(),
             "ref_lat": batch.lattices.copy(),

@@ -188,6 +188,10 @@ def main() -> None:
             if isinstance(scale, tuple)
             else _supercell(base, scale)
         )
+        if os.environ.get("CHGNET_TPU_MD_TILE"):
+            # the halo-tiled neighbor layout needs spatially compact
+            # index tiles (GraphRuntime(tile=...) picks the env var up)
+            struct = struct.spatial_sort()
         # bf16 + small skin pay off from a few thousand atoms. remat off
         # by default: the un-remat'ed EF graph fits comfortably up to the
         # ~2M-angle-row HBM boundary (skin 0.1 at 10k atoms is 1.97M) and
