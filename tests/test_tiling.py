@@ -55,6 +55,30 @@ def test_tiled_model_matches_untiled():
         )
 
 
+def test_tiled_md_runtime_rebuilds(monkeypatch):
+    """GraphRuntime(tile=) survives async rebuilds with stable shapes."""
+    from chgnet_tpu.simulation import MolecularDynamics
+
+    monkeypatch.setenv("CHGNET_TPU_MD_TILE", "64")
+    model = CHGNet(seed=0)
+    s = Structure.from_file(
+        f"{ROOT}/examples/mp-18767-LiMnO2.cif"
+    ).make_supercell(2).perturb(0.02, seed=0).spatial_sort()
+    md = MolecularDynamics(
+        s, model=model, ensemble="nvt", thermostat="Berendsen",
+        temperature=300.0, starting_temperature=300.0, timestep=1.0,
+        seed=0, chunk_size=4, skin=0.2,
+    )
+    assert md.runtime.tile == 64
+    assert md.runtime.batch.nbr_x.shape[0] > 0
+    assert md.runtime.lean is False  # lean blob lacks the tiled fields
+    md.run(16)
+    assert md.runtime.n_rebuilds >= 1
+    assert md.runtime.batch.nbr_x.shape[0] > 0  # rebuilds stay tiled
+    t = float(md.get_temperature())
+    assert t == t and 0.0 < t < 1500.0
+
+
 def test_tiled_kernel_path_matches(monkeypatch):
     """Tiled E+F with every kernel gate open (interpret) vs plain."""
     from chgnet_tpu.ops import gproj as gp
