@@ -132,6 +132,27 @@ def make_lean(batch: GraphBatch) -> tuple[np.ndarray, LeanMeta]:
         ("ang_counts", ang_counts),
         ("col4", np.ascontiguousarray(np.asarray(batch.bond_graph)[:, 4])),
     ]
+    if np.asarray(batch.exp_map).shape[0]:
+        # halo-tiled neighbor layout: exp_map/nbr_x are topology data
+        # (cheap to ship: [N_x] + [E] int32); their plans follow the
+        # standard mode machinery below. The VALID exp row count rides
+        # along so the device can rebuild plan_exp's masked key stream
+        # (plan_exp drops the padded tail in the backward).
+        exp_map = np.asarray(batch.exp_map)
+        n_x_valid = int((np.asarray(batch.plan_exp.dst) < cap_n).sum())
+        fields.append(("exp_counts", np.asarray([n_x_valid], np.int32)))
+        fields.append(("exp_map", exp_map))
+        fields.append(("nbr_x", np.asarray(batch.nbr_x)))
+        modes = modes + tuple(
+            _mode(p) for p in (batch.plan_exp, batch.plan_nbr_x)
+        )
+        for name, plan in (("exp", batch.plan_exp),
+                           ("nbr_x", batch.plan_nbr_x)):
+            for small in ("blk_lo", "blk_cnt", "g_lo", "g_cnt", "pw"):
+                fields.append(
+                    (f"{name}.{small}", np.asarray(getattr(plan, small)))
+                )
+
     for name, mode in zip(_PLAN_FIELDS, modes):
         plan: GatherPlan = getattr(batch, f"plan_{name}")
         for small in ("blk_lo", "blk_cnt", "g_lo", "g_cnt", "pw"):
@@ -259,9 +280,19 @@ def expand_lean(blob: jnp.ndarray, meta: LeanMeta) -> GraphBatch:
         "ang_c": jnp.where(a_valid, col0, cap_n),
         "center": edge_scatter,
     }
+    tiled = "exp_map" in lean
+    plan_names = _PLAN_FIELDS + (("exp", "nbr_x") if tiled else ())
+    if tiled:
+        n_x_cap = lean["exp_map"].shape[0]
+        x_valid = (
+            jnp.arange(n_x_cap, dtype=jnp.int32) < lean["exp_counts"][0]
+        )
+        keys["exp"] = jnp.where(x_valid, lean["exp_map"], cap_n)
+        keys["nbr_x"] = jnp.where(e_valid, lean["nbr_x"], n_x_cap)
+
     empty = jnp.zeros(0, jnp.int32)
     plans = {}
-    for name, mode in zip(_PLAN_FIELDS, meta.modes):
+    for name, mode in zip(plan_names, meta.modes):
         key = keys[name].astype(jnp.int32)
         if mode == "sorted":
             perm, dst, raw = empty, key, empty
@@ -276,8 +307,17 @@ def expand_lean(blob: jnp.ndarray, meta: LeanMeta) -> GraphBatch:
             g_lo=lean[f"{name}.g_lo"], g_cnt=lean[f"{name}.g_cnt"],
             pw=lean[f"{name}.pw"],
         )
+    tiled_kw = {}
+    if tiled:
+        tiled_kw = {
+            "exp_map": lean["exp_map"],
+            "nbr_x": lean["nbr_x"],
+            "plan_exp": plans["exp"],
+            "plan_nbr_x": plans["nbr_x"],
+        }
 
     return GraphBatch(
+        **tiled_kw,
         atomic_numbers=lean["atomic_numbers"],
         frac_coords=lean["frac_coords"],
         lattices=lean["lattices"],

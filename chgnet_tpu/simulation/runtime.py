@@ -121,9 +121,9 @@ class GraphRuntime:
         # at D=8, improving with D)
         lean: bool | None = None,  # lean topology shipping (None = on-TPU)
         tile: bool | int = False,  # halo-tiled neighbor layout
-        # (batch_graphs(tile=...); structures should be spatially sorted.
-        # Forces lean shipping OFF: the lean blob does not carry the
-        # tiled fields yet. Env override: CHGNET_TPU_MD_TILE=<T>.)
+        # (batch_graphs(tile=...); structures should be spatially
+        # sorted. Env override: CHGNET_TPU_MD_TILE=<T>. Lean shipping
+        # carries the tiled fields.)
     ) -> None:
         if getattr(config, "dense_atom_conv", False):
             raise NotImplementedError(
@@ -177,18 +177,10 @@ class GraphRuntime:
         if env_tile:
             tile = int(env_tile)
         self.tile = tile if tile else False
-        if self.tile:
-            # the lean blob does not carry exp_map/nbr_x or their plans
-            # yet: keep the full-tree transfer so the tiled layout
-            # survives rebuilds
-            lean = False
         if os.environ.get("CHGNET_TPU_NO_LEAN_SHIP"):
             lean = False
         self.lean = bool(lean) if lean is not None else False
-        self._lean_auto = (
-            lean is None and shard_mesh is None and not self.tile
-            and tpu_backend()
-        )
+        self._lean_auto = lean is None and shard_mesh is None and tpu_backend()
         self.sbatch = None
         self._shard_caps: tuple[int, int, int] | None = None
         self.n_rebuilds = -1  # first build is not a "rebuild"

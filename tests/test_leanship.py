@@ -227,3 +227,35 @@ def test_pipelined_rebuild_ordering(model):
     assert not rt._pipeline
     assert rt.n_rebuilds == 3
     np.testing.assert_allclose(rt._ref_frac, f3, atol=1e-7)
+
+
+def test_tiled_lean_round_trip(model):
+    """The lean blob carries the halo-tiled fields (exp_map/nbr_x and
+    their plans) and the expansion reproduces them bit-for-bit; the model
+    output through the lean batch is identical."""
+    from chgnet_tpu import ROOT
+    from chgnet_tpu.core.structure import Structure
+    from chgnet_tpu.models.chgnet import compute_batch
+
+    struct = Structure.from_file(
+        f"{ROOT}/examples/mp-18767-LiMnO2.cif"
+    ).make_supercell((4, 3, 3)).perturb(0.03, seed=0).spatial_sort()
+    b = batch_graphs([model.graph_converter(struct)], tile=64)
+    lb = jax.tree.map(np.asarray, ship_lean(b))
+    np.testing.assert_array_equal(b.exp_map, lb.exp_map)
+    np.testing.assert_array_equal(b.nbr_x, lb.nbr_x)
+    for name in ("exp", "nbr_x"):
+        hp = getattr(b, f"plan_{name}" if name != "nbr_x" else "plan_nbr_x")
+        lp = getattr(lb, f"plan_{name}" if name != "nbr_x" else "plan_nbr_x")
+        np.testing.assert_array_equal(hp.blk_lo, lp.blk_lo)
+        np.testing.assert_array_equal(hp.blk_cnt, lp.blk_cnt)
+        np.testing.assert_array_equal(hp.g_lo, lp.g_lo)
+        if hp.raw.shape[0]:
+            np.testing.assert_array_equal(hp.raw, lp.raw)
+        else:
+            np.testing.assert_array_equal(hp.dst, lp.dst)
+            np.testing.assert_array_equal(hp.perm, lp.perm)
+    r0 = compute_batch(model.params, b, config=model.config, compute_force=True)
+    r1 = compute_batch(model.params, lb, config=model.config, compute_force=True)
+    np.testing.assert_array_equal(np.asarray(r0["e"]), np.asarray(r1["e"]))
+    np.testing.assert_array_equal(np.asarray(r0["f"]), np.asarray(r1["f"]))
