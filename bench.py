@@ -144,6 +144,7 @@ def main() -> None:
                 )
                 time.sleep(10)
 
+    kernel_fallback = False
     try:
         compile_with_retries()
     except Exception as exc:  # noqa: BLE001
@@ -158,6 +159,7 @@ def main() -> None:
         ):
             os.environ[kill] = "1"
         jax.clear_caches()
+        kernel_fallback = True
         compile_with_retries()
 
     # best-of-5 windows: the device link has noisy latency spikes, and a
@@ -198,6 +200,7 @@ def main() -> None:
     bytes_per_iter = roofline_bytes(batch, model.config)
     achieved_gbps = bytes_per_iter * n_iters / best / 1e9
     result = {
+        **({"kernel_fallback": True} if kernel_fallback else {}),
         "metric": "edges/s per chip (batched graphs, E+F+S+M inference)",
         "value": round(edges_per_s, 1),
         "unit": "directed edges/s",

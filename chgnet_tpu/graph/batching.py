@@ -171,15 +171,14 @@ def _build_halo_tiles(
     check = e_valid & (exp_map[nbr_x] != atom_graph[:, 1])
     if check.any():
         raise AssertionError("halo tiling broke the neighbor map")
+    # plans are built by the caller's thread pool alongside the other
+    # eight — these two (over [N_x] and [E]) would otherwise serialize
+    # exactly the stage the pool was added to shorten
     return {
         "exp_map": exp_map,
         "nbr_x": nbr_x,
-        "plan_exp": make_plan(
-            exp_map,
-            np.arange(n_x_cap) < n_x,
-            cap_n,
-        ),
-        "plan_nbr_x": make_plan(nbr_x, e_valid, n_x_cap),
+        "_exp_valid": np.arange(n_x_cap) < n_x,
+        "_n_x_cap": n_x_cap,
     }
 
 
@@ -421,6 +420,17 @@ def batch_graphs(
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=4) as pool:
+        if halo:
+            exp_valid = halo.pop("_exp_valid")
+            n_x_cap = halo.pop("_n_x_cap")
+            halo_futs = {
+                "plan_exp": pool.submit(
+                    make_plan, halo["exp_map"], exp_valid, cap_n
+                ),
+                "plan_nbr_x": pool.submit(
+                    make_plan, halo["nbr_x"], e_valid, n_x_cap
+                ),
+            }
         plan_futs = {
             "plan_nbr": pool.submit(
                 make_plan, atom_graph[:, 1], e_valid, cap_n
@@ -454,6 +464,8 @@ def batch_graphs(
             ),
         }
         plans = {k: f.result() for k, f in plan_futs.items()}
+        if halo:
+            halo.update({k: f.result() for k, f in halo_futs.items()})
     return GraphBatch(
         **halo,
         **plans,

@@ -376,12 +376,15 @@ _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
 def _reduce_kernel(vchunk_ref, vblk_ref, vfirst_ref, vlast_ref,
-                   acc_ref, weights_ref, dst_ref,
+                   acc_ref, weights_ref, mask_ref, dst_ref,
                    w2_ref, b2_ref, ncs_ref, ncb_ref, ngs_ref, ngb_ref,
                    out_ref, oacc, *, bo):
-    # NO mask operand: masked rows carry dst == n_out (the batching drop
-    # convention), so the one-hot reduction drops them for free — the
-    # mask multiply of the plain tail is redundant under the reduce.
+    # The mask multiplies the ONE-HOT on its lane axis instead of the
+    # message rows: no [1,C] -> [C,1] relayout, and — crucially — it is
+    # NOT redundant with the dst-drop convention: the simulation loops'
+    # dynamic-cutoff masks (apply_dynamic_cutoff) zero masks of edges
+    # that drift past the exact cutoff WITHOUT touching the static plan
+    # dst streams, so masked rows can carry in-range dst.
     f32 = jnp.float32
     s = pl.program_id(0)
     dim = out_ref.shape[1]
@@ -405,9 +408,9 @@ def _reduce_kernel(vchunk_ref, vblk_ref, vfirst_ref, vlast_ref,
     blk = vblk_ref[s]
     local = dst_ref[0].astype(jnp.int32) - blk * bo  # [1, C]
     iota = jax.lax.broadcasted_iota(jnp.int32, (bo, 1), 0)
-    onehot = (iota == local).astype(f32)  # [BO, C]
+    onehot = (iota == local).astype(f32) * mask_ref[0].astype(f32)
     oacc[...] += jax.lax.dot_general(
-        onehot,
+        onehot,  # [BO, C], masked
         msg,
         (((1,), (0,)), ((), ())),
         preferred_element_type=f32,
@@ -431,6 +434,9 @@ def _reduce_pallas(acc_both, weights, mask, dst, blk_lo, blk_cnt, p2,
     vchunk, vblk, vfirst, vlast = _visit_plan(
         jnp.asarray(blk_lo), jnp.asarray(blk_cnt), n_chunks, n_blocks
     )
+    # mask and dst ride as [n_chunks, 1, C] (dim-0 blocks need no
+    # sublane alignment; a blocked 1-D bf16 operand at 512 trips Mosaic)
+    mask3d = mask.reshape(n_chunks, 1, C)
     dst3d = dst.reshape(n_chunks, 1, C)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -438,6 +444,9 @@ def _reduce_pallas(acc_both, weights, mask, dst, blk_lo, blk_cnt, p2,
         in_specs=[
             pl.BlockSpec((C, two_dim), lambda s, vc, vb, vf, vl: (vc[s], 0)),
             pl.BlockSpec((C, dim), lambda s, vc, vb, vf, vl: (vc[s], 0)),
+            pl.BlockSpec(
+                (1, 1, C), lambda s, vc, vb, vf, vl: (vc[s], 0, 0)
+            ),
             pl.BlockSpec(
                 (1, 1, C), lambda s, vc, vb, vf, vl: (vc[s], 0, 0)
             ),
@@ -465,7 +474,7 @@ def _reduce_pallas(acc_both, weights, mask, dst, blk_lo, blk_cnt, p2,
         interpret=interpret,
     )(
         vchunk, vblk, vfirst, vlast,
-        acc_both, weights, dst3d,
+        acc_both, weights, mask3d, dst3d,
         p2["w2"], p2["b2"],
         p2["nc_scale"], p2["nc_bias"], p2["ng_scale"], p2["ng_bias"],
     )

@@ -264,46 +264,11 @@ def union_gather_plan(plans):
 
 def _bwd_sums(ct, idxs, plans, n_out):
     """Per-index segment sums of ``ct`` into [n_out, K] — the shared
-    backward ingredient. Uses one pair sweep when two kernel-eligible
-    streams exist, per-plan sorted kernels otherwise."""
-    from chgnet_tpu.ops.scatter import (
-        _opt,
-        _pair_stream_keys,
-        _planned_segsum,
-        _stream_eligible,
-    )
+    backward ingredient, via the pairing machinery in ``ops.scatter``
+    (one two-output sweep when two kernel-eligible streams exist)."""
+    from chgnet_tpu.ops.scatter import paired_cotangent_sums
 
-    sums: list = [None] * len(idxs)
-    if not os.environ.get("CHGNET_TPU_NO_STREAM_PAIR"):
-        cand = [
-            k
-            for k, p in enumerate(plans)
-            if p is not None
-            and _stream_eligible(ct, p.blk_lo, n_out)
-            and _pair_stream_keys(p)[0] is not None
-        ]
-        while len(cand) >= 2:
-            a, b = cand.pop(0), cand.pop(0)
-            pa, pb = plans[a], plans[b]
-            keys_a, raw_a = _pair_stream_keys(pa)
-            keys_b, raw_b = _pair_stream_keys(pb)
-            ulo, ucnt = stream_ops.union_block_plan(
-                pa.blk_lo, pa.blk_cnt, pb.blk_lo, pb.blk_cnt
-            )
-            aux_a = (pa.blk_lo, pa.blk_cnt, _opt(pa.g_lo), _opt(pa.g_cnt),
-                     _opt(pa.pw))
-            aux_b = (pb.blk_lo, pb.blk_cnt, _opt(pb.g_lo), _opt(pb.g_cnt),
-                     _opt(pb.pw))
-            sums[a], sums[b] = stream_ops.segment_sum_pair(
-                ct, keys_a, keys_b, ulo, ucnt, aux_a, aux_b, n_out,
-                raw_a, raw_b,
-            )
-    for k, p in enumerate(plans):
-        if sums[k] is None:
-            sums[k] = _planned_segsum(
-                ct, p.perm, p.dst, p.blk_lo, p.blk_cnt, p.raw, n_out
-            )
-    return sums
+    return paired_cotangent_sums(ct, plans, [n_out] * len(plans))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))

@@ -377,32 +377,26 @@ def _pair_stream_keys(plan: GatherPlan):
     return None, False
 
 
-def _gather_sum_bwd(num_segments, res, ct):
-    idxs, plans = res
-    dtables: list = [
-        ct if idx is None else None for idx in idxs
-    ]
-    # pair windowed parts with the SAME output capacity into one
-    # two-output kernel sweep (e.g. the dir_i + dir_j reductions of the
-    # angle stream, or AtomConv's center + neighbor reductions of the
-    # edge stream): one read of ct instead of two
+def paired_cotangent_sums(ct, plans, n_outs, skip=()):
+    """Per-plan segment sums of one cotangent stream, with same-capacity
+    kernel-eligible streams PAIRED into two-output sweeps
+    (``stream_ops.segment_sum_pair``) — e.g. the dir_i + dir_j
+    reductions of the angle stream, or AtomConv's center + neighbor
+    reductions of the edge stream: one read of ``ct`` instead of two.
+    Positions in ``skip`` come back as None (the caller fills them)."""
+    sums: list = [None] * len(plans)
     if not os.environ.get("CHGNET_TPU_NO_STREAM_PAIR"):
         cand = [
             k
-            for k, (idx, p, n_seg) in enumerate(
-                zip(idxs, plans, num_segments)
-            )
-            if idx is not None
+            for k, (p, n_seg) in enumerate(zip(plans, n_outs))
+            if k not in skip
             and p is not None
             and _stream_eligible(ct, p.blk_lo, n_seg)
             and _pair_stream_keys(p)[0] is not None
         ]
         while len(cand) >= 2:
             a = cand.pop(0)
-            b = next(
-                (c for c in cand if num_segments[c] == num_segments[a]),
-                None,
-            )
+            b = next((c for c in cand if n_outs[c] == n_outs[a]), None)
             if b is None:
                 continue
             cand.remove(b)
@@ -416,19 +410,24 @@ def _gather_sum_bwd(num_segments, res, ct):
                      _opt(pa.pw))
             aux_b = (pb.blk_lo, pb.blk_cnt, _opt(pb.g_lo), _opt(pb.g_cnt),
                      _opt(pb.pw))
-            dtables[a], dtables[b] = stream_ops.segment_sum_pair(
+            sums[a], sums[b] = stream_ops.segment_sum_pair(
                 ct, keys_a, keys_b, ulo, ucnt, aux_a, aux_b,
-                num_segments[a], raw_a, raw_b,
+                n_outs[a], raw_a, raw_b,
             )
+    for k, (p, n_seg) in enumerate(zip(plans, n_outs)):
+        if sums[k] is None and k not in skip and p is not None:
+            sums[k] = _planned_segsum(
+                ct, p.perm, p.dst, p.blk_lo, p.blk_cnt, p.raw, n_seg
+            )
+    return sums
+
+
+def _gather_sum_bwd(num_segments, res, ct):
+    idxs, plans = res
+    skip = tuple(k for k, idx in enumerate(idxs) if idx is None)
+    sums = paired_cotangent_sums(ct, plans, num_segments, skip=skip)
     dtables = tuple(
-        d
-        if d is not None
-        else _planned_segsum(
-            ct, p.perm, p.dst, p.blk_lo, p.blk_cnt, p.raw, n_seg
-        )
-        for d, (idx, p, n_seg) in zip(
-            dtables, zip(idxs, plans, num_segments)
-        )
+        ct if k in skip else sums[k] for k in range(len(idxs))
     )
     return (dtables, None, None)
 

@@ -16,13 +16,18 @@ from chgnet_tpu.ops.scatter import make_plan
 
 def _setup(L=2048, n_out=1024, dim=64, seed=0, dtype=np.float32):
     rng = np.random.default_rng(seed)
-    # sorted dst with some padded (dropped) rows
+    # sorted dst with some padded (dropped) rows AND some rows whose
+    # mask is zero while dst stays IN RANGE — the dynamic-cutoff shape
+    # (apply_dynamic_cutoff zeroes masks without touching plan dst), so
+    # the kernel must honor the mask, not just the dst-drop convention
     dst = np.sort(rng.integers(0, n_out, L)).astype(np.int32)
     mask = (rng.random(L) > 0.1).astype(np.float32)
-    dst = np.where(mask > 0, dst, n_out).astype(np.int32)
+    drop = (rng.random(L) > 0.5) & (mask == 0)
+    dst = np.where(drop, n_out, dst).astype(np.int32)
     order = np.argsort(dst, kind="stable")
     dst, mask = dst[order], mask[order]
-    plan = make_plan(dst, mask > 0, n_out, assume_sorted=True)
+    assert ((mask == 0) & (dst < n_out)).any()
+    plan = make_plan(dst, dst < n_out, n_out, assume_sorted=True)
     acc = rng.standard_normal((L, 2 * dim)).astype(dtype)
     w = rng.standard_normal((L, dim)).astype(dtype)
     p2 = {

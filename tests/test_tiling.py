@@ -71,7 +71,6 @@ def test_tiled_md_runtime_rebuilds(monkeypatch):
     )
     assert md.runtime.tile == 64
     assert md.runtime.batch.nbr_x.shape[0] > 0
-    assert md.runtime.lean is False  # lean blob lacks the tiled fields
     md.run(16)
     assert md.runtime.n_rebuilds >= 1
     assert md.runtime.batch.nbr_x.shape[0] > 0  # rebuilds stay tiled
