@@ -14,6 +14,9 @@ Usage: python tools/analyze_plans.py [n_atoms ...]
 
 from __future__ import annotations
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root for direct runs
+
 import json
 import sys
 

@@ -21,6 +21,9 @@ hosts" proof. Env knobs:
 
 from __future__ import annotations
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root for direct runs
+
 import json
 import os
 import sys

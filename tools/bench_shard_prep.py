@@ -15,6 +15,9 @@ Defaults: 24 x 24 x 22 supercell (101,376 atoms) onto D=8 devices.
 
 from __future__ import annotations
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root for direct runs
+
 import json
 import sys
 import time

@@ -10,6 +10,9 @@ Usage: python tools/bench_tile.py [n_atoms] [T ...]
 
 from __future__ import annotations
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root for direct runs
+
 import sys
 import time
 

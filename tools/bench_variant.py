@@ -6,6 +6,9 @@ Prints one JSON line like bench.py (same workload, same timing rules).
 
 from __future__ import annotations
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root for direct runs
+
 import json
 import os
 import sys

@@ -13,6 +13,9 @@ scalar ON DEVICE and a host fetch forces completion.
 
 from __future__ import annotations
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root for direct runs
+
 import time
 
 import jax

@@ -11,6 +11,9 @@ Usage: python tools/profile_md_step.py [supercell e.g. 16,10,8]
 
 from __future__ import annotations
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root for direct runs
+
 import sys
 import time
 

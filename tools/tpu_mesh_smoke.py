@@ -13,6 +13,9 @@ missed.
 
 Usage: python tools/tpu_mesh_smoke.py
 """
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root for direct runs
 import os, sys
 import numpy as np
 import jax
