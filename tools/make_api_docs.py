@@ -17,6 +17,7 @@ import os
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)  # repo root for direct runs
 OUT = os.path.join(REPO, "docs", "api")
 
 MODULES = [
