@@ -154,7 +154,7 @@ def main() -> None:
             "pairing disabled"
         )
         for kill in (
-            "CHGNET_TPU_NO_GPROJ", "CHGNET_TPU_NO_MSG_REDUCE",
+            "CHGNET_TPU_NO_GPROJ",
             "CHGNET_TPU_NO_STREAM_PAIR", "CHGNET_TPU_NO_TWIN_REDUCE",
         ):
             os.environ[kill] = "1"

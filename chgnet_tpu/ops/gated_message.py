@@ -530,13 +530,19 @@ _msg_reduce.defvjp(_msg_reduce_fwd, _msg_reduce_bwd)
 def msg_reduce_ok(acc_both, plan, n_out: int) -> bool:
     """Trace-time eligibility for the fused message-reduce: TPU, a
     sorted-stream block plan over ``dst`` (``plan.dst`` IS the scatter
-    key stream with padding >= n_out), kernel-aligned shapes."""
+    key stream with padding >= n_out), kernel-aligned shapes.
+
+    OPT-IN (``CHGNET_TPU_MSG_REDUCE=<any non-empty value>``): the round-5
+    same-session bench A/B measured the fused sweep at 1.734 vs_baseline
+    against 1.842 with it disabled (-5.9% E+F+S+M), so per its sunset
+    rule it is demoted from default-on (see docs/performance.md)."""
     import os
 
     from chgnet_tpu.ops import stream_ops
 
     return (
-        not os.environ.get("CHGNET_TPU_NO_MSG_REDUCE")
+        bool(os.environ.get("CHGNET_TPU_MSG_REDUCE"))
+        and not os.environ.get("CHGNET_TPU_NO_MSG_REDUCE")
         and plan is not None
         and plan.perm.shape[0] == 0
         and plan.raw.shape[0] == 0

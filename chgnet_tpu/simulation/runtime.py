@@ -177,6 +177,24 @@ class GraphRuntime:
         if env_tile:
             tile = int(env_tile)
         self.tile = tile if tile else False
+        # Round-5 promotion: the halo-tiled neighbor layout measured
+        # +72% E+F at 10,240 atoms on-chip (docs/performance.md tile
+        # A/B), so it defaults ON for large single-device TPU runs with
+        # T=64 (the measured optimum at the 6 A cutoff). Guarded by a
+        # first-build expansion probe in _batch_stage: tiling only wins
+        # when the structures are spatially local, so a halo expansion
+        # beyond 12x (sorted 10k atoms measures 8.3x) falls back to the
+        # untiled layout. CHGNET_TPU_MD_TILE=0 forces off, =T forces T.
+        self._tile_probe = False
+        if (
+            not env_tile
+            and tile is False
+            and shard_mesh is None
+            and tpu_backend()
+            and int(self.offsets[-1]) >= 4096
+        ):
+            self.tile = 64
+            self._tile_probe = True
         if os.environ.get("CHGNET_TPU_NO_LEAN_SHIP"):
             lean = False
         self.lean = bool(lean) if lean is not None else False
@@ -235,6 +253,30 @@ class GraphRuntime:
             graphs, capacities=(self.cap_n, cap_e, cap_a), tile=self.tile,
             tile_cap=self._cap_nx,
         )
+        if self.tile and self._tile_probe:
+            # auto-tile expansion probe (first build only, which runs
+            # before any jit trace so downstream shapes stay consistent):
+            # spatially dispersed atom orders blow the halo up; beyond
+            # 12x the per-layer [N_x] expansion gather costs more than
+            # the window-local neighbor stream saves, so fall back.
+            self._tile_probe = False
+            if batch.exp_map.shape[0] > 12 * self.cap_n:
+                import warnings
+
+                warnings.warn(
+                    "auto-tiling disabled: halo expansion "
+                    f"{batch.exp_map.shape[0] / max(self.cap_n, 1):.1f}x "
+                    "exceeds 12x — the atom order is not spatially "
+                    "local. Sort with Structure.spatial_sort() before "
+                    "constructing the simulation to enable the tiled "
+                    "neighbor stream (+72% E+F at 10k atoms).",
+                    stacklevel=2,
+                )
+                self.tile = False
+                self._cap_nx = 0
+                batch = batch_graphs(
+                    graphs, capacities=(self.cap_n, cap_e, cap_a),
+                )
         if self.tile:
             self._cap_nx = max(self._cap_nx, batch.exp_map.shape[0])
         built = {

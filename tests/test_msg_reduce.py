@@ -45,6 +45,7 @@ def _setup(L=2048, n_out=1024, dim=64, seed=0, dtype=np.float32):
 def on_tpu_gates(monkeypatch):
     import functools as ft
 
+    monkeypatch.setenv("CHGNET_TPU_MSG_REDUCE", "1")  # opt-in since r5
     monkeypatch.setattr(so, "tpu_backend", lambda: True)
     for name in (
         "_multi_gather_pallas", "_gather_pallas", "_segsum_pallas",
@@ -161,6 +162,7 @@ def test_full_model_with_msg_reduce(monkeypatch):
         )
 
     ref = jax.tree.map(np.asarray, run())
+    monkeypatch.setenv("CHGNET_TPU_MSG_REDUCE", "1")  # opt-in since r5
     monkeypatch.setattr(so, "tpu_backend", lambda: True)
     for mod, name in [
         (so, "_multi_gather_pallas"), (so, "_gather_pallas"),

@@ -191,9 +191,11 @@ def main() -> None:
             if isinstance(scale, tuple)
             else _supercell(base, scale)
         )
-        if os.environ.get("CHGNET_TPU_MD_TILE"):
+        if os.environ.get("CHGNET_TPU_MD_TILE") or len(struct) > 2000:
             # the halo-tiled neighbor layout needs spatially compact
-            # index tiles (GraphRuntime(tile=...) picks the env var up)
+            # index tiles (GraphRuntime auto-tiles large single-device
+            # runs; supercell atom order is species-blocked, which the
+            # expansion probe would otherwise reject)
             struct = struct.spatial_sort()
         # bf16 + small skin pay off from a few thousand atoms. remat off
         # by default: the un-remat'ed EF graph fits comfortably up to the
