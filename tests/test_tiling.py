@@ -104,3 +104,49 @@ def test_tiled_kernel_path_matches(monkeypatch):
     jax.clear_caches()
     for k, atol in (("e", 1e-5), ("f", 1e-4)):
         np.testing.assert_allclose(out[k], ref[k], atol=atol, err_msg=k)
+
+
+def test_auto_tile_default_and_probe(monkeypatch):
+    """Round-5 promotion: GraphRuntime auto-tiles large single-device
+    TPU runs at T=64, and the first-build expansion probe falls back to
+    the untiled layout (with a warning) for spatially dispersed atom
+    orders."""
+    import warnings
+
+    import pytest
+
+    from chgnet_tpu.models.chgnet import CHGNetConfig
+    from chgnet_tpu.simulation import runtime as rt
+
+    monkeypatch.setattr(rt, "tpu_backend", lambda: True, raising=False)
+    # the runtime module imports tpu_backend inside __init__ from
+    # stream_ops, so patch the source symbol
+    from chgnet_tpu.ops import stream_ops as so_mod
+
+    monkeypatch.setattr(so_mod, "tpu_backend", lambda: True)
+
+    base = Structure.from_file(f"{ROOT}/examples/mp-18767-LiMnO2.cif")
+    big = base.make_supercell((8, 8, 8)).perturb(0.02, seed=0)  # 4096
+    cfg = CHGNetConfig()
+
+    # small structure: auto-tile stays off
+    small_rt = rt.GraphRuntime(cfg, [base.make_supercell(2)], skin=0.2)
+    assert small_rt.tile is False and not small_rt._tile_probe
+
+    # large sorted structure: defaults to T=64, probe accepts
+    sorted_rt = rt.GraphRuntime(cfg, [big.spatial_sort()], skin=0.2)
+    assert sorted_rt.tile == 64
+    assert sorted_rt.batch.nbr_x.shape[0] > 0
+    assert not sorted_rt._tile_probe  # probe ran on the first build
+
+    # env kill switch forces off
+    monkeypatch.setenv("CHGNET_TPU_MD_TILE", "0")
+    off_rt = rt.GraphRuntime(cfg, [big.spatial_sort()], skin=0.2)
+    assert off_rt.tile is False
+    monkeypatch.delenv("CHGNET_TPU_MD_TILE")
+
+    # species-blocked supercell order: expansion probe falls back
+    with pytest.warns(UserWarning, match="auto-tiling disabled"):
+        disp_rt = rt.GraphRuntime(cfg, [big], skin=0.2)
+    assert disp_rt.tile is False
+    assert disp_rt.batch.nbr_x.shape[0] == 0
