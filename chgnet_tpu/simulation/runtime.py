@@ -177,24 +177,16 @@ class GraphRuntime:
         if env_tile:
             tile = int(env_tile)
         self.tile = tile if tile else False
-        # Round-5 promotion: the halo-tiled neighbor layout measured
-        # +72% E+F at 10,240 atoms on-chip (docs/performance.md tile
-        # A/B), so it defaults ON for large single-device TPU runs with
-        # T=64 (the measured optimum at the 6 A cutoff). Guarded by a
-        # first-build expansion probe in _batch_stage: tiling only wins
-        # when the structures are spatially local, so a halo expansion
-        # beyond 12x (sorted 10k atoms measures 8.3x) falls back to the
-        # untiled layout. CHGNET_TPU_MD_TILE=0 forces off, =T forces T.
-        self._tile_probe = False
-        if (
-            not env_tile
-            and tile is False
-            and shard_mesh is None
-            and tpu_backend()
-            and int(self.offsets[-1]) >= 4096
-        ):
-            self.tile = 64
-            self._tile_probe = True
+        # Round-5 measured: the halo-tiled layout wins the isolated E+F
+        # step A/B (+72% at 10,240 atoms) but LOSES the end-to-end MD
+        # loop 2.6x (0.294 vs 0.78 steps/s — per-rebuild ship time blows
+        # up 28 -> 139 s per 60 steps and the pipeline can no longer
+        # hide it), so it stays OPT-IN here (tile=/CHGNET_TPU_MD_TILE).
+        # The expansion probe still guards the first build: tiling only
+        # wins spatially local atom orders, so a halo expansion beyond
+        # 12x (sorted 10k atoms measures 8.3x) falls back untiled with
+        # a warning rather than shipping a pathological layout.
+        self._tile_probe = bool(self.tile)
         if os.environ.get("CHGNET_TPU_NO_LEAN_SHIP"):
             lean = False
         self.lean = bool(lean) if lean is not None else False
@@ -264,12 +256,12 @@ class GraphRuntime:
                 import warnings
 
                 warnings.warn(
-                    "auto-tiling disabled: halo expansion "
+                    "tiling disabled: halo expansion "
                     f"{batch.exp_map.shape[0] / max(self.cap_n, 1):.1f}x "
                     "exceeds 12x — the atom order is not spatially "
                     "local. Sort with Structure.spatial_sort() before "
-                    "constructing the simulation to enable the tiled "
-                    "neighbor stream (+72% E+F at 10k atoms).",
+                    "constructing the simulation to keep the tiled "
+                    "neighbor stream.",
                     stacklevel=2,
                 )
                 self.tile = False

@@ -106,21 +106,16 @@ def test_tiled_kernel_path_matches(monkeypatch):
         np.testing.assert_allclose(out[k], ref[k], atol=atol, err_msg=k)
 
 
-def test_auto_tile_default_and_probe(monkeypatch):
-    """Round-5 promotion: GraphRuntime auto-tiles large single-device
-    TPU runs at T=64, and the first-build expansion probe falls back to
-    the untiled layout (with a warning) for spatially dispersed atom
-    orders."""
-    import warnings
-
+def test_tile_expansion_probe(monkeypatch):
+    """Round-5: the MD runtime stays untiled by default (the isolated
+    E+F tile win did not survive the end-to-end MD loop), and an
+    explicit tile= request is guarded by the first-build expansion
+    probe, which falls back untiled (with a warning) for spatially
+    dispersed atom orders."""
     import pytest
 
     from chgnet_tpu.models.chgnet import CHGNetConfig
     from chgnet_tpu.simulation import runtime as rt
-
-    monkeypatch.setattr(rt, "tpu_backend", lambda: True, raising=False)
-    # the runtime module imports tpu_backend inside __init__ from
-    # stream_ops, so patch the source symbol
     from chgnet_tpu.ops import stream_ops as so_mod
 
     monkeypatch.setattr(so_mod, "tpu_backend", lambda: True)
@@ -129,24 +124,18 @@ def test_auto_tile_default_and_probe(monkeypatch):
     big = base.make_supercell((8, 8, 8)).perturb(0.02, seed=0)  # 4096
     cfg = CHGNetConfig()
 
-    # small structure: auto-tile stays off
-    small_rt = rt.GraphRuntime(cfg, [base.make_supercell(2)], skin=0.2)
-    assert small_rt.tile is False and not small_rt._tile_probe
+    # no auto-tiling: default stays untiled at any size
+    plain_rt = rt.GraphRuntime(cfg, [big.spatial_sort()], skin=0.2)
+    assert plain_rt.tile is False and plain_rt.batch.nbr_x.shape[0] == 0
 
-    # large sorted structure: defaults to T=64, probe accepts
-    sorted_rt = rt.GraphRuntime(cfg, [big.spatial_sort()], skin=0.2)
+    # explicit tile on a sorted structure: probe accepts
+    sorted_rt = rt.GraphRuntime(cfg, [big.spatial_sort()], skin=0.2, tile=64)
     assert sorted_rt.tile == 64
     assert sorted_rt.batch.nbr_x.shape[0] > 0
     assert not sorted_rt._tile_probe  # probe ran on the first build
 
-    # env kill switch forces off
-    monkeypatch.setenv("CHGNET_TPU_MD_TILE", "0")
-    off_rt = rt.GraphRuntime(cfg, [big.spatial_sort()], skin=0.2)
-    assert off_rt.tile is False
-    monkeypatch.delenv("CHGNET_TPU_MD_TILE")
-
     # species-blocked supercell order: expansion probe falls back
-    with pytest.warns(UserWarning, match="auto-tiling disabled"):
-        disp_rt = rt.GraphRuntime(cfg, [big], skin=0.2)
+    with pytest.warns(UserWarning, match="tiling disabled"):
+        disp_rt = rt.GraphRuntime(cfg, [big], skin=0.2, tile=64)
     assert disp_rt.tile is False
     assert disp_rt.batch.nbr_x.shape[0] == 0
